@@ -1,0 +1,82 @@
+"""URL / timestamp scalar functions — all JVM-side column expressions.
+
+Reference semantics: urlparse-based derivation in data_transformers.py:161-208
+(host, path, depth, extension) and the 14-char capture timestamp handling in
+wayback_machine.py:238-255. Everything here stays inside whole-stage codegen;
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host ('netloc' sans port), e.g. 'www.example.com'."""
+    return F.lower(F.parse_url(url, F.lit("HOST")))
+
+
+def url_path(url: Column) -> Column:
+    """Path component ('' → '/'), query/fragment stripped."""
+    p = F.parse_url(url, F.lit("PATH"))
+    return F.when(p.isNull() | (p == ""), F.lit("/")).otherwise(p)
+
+
+def url_query(url: Column) -> Column:
+    """Query string without the leading '?' (null when absent)."""
+    return F.parse_url(url, F.lit("QUERY"))
+
+
+def url_path_noquery(url: Column) -> Column:
+    """URL with query+fragment stripped, lower-cased — the reference's
+    `url.lower().split('?')[0].split('#')[0]` used by every extension check
+    (enhanced_intelligent_filter.py:231-242)."""
+    return F.element_at(F.split(F.element_at(F.split(F.lower(url), r"\?"), 1), "#"), 1)
+
+
+def url_depth(url: Column) -> Column:
+    """Number of non-empty path segments (data_transformers.py:200)."""
+    segs = F.split(url_path(url), "/")
+    return F.size(F.filter(segs, lambda s: s != F.lit("")))
+
+
+def url_extension(url: Column) -> Column:
+    """Trailing '.ext' of the path (lower-cased), '' when none."""
+    p = url_path_noquery(url)
+    last = F.element_at(F.split(p, "/"), -1)
+    return F.when(
+        last.contains("."), F.concat(F.lit("."), F.element_at(F.split(last, r"\."), -1))
+    ).otherwise(F.lit(""))
+
+
+def url_canon(url: Column) -> Column:
+    """Canonical URL key. The reference keys the seen-set on the *raw* CDX
+    URL (cdx_deduplication_service.py:138-170), so canonicalization must be
+    identity-preserving: strip only the fragment."""
+    return F.element_at(F.split(url, "#"), 1)
+
+
+def ts14(ts: Column) -> Column:
+    """14-char capture timestamp 'yyyyMMddHHmmss' (scraping.py:69)."""
+    return F.date_format(ts, "yyyyMMddHHmmss")
+
+
+def ts14_to_timestamp(ts14_col: Column) -> Column:
+    return F.to_timestamp(ts14_col, "yyyyMMddHHmmss")
+
+
+def with_url_parts(df, url_col: str = "url"):
+    """Annotate a frontier/pages DataFrame with derived URL columns used by
+    filters, politeness and analytics. One projection, no shuffle."""
+    u = F.col(url_col)
+    return df.withColumns(
+        {
+            "host": url_host(u),
+            "path": url_path(u),
+            "path_noquery": url_path_noquery(u),
+            "url_depth": url_depth(u),
+            "file_extension": url_extension(u),
+            "url_canon": url_canon(u),
+        }
+    )

@@ -1,0 +1,124 @@
+"""URL-seen / digest dedup operators (SURVEY §2.3 D1-D9).
+
+The seen-set key is ``(url_canon, ts14)`` — the reference's UNIQUE
+``(url, unix_timestamp)`` (shared_pages.py:88,221). Content dedup keys on
+``digest`` (CDX ``collapse=digest``, wayback_machine.py:777).
+
+Scale design:
+- ``collapse_digest`` is a window, not a groupBy-then-join: one shuffle on
+  digest, earliest capture wins deterministically.
+- ``anti_join_seen`` is the core frontier dedup (D4). At 10^10 seen keys a
+  plain anti-join shuffles the entire seen table every round, so
+  ``bloom_prefilter_anti_join`` first drops the definitely-unseen candidates
+  with a Bloom filter built from the seen side (false positives re-checked by
+  the exact anti-join — never a false drop). The Bloom build is one pass over
+  the seen table's key column; candidates are filtered map-side before the
+  (much smaller) exact join. On a real cluster the filter is built per
+  url-bucket partition and only the matching bucket's filter is applied to
+  the matching candidate partition, keeping each filter ~100 MB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEEN_KEY = ["url_canon", "ts14"]
+
+
+def collapse_digest(frontier: DataFrame, digest_col: str = "digest") -> DataFrame:
+    """D1/W4: keep the earliest capture per content digest
+    (deterministic tie-break on url then ts14)."""
+    w = Window.partitionBy(digest_col).orderBy(F.col("warc_ts").asc(),
+                                               F.col("url").asc())
+    return (
+        frontier.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def anti_join_seen(candidates: DataFrame, url_seen: DataFrame,
+                   keys: list[str] = SEEN_KEY) -> DataFrame:
+    """D4: candidates not yet in the seen set (exact left-anti)."""
+    return candidates.join(url_seen.select(*keys), keys, "left_anti")
+
+
+def semi_join_seen(candidates: DataFrame, url_seen: DataFrame,
+                   keys: list[str] = SEEN_KEY) -> DataFrame:
+    """D4 complement: candidates already present (the "link existing" branch,
+    cdx_deduplication_service.py:77-107)."""
+    return candidates.join(url_seen.select(*keys), keys, "left_semi")
+
+
+def bloom_prefilter_anti_join(
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    keys: list[str] = SEEN_KEY,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """D4 at scale: Bloom-prefiltered exact anti-join.
+
+    1. build a Bloom filter over the seen side's composite key,
+    2. map-side drop candidates whose key is definitely unseen,
+    3. exact anti-join only the "maybe seen" remainder,
+    4. union the definitely-unseen back in.
+
+    A Bloom false positive only costs a row in the exact join; a false
+    negative is impossible, so no candidate is ever wrongly dropped.
+    """
+    from ..functions.bloom import build_bloom, with_bloom_probe
+
+    key_expr = F.concat_ws("\x1f", *[F.col(k) for k in keys])
+    n = expected_items or url_seen.count()
+    if n == 0:
+        return candidates
+    bloom = build_bloom(url_seen, key_expr, n, fpp)
+    cand = with_bloom_probe(candidates, key_expr, bloom, "__maybe")
+    definitely_new = cand.filter(~F.col("__maybe")).drop("__maybe")
+    maybe = cand.filter(F.col("__maybe")).drop("__maybe")
+    confirmed_new = anti_join_seen(maybe, url_seen, keys)
+    return definitely_new.unionByName(confirmed_new)
+
+
+def categorize_against_registry(candidates: DataFrame, registry: DataFrame,
+                                keys: list[str] = SEEN_KEY) -> DataFrame:
+    """D5: one-pass three-way split (cdx_deduplication_service.py:77-196):
+    ``to_link`` (completed), ``already_processing`` (pending/in_progress),
+    ``to_scrape`` (absent) — a single left join + CASE, never three scans."""
+    reg = registry.select(*keys, F.col("scrape_status").alias("__reg_status"))
+    joined = candidates.join(reg, keys, "left")
+    return joined.withColumn(
+        "dedup_category",
+        F.when(F.col("__reg_status") == "completed", F.lit("to_link"))
+        .when(F.col("__reg_status").isin("pending", "in_progress"),
+              F.lit("already_processing"))
+        .otherwise(F.lit("to_scrape")),
+    ).drop("__reg_status")
+
+
+def merge_into_seen(url_seen: DataFrame, new_rows: DataFrame,
+                    keys: list[str] = SEEN_KEY) -> DataFrame:
+    """D6: idempotent insert (``ON CONFLICT DO NOTHING``,
+    cdx_deduplication_service.py:229-238) = MERGE WHEN NOT MATCHED INSERT.
+    Expressed as existing ∪ (new ⟕anti existing); with an Iceberg catalog this
+    is ``MERGE INTO url_seen``, here the caller persists the result through
+    the snapshot catalog."""
+    cols = url_seen.columns
+    fresh = new_rows.select(*cols).join(url_seen.select(*keys), keys, "left_anti")
+    # A batch can carry the same key twice; keep one deterministically.
+    fresh = fresh.dropDuplicates(keys)
+    return url_seen.unionByName(fresh)
+
+
+def in_batch_dedup(frontier: DataFrame, keys: list[str] = SEEN_KEY) -> DataFrame:
+    """D2/D8: first occurrence per key within a batch, deterministic order."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col("warc_ts").asc(), F.col("url").asc()
+    )
+    return (
+        frontier.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

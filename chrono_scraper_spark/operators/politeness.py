@@ -1,0 +1,166 @@
+"""Politeness priority queue: crawl ordering, per-host rate budgets, skew
+salting (SURVEY §2.4 P1/P4/P5/P8, §2.8 W5).
+
+Reference semantics being reproduced:
+- crawl order = priority desc, then stable insertion order
+  (firecrawl_scraping.py:1043-1047, 1467-1475)
+- per-host token bucket 1 req/s, burst 5 (fetch_service.py:49-80,
+  .env.example:49-58) — re-expressed as a *budget per round*: a round spans
+  ``round_seconds`` of wall-clock, so host h may fetch
+  ``burst + rps*round_seconds`` URLs in round 0 and ``rps*round_seconds``
+  thereafter. Deferred rows spill into the next round, which reproduces the
+  token-bucket schedule deterministically (no wall-clock in the plan).
+- mega-host skew: a host with 30%+ of the frontier would pin one task
+  (reference has this flaw: one Celery task per domain, celery_app.py:88-112);
+  we salt the host partition key so fetch work for a mega-host spreads over
+  ``split_k(host)`` partitions while the *budget* ranking stays per-host.
+
+Scale notes: ordering within a host is a per-host window (one shuffle on
+host). The global crawl sequence is NOT a single-partition window — see
+``with_global_order`` which range-partitions by the order key and offsets
+per-partition row numbers (two tiny passes, no driver collect of rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import config as C
+
+
+def with_priority_order_key(frontier: DataFrame) -> DataFrame:
+    """P1: the stable total order (priority desc, url asc, ts14 asc)."""
+    return frontier.withColumn(
+        "order_key",
+        F.struct(
+            (-F.col("decision.priority_score")).alias("neg_priority"),
+            F.col("url").alias("url"),
+            F.col("ts14").alias("ts14"),
+        ),
+    )
+
+
+def with_global_order(frontier: DataFrame) -> DataFrame:
+    """Deterministic global crawl sequence ``seq`` without a one-partition
+    window: repartitionByRange on the order key (range exchange), sort within
+    partitions, per-partition row_number + exclusive prefix-sum of partition
+    counts (collected — one long per partition, not rows)."""
+    ordered = with_priority_order_key(frontier).repartitionByRange(
+        "order_key"
+    ).sortWithinPartitions("order_key")
+    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy("order_key")
+    with_rn = with_pid.withColumn("__rn", F.row_number().over(w))
+    counts = (
+        with_pid.groupBy("__pid").count().orderBy("__pid").collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in counts:
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+    spark = frontier.sparkSession
+    if offsets:
+        off_df = spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
+        )
+        with_rn = with_rn.join(F.broadcast(off_df), "__pid", "left")
+    else:
+        with_rn = with_rn.withColumn("__off", F.lit(0).cast("long"))
+    return (
+        with_rn.withColumn("seq", F.col("__off") + F.col("__rn"))
+        .drop("__pid", "__rn", "__off", "order_key")
+    )
+
+
+def host_budgets(round_idx: int, rps: float = C.DEFAULT_HOST_RPS,
+                 burst: int = C.DEFAULT_HOST_BURST,
+                 round_seconds: float = C.DEFAULT_ROUND_SECONDS) -> int:
+    """Token-bucket ≙ budget-per-round mapping (P4): round 0 additionally
+    drains the initial burst."""
+    base = int(rps * round_seconds)
+    return base + (burst if round_idx == 0 else 0)
+
+
+def schedule_round(
+    frontier: DataFrame,
+    round_idx: int = 0,
+    rps: float = C.DEFAULT_HOST_RPS,
+    burst: int = C.DEFAULT_HOST_BURST,
+    round_seconds: float = C.DEFAULT_ROUND_SECONDS,
+    budget_overrides: DataFrame | None = None,
+) -> DataFrame:
+    """W5: within each host, rank by (priority desc, url, ts14) and mark the
+    first ``budget`` rows ``scheduled`` — the rest ``deferred`` to the next
+    round. ``budget_overrides(host, budget)`` broadcasts per-host budgets
+    (source-level limits like archive.org's 15/min, archive_org_client.py:23-28).
+    """
+    budget_default = host_budgets(round_idx, rps, burst, round_seconds)
+    w = Window.partitionBy("host").orderBy(
+        F.col("decision.priority_score").desc(), F.col("url").asc(),
+        F.col("ts14").asc()
+    )
+    df = frontier.withColumn("host_rank", F.row_number().over(w))
+    if budget_overrides is not None:
+        df = df.join(F.broadcast(budget_overrides), "host", "left")
+        budget = F.coalesce(F.col("budget"), F.lit(budget_default))
+    else:
+        budget = F.lit(budget_default)
+    df = df.withColumn(
+        "sched_status",
+        F.when(F.col("host_rank") <= budget, F.lit("scheduled")).otherwise(
+            F.lit("deferred")
+        ),
+    )
+    return df.drop("budget") if budget_overrides is not None else df
+
+
+def with_salted_host_partition(frontier: DataFrame,
+                               target_rows_per_partition: int = 50_000) -> DataFrame:
+    """P8 skew splitting: partition fetch work by ``(host, salt)`` where
+    ``salt = pmod(xxhash64(url, ts14), split_k(host))`` and ``split_k`` grows
+    with the host's frontier size. One count-by-host aggregation (small —
+    #hosts rows, broadcast back) then a map-side projection + repartition.
+    A mega-host with 3×10^9 rows gets ~60k partitions instead of one."""
+    host_counts = frontier.groupBy("host").agg(F.count(F.lit(1)).alias("__hn"))
+    split_k = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("__hn") / F.lit(target_rows_per_partition)).cast("int"),
+    )
+    host_counts = host_counts.withColumn("__split_k", split_k).drop("__hn")
+    df = frontier.join(F.broadcast(host_counts), "host", "left")
+    df = df.withColumn(
+        "host_salt",
+        F.pmod(F.xxhash64(F.col("url"), F.col("ts14")),
+               F.coalesce(F.col("__split_k"), F.lit(1))).cast("int"),
+    ).drop("__split_k")
+    return df.repartition(F.col("host"), F.col("host_salt"))
+
+
+def robots_filter(frontier: DataFrame, robots_rules: DataFrame | None) -> DataFrame:
+    """P10 hook (absent in the reference — engine addition per north_rule):
+    ``robots_rules(host, path_prefix, allowed)``. Default allow-all preserves
+    reference ordering parity. Longest-matching-prefix rule wins."""
+    if robots_rules is None:
+        return frontier
+    rules = robots_rules.select("host", "path_prefix", "allowed")
+    joined = frontier.join(F.broadcast(rules), ["host"], "left")
+    matched = joined.withColumn(
+        "__m",
+        F.col("path_prefix").isNotNull()
+        & F.col("path").startswith(F.col("path_prefix")),
+    )
+    w = Window.partitionBy("url", "ts14").orderBy(
+        F.when(F.col("__m"), F.length("path_prefix")).otherwise(F.lit(-1)).desc()
+    )
+    best = (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn(
+            "robots_allowed",
+            F.when(F.col("__m"), F.col("allowed")).otherwise(F.lit(True)),
+        )
+        .drop("__m", "__rn", "path_prefix", "allowed")
+    )
+    return best.filter(F.col("robots_allowed")).drop("robots_allowed")

@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for the crawl/analytics workload.
+
+Scale posture: AQE on (runtime re-plan + skew-join splitting), shuffle
+partitions sized for the local harness but overridable via env for cluster
+runs, Arrow enabled for the pandas-UDF extraction path with a bounded batch
+size because html payloads are MB-scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "chrono-scraper-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the harness).
+    On a real cluster, pass ``master=None`` with ``spark-submit`` providing
+    the master and let dynamic allocation size the executor fleet.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("CSS_SHUFFLE_PARTITIONS", cpus)
+    )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime shuffle-partition coalescing and
+        # skew-join splitting — required at 100 TB where host-key skew is
+        # guaranteed (one mega-host >= 30% of the frontier).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow path for pandas UDFs (extraction, embedding ops). Batches
+        # are capped because html payloads can be MB-scale: 256 rows/batch
+        # keeps Arrow buffers ~100s of MB at worst, not GBs.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # Broadcast threshold: dimension tables (hosts, budgets, seeds,
+        # robots rules) are small; 64 MB keeps them map-side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet: pushdown + pruning are the whole point of the columnar
+        # layout (reference: analytics/partitioning_strategy.md:12-29).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("CSS_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
