@@ -222,8 +222,14 @@ def generate_pages(
         F.concat(F.lit("/articles/entry-"), F.col("id").cast("string")),
     ).withColumn("url", F.concat(F.lit("https://"), F.col("host"), F.col("path")))
 
-    # 1-3 captures per url
-    df = df.withColumn("n_cap", F.explode(F.sequence(F.lit(0), F.pmod(F.col("id"), F.lit(captures_per_url)))))
+    # 1-3 captures per url (capture count decorrelated from host assignment
+    # so the mega-host keeps its ~1/3 row share)
+    df = df.withColumn(
+        "n_cap",
+        F.explode(F.sequence(
+            F.lit(0), F.pmod(F.xxhash64("id", F.lit(13)), F.lit(captures_per_url))
+        )),
+    )
     df = df.withColumn(
         "warc_ts",
         F.expr(

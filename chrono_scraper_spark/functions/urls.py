@@ -42,8 +42,10 @@ def url_depth(url: Column) -> Column:
 
 
 def url_extension(url: Column) -> Column:
-    """Trailing '.ext' of the path (lower-cased), '' when none."""
-    p = url_path_noquery(url)
+    """Trailing '.ext' of the path's last segment (lower-cased), '' when none.
+    Derived from the PATH component so dotted hostnames never leak in
+    (reference: wayback_machine.py:463-470 splits the parsed path)."""
+    p = F.lower(url_path(url))
     last = F.element_at(F.split(p, "/"), -1)
     return F.when(
         last.contains("."), F.concat(F.lit("."), F.element_at(F.split(last, r"\."), -1))

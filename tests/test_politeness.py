@@ -1,0 +1,90 @@
+"""Politeness scheduler: budgets, global order determinism, skew salting,
+robots hook."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chrono_scraper_spark.functions.urls import ts14, with_url_parts
+from chrono_scraper_spark.operators.filters import with_filter_decision
+from chrono_scraper_spark.operators import politeness as P
+
+
+def _frontier(spark, pages):
+    df = with_url_parts(pages.drop("host", "path"))
+    df = df.withColumn("ts14", ts14(F.col("warc_ts")))
+    return with_filter_decision(df)
+
+
+def test_budget_mapping():
+    assert P.host_budgets(0, rps=1.0, burst=5, round_seconds=60) == 65
+    assert P.host_budgets(3, rps=1.0, burst=5, round_seconds=60) == 60
+    assert P.host_budgets(0, rps=0.25, burst=2, round_seconds=4) == 3
+
+
+def test_schedule_round_budget_respected(spark, pages):
+    fr = _frontier(spark, pages)
+    out = P.schedule_round(fr, round_idx=0, rps=0.05, burst=1, round_seconds=60)
+    per_host = (out.filter("sched_status = 'scheduled'")
+                .groupBy("host").count().collect())
+    assert per_host and all(r["count"] <= 4 for r in per_host)
+    # scheduled rows are exactly the top-ranked per host
+    bad = out.filter(
+        (F.col("sched_status") == "deferred") & (F.col("host_rank") <= 4)
+    ).count()
+    assert bad == 0
+
+
+def test_schedule_round_overrides(spark, pages):
+    fr = _frontier(spark, pages)
+    ov = spark.createDataFrame([("mega.example.com", 1)], "host string, budget int")
+    out = P.schedule_round(fr, round_idx=1, rps=10.0, round_seconds=60,
+                           budget_overrides=ov)
+    mega = out.filter("host = 'mega.example.com' AND sched_status='scheduled'")
+    assert mega.count() == 1
+
+
+def test_global_order_deterministic_and_dense(spark, pages):
+    fr = _frontier(spark, pages)
+    o1 = P.with_global_order(fr).select("seq", "url", "ts14").collect()
+    o2 = P.with_global_order(fr.repartition(7)).select("seq", "url", "ts14").collect()
+    m1 = {(r["url"], r["ts14"]): r["seq"] for r in o1}
+    m2 = {(r["url"], r["ts14"]): r["seq"] for r in o2}
+    assert m1 == m2  # partitioning-invariant
+    seqs = sorted(m1.values())
+    assert seqs == list(range(1, len(seqs) + 1))  # dense 1..N
+    # order law: seq ascending ⇒ (priority desc, url, ts14) lexicographic
+    rows = P.with_global_order(fr).select(
+        "seq", F.col("decision.priority_score").alias("p"), "url", "ts14"
+    ).orderBy("seq").collect()
+    keyed = [(-r["p"], r["url"], r["ts14"]) for r in rows]
+    assert keyed == sorted(keyed)
+
+
+def test_salted_host_partitioning_splits_mega_host(spark, pages):
+    fr = _frontier(spark, pages)
+    out = P.with_salted_host_partition(fr, target_rows_per_partition=10)
+    mega_salts = (out.filter("host = 'mega.example.com'")
+                  .select("host_salt").distinct().count())
+    small = out.filter("host != 'mega.example.com'").groupBy("host").agg(
+        F.countDistinct("host_salt").alias("k")).agg(F.max("k")).first()[0]
+    assert mega_salts > 1
+    assert small is not None
+    # row count preserved
+    assert out.count() == fr.count()
+
+
+def test_robots_filter_hook(spark, pages):
+    fr = _frontier(spark, pages)
+    n_all = fr.count()
+    assert P.robots_filter(fr, None).count() == n_all  # allow-all default
+    rules = spark.createDataFrame(
+        [("mega.example.com", "/", False),
+         ("mega.example.com", "/articles/entry-3", True)],
+        "host string, path_prefix string, allowed boolean")
+    out = P.robots_filter(fr, rules)
+    mega = out.filter("host='mega.example.com'").select("path").collect()
+    assert mega and all(r["path"].startswith("/articles/entry-3") for r in mega)
+    # non-matching hosts untouched
+    assert out.filter("host != 'mega.example.com'").count() == \
+        fr.filter("host != 'mega.example.com'").count()
