@@ -1,0 +1,309 @@
+"""The crawl pipeline: deterministic round-based frontier loop (SURVEY §7).
+
+One round = discover → filter/annotate → dedup vs url_seen → politeness
+schedule → extract (corpus lookup + Arrow UDF) → commit → lineage snapshot.
+This replaces the reference's Celery task graph
+(firecrawl_scraping.py:82-893) with set operations between snapshot tables;
+crawl order and the final URL-seen set are deterministic functions of
+(seed list, politeness budget) — the round contract.
+
+Crash safety / resume: every per-round table write is an idempotent MERGE on
+the round's natural key, and the ``crawl_rounds`` lineage row is committed
+LAST. A crash mid-round leaves ``crawl_rounds`` without the round's row, so
+``resume()`` re-runs the round and every MERGE converges to the same state
+(reference analog: CDXResumeState + ON CONFLICT DO NOTHING,
+scraping.py:180-277, cdx_deduplication_service.py:229-238).
+
+Scale: the only driver-side data are per-round counter dicts and the per-
+partition lineage counts (one long per partition). Extraction runs over the
+host-salted partitioning (P8) so a mega-host never pins one task; the seen-
+set anti-join goes through the Bloom pre-filter once the seen set is big
+enough to matter.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config as C
+from ..operators.dedup import (
+    anti_join_seen,
+    bloom_prefilter_anti_join,
+    collapse_digest,
+    in_batch_dedup,
+)
+from ..operators.extraction import (
+    with_extraction,
+    with_quality_score,
+)
+from ..operators.filters import with_filter_decision
+from ..operators.index import build_inverted_terms, build_page_index
+from ..operators.politeness import (
+    robots_filter,
+    schedule_round,
+    with_global_order,
+    with_salted_host_partition,
+)
+from ..sources.cdx import discover, read_pages
+from .catalog import SnapshotCatalog
+
+SEEN_SCHEMA = ("url_canon string, ts14 string, url string, status string, "
+               "first_seen_round int")
+FRONTIER_KEY = ["url_canon", "ts14"]
+# Use the exact anti-join below this seen-set size; Bloom pre-filter above.
+BLOOM_THRESHOLD = 100_000
+
+
+class CrawlJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: SnapshotCatalog,
+        pages_path: str,
+        seeds: DataFrame,
+        *,
+        rps: float = C.DEFAULT_HOST_RPS,
+        burst: int = C.DEFAULT_HOST_BURST,
+        round_seconds: float = C.DEFAULT_ROUND_SECONDS,
+        include_attachments: bool = True,
+        robots_rules: DataFrame | None = None,
+        budget_overrides: DataFrame | None = None,
+        salt_target_rows: int = 50_000,
+    ):
+        self.spark = spark
+        self.cat = catalog
+        self.pages_path = pages_path
+        self.seeds = seeds
+        self.rps = rps
+        self.burst = burst
+        self.round_seconds = round_seconds
+        self.include_attachments = include_attachments
+        self.robots_rules = robots_rules
+        self.budget_overrides = budget_overrides
+        self.salt_target_rows = salt_target_rows
+
+    # ------------------------------------------------------------------ state
+    def completed_rounds(self) -> list[int]:
+        if not self.cat.exists("crawl_rounds"):
+            return []
+        return [r["round_idx"] for r in
+                self.cat.read("crawl_rounds").select("round_idx").collect()]
+
+    def next_round(self) -> int:
+        done = self.completed_rounds()
+        return (max(done) + 1) if done else 0
+
+    def _prev_versions(self, round_idx: int) -> dict:
+        """Table versions committed by round ``round_idx - 1`` (from its
+        lineage row). All round inputs are pinned to these versions so a
+        crashed round replays against exactly the state it first saw — a
+        torn commit can never leak into the replay (Iceberg analog:
+        snapshot-id-pinned reads off the last crawl_rounds entry)."""
+        if round_idx == 0 or not self.cat.exists("crawl_rounds"):
+            return {}
+        rows = (self.cat.read("crawl_rounds")
+                .filter(F.col("round_idx") == round_idx - 1)
+                .select("table_versions").collect())
+        if not rows:
+            raise RuntimeError(
+                f"cannot run round {round_idx}: round {round_idx - 1} has no "
+                f"lineage row (run rounds in order)")
+        return json.loads(rows[0]["table_versions"])
+
+    def _read_pinned(self, table: str, prev: dict, schema: str) -> DataFrame:
+        version = prev.get(table)
+        if version is None:
+            return self.spark.createDataFrame([], schema)
+        return self.cat.read(table, version=version)
+
+    def _seen_digests(self, prev: dict) -> DataFrame:
+        """D3: digests of already-completed pages (drives the
+        already_processed filter branch), pinned to the previous round."""
+        log = self._read_pinned(
+            "fetch_log", prev,
+            "digest string, fetch_status string")
+        return (log.filter(F.col("fetch_status") == C.STATUS_COMPLETED)
+                .select("digest").distinct())
+
+    # -------------------------------------------------------------- discovery
+    def _discover_round0(self) -> tuple[DataFrame, dict]:
+        pages = read_pages(self.spark, self.pages_path)
+        cands = discover(pages, self.seeds,
+                         allowed_mime=None if self.include_attachments
+                         else ["text/html"])
+        n_discovered = cands.count()
+        # D1: one capture per content digest, earliest wins
+        cands = collapse_digest(cands)
+        # D2/D8: in-batch (url, ts) dedup
+        cands = in_batch_dedup(cands, FRONTIER_KEY)
+        n_unique = cands.count()
+        return cands, {"discovered": n_discovered,
+                       "digest_collapsed_or_dup": n_discovered - n_unique}
+
+    # ------------------------------------------------------------------ round
+    def run_round(self, round_idx: int) -> dict:
+        counters: dict = {"round_idx": round_idx}
+        prev = self._prev_versions(round_idx)
+
+        if round_idx == 0:
+            cands, disc_counters = self._discover_round0()
+            counters.update(disc_counters)
+        else:
+            if prev.get("frontier") is None:
+                return {**counters, "empty": True}
+            # deferred rows re-enter the chain from the top: the decision is
+            # recomputed because the seen-digest set may have grown (a digest
+            # completed via another URL makes a deferred row already_processed)
+            cands = self._read_pinned("frontier", prev, "url string").drop(
+                "decision")
+            counters["discovered"] = 0
+
+        # dedup vs the committed URL-seen set (D4): Bloom pre-filter above
+        # threshold, plain anti-join below
+        seen = self._read_pinned("url_seen", prev, SEEN_SCHEMA)
+        seen_n = seen.count()
+        if seen_n > BLOOM_THRESHOLD:
+            cands = bloom_prefilter_anti_join(cands, seen, FRONTIER_KEY,
+                                              expected_items=seen_n)
+        elif seen_n > 0:
+            cands = anti_join_seen(cands, seen, FRONTIER_KEY)
+
+        # robots hook (north_rule; allow-all default keeps reference parity)
+        cands = robots_filter(cands, self.robots_rules)
+
+        # filter-decision chain (F1-F7), annotating not dropping
+        decided = with_filter_decision(
+            cands, seen_digests=self._seen_digests(prev),
+            include_attachments=self.include_attachments,
+        ).cache()
+
+        filtered = decided.filter(F.col("decision.status") != C.STATUS_PENDING)
+        pending = decided.filter(F.col("decision.status") == C.STATUS_PENDING)
+
+        # record filtered rows once (reference keeps FILTERED_* ScrapePages)
+        self.cat.merge_not_matched(
+            "filtered_log",
+            filtered.select(
+                "url", "url_canon", "ts14", "host", "digest", "length",
+                F.col("decision.status").alias("status"),
+                F.col("decision.reason").alias("filter_reason"),
+                F.col("decision.matched_pattern").alias("matched_pattern"),
+                F.col("decision.confidence").alias("filter_confidence"),
+                F.lit(round_idx).alias("round_idx"),
+            ),
+            FRONTIER_KEY, properties={"round_idx": round_idx},
+        )
+
+        # politeness budget split (P4/W5)
+        sched = schedule_round(
+            pending, round_idx=round_idx, rps=self.rps, burst=self.burst,
+            round_seconds=self.round_seconds,
+            budget_overrides=self.budget_overrides,
+        ).cache()
+        scheduled = sched.filter(F.col("sched_status") == "scheduled")
+        deferred = sched.filter(F.col("sched_status") == "deferred")
+
+        # deterministic global crawl order within the round (P1)
+        scheduled = with_global_order(scheduled)
+
+        # fetch+extract over host-salted partitions (P8 skew splitting)
+        work = with_salted_host_partition(
+            scheduled, target_rows_per_partition=self.salt_target_rows)
+        extracted = with_extraction(work)
+        extracted = with_quality_score(
+            extracted, "extracted.text").cache()
+
+        # per-partition lineage: rows extracted per (host-salted) partition
+        part_counts = (
+            extracted.groupBy(F.spark_partition_id().alias("pid"))
+            .count().orderBy("pid").collect()
+        )
+
+        counters["scheduled"] = scheduled.count()
+        counters["deferred"] = deferred.count()
+        counters["filtered"] = filtered.count()
+        counters["completed"] = extracted.filter(
+            F.col("fetch_status") == C.STATUS_COMPLETED).count()
+        counters["failed"] = extracted.filter(
+            F.col("fetch_status") == C.STATUS_FAILED).count()
+
+        # ---- commits (all idempotent MERGEs; lineage row last) ----
+        fetch_rows = extracted.select(
+            F.lit(round_idx).alias("round_idx"), "seq", "url", "url_canon",
+            "ts14", "host", "digest", "length",
+            F.col("decision.priority_score").alias("priority_score"),
+            F.col("decision.reason").alias("filter_reason"),
+            "fetch_status",
+            F.col("extracted.word_count").alias("word_count"),
+            F.col("extracted.method").alias("extract_method"),
+        )
+        self.cat.merge_not_matched("fetch_log", fetch_rows, FRONTIER_KEY,
+                                   properties={"round_idx": round_idx})
+
+        seen_rows = extracted.select(
+            "url_canon", "ts14", "url",
+            F.col("fetch_status").alias("status"),
+            F.lit(round_idx).alias("first_seen_round"),
+        )
+        self.cat.merge_not_matched("url_seen", seen_rows, FRONTIER_KEY,
+                                   properties={"round_idx": round_idx})
+
+        completed = extracted.filter(F.col("fetch_status") == C.STATUS_COMPLETED)
+        pages_out = completed.select(
+            "url", "url_canon", "ts14", "host", "warc_ts", "lang", "digest",
+            F.col("extracted.text").alias("extracted_text"),
+            F.col("extracted.title").alias("title"),
+            F.col("extracted.word_count").alias("word_count"),
+            "quality_score",
+            F.lit(round_idx).alias("round_idx"), "seq",
+        )
+        self.cat.merge_not_matched("pages_out", pages_out, FRONTIER_KEY,
+                                   properties={"round_idx": round_idx})
+
+        page_index = build_page_index(completed)
+        self.cat.merge_not_matched("page_index", page_index, FRONTIER_KEY,
+                                   properties={"round_idx": round_idx})
+        inv = build_inverted_terms(page_index)
+        self.cat.merge_not_matched("inverted_terms", inv,
+                                   ["term", "url_canon", "ts14"],
+                                   properties={"round_idx": round_idx})
+
+        # the open frontier = deferred rows (next round's candidates)
+        self.cat.commit(
+            "frontier", deferred.drop("host_rank", "sched_status"),
+            operation="overwrite", properties={"round_idx": round_idx})
+
+        # lineage row LAST — this is the round's commit point
+        lineage = self.spark.createDataFrame(
+            [(round_idx, json.dumps(counters),
+              json.dumps([{"pid": r["pid"], "rows": r["count"]}
+                          for r in part_counts]),
+              json.dumps({t: self.cat.current_version(t)
+                          for t in ("fetch_log", "url_seen", "pages_out",
+                                    "page_index", "inverted_terms",
+                                    "frontier", "filtered_log")}))],
+            "round_idx int, counters string, partition_lineage string, "
+            "table_versions string",
+        )
+        self.cat.append("crawl_rounds", lineage,
+                        properties={"round_idx": round_idx})
+        decided.unpersist()
+        sched.unpersist()
+        extracted.unpersist()
+        return counters
+
+    # ------------------------------------------------------------------ runs
+    def run(self, max_rounds: int = 100) -> list[dict]:
+        """Run rounds from wherever the catalog left off until the frontier
+        drains (or ``max_rounds``)."""
+        out = []
+        start = self.next_round()
+        for round_idx in range(start, start + max_rounds):
+            counters = self.run_round(round_idx)
+            out.append(counters)
+            if counters.get("empty") or counters.get("deferred", 0) == 0:
+                break
+        return out

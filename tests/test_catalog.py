@@ -1,0 +1,56 @@
+"""Snapshot catalog: commits, time travel, merge idempotency, crash safety."""
+
+from __future__ import annotations
+
+import os
+
+from chrono_scraper_spark.plans.catalog import SnapshotCatalog
+
+
+def test_commit_read_timetravel(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    df2 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    m1 = cat.commit("t", df1, operation="append")
+    m2 = cat.commit("t", df2, operation="append")
+    assert cat.read("t").count() == 2
+    assert cat.read("t", version=m1["version"]).count() == 1  # time travel
+    assert [s["version"] for s in cat.snapshots("t")] == [1, 2]
+    assert m2["parent_version"] == m1["version"]
+
+
+def test_merge_not_matched_idempotent(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    cat.merge_not_matched("t", rows, ["id"])
+    cat.merge_not_matched("t", rows, ["id"])  # replay
+    more = spark.createDataFrame([(2, "DIFFERENT"), (3, "c")], "id int, v string")
+    cat.merge_not_matched("t", more, ["id"])
+    got = {r["id"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # existing key untouched
+
+
+def test_append_and_read_or_empty(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    assert cat.read_or_empty("missing", "id int").count() == 0
+    cat.append("t", spark.createDataFrame([(1,)], "id int"))
+    cat.append("t", spark.createDataFrame([(2,)], "id int"))
+    assert cat.read("t").count() == 2
+
+
+def test_crash_before_pointer_swap_keeps_previous(spark, tmp_path):
+    """Simulate a crash after data+manifest write but before the _current
+    swap: the previous snapshot must stay current."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.commit("t", spark.createDataFrame([(1,)], "id int"), operation="a")
+    # fake a torn commit: v2 data dir exists, manifest exists, pointer not moved
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    df.write.mode("overwrite").parquet(cat._data_dir("t", 2))
+    os.makedirs(os.path.dirname(cat._manifest_path("t", 2)), exist_ok=True)
+    with open(cat._manifest_path("t", 2), "w") as f:
+        f.write('{"table":"t","version":2}')
+    assert cat.current_version("t") == 1
+    assert cat.read("t").count() == 1
+    # the next real commit supersedes the torn one
+    cat.commit("t", df, operation="a")
+    assert cat.read("t").count() == 2

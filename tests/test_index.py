@@ -1,0 +1,52 @@
+"""Inverted-term index + ranked full-text search."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chrono_scraper_spark.operators.index import (
+    build_inverted_terms,
+    search,
+    tokenize,
+    tokenize_query,
+)
+
+
+def _page_index(spark):
+    rows = [
+        ("u1", "t1", "Alpha Report", "alpha beta gamma alpha", 4, 0.9),
+        ("u2", "t2", "Beta Notes", "beta beta delta", 3, 0.5),
+        ("u3", "t3", "Unrelated", "epsilon zeta", 2, 0.99),
+    ]
+    return spark.createDataFrame(
+        rows, "url_canon string, ts14 string, title string, content string, "
+              "word_count int, quality_score double")
+
+
+def test_tokenize_matches_query_tokenizer(spark):
+    df = spark.createDataFrame([("Hello, World! 42 café",)], "t string")
+    spark_tokens = df.select(tokenize(F.col("t")).alias("tok")).first()["tok"]
+    assert spark_tokens == ["hello", "world", "42", "café"]
+    assert tokenize_query("Hello, World! 42")[:3] == ["hello", "world", "42"]
+
+
+def test_inverted_terms_tf(spark):
+    pi = _page_index(spark)
+    inv = build_inverted_terms(pi)
+    tf = {(r["term"], r["url_canon"]): r["tf"] for r in inv.collect()}
+    assert tf[("alpha", "u1")] == 3  # title 1 + content 2
+    assert tf[("beta", "u2")] == 3   # title 1 + content 2
+
+
+def test_search_ranking(spark):
+    pi = _page_index(spark)
+    inv = build_inverted_terms(pi)
+    hits = search(pi, inv, "alpha beta", limit=10).collect()
+    assert [h["url_canon"] for h in hits] == ["u1", "u2"]
+    assert hits[0]["matched_terms"] == 2 and hits[1]["matched_terms"] == 1
+
+
+def test_search_empty_query(spark):
+    pi = _page_index(spark)
+    inv = build_inverted_terms(pi)
+    assert search(pi, inv, "  ").count() == 0
