@@ -1,0 +1,245 @@
+"""Document deduplication family for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash (64-bit, pure JVM bit aggregation), n-gram Jaccard verification, and
+embedding-cosine near-dup. Engine additions beyond the reference's
+digest-level dedup (SURVEY §2.3) — the ops a 100 TB corpus needs before
+training.
+
+Scale design:
+- Exact dedup is one hash aggregation on the fingerprint (map-side partial).
+- MinHash-LSH avoids the O(n²) pair space: only documents sharing a band
+  bucket are joined. Bucket join keys are (band_idx, band_hash) — the
+  shuffle is proportional to candidate pairs, not n². Mega-buckets (boiler-
+  plate text) are handled by AQE skew-join splitting.
+- SimHash is 64 aggregate expressions over exploded tokens (no UDF); pair
+  candidates come from 16-bit chunk buckets (pigeonhole: hamming ≤ 3 ⇒ some
+  chunk equal).
+- Embedding near-dup mirrors MinHash: random-hyperplane LSH buckets, then
+  exact cosine on candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textops import fingerprint, minhash_signature, shingles, tokens
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup over the normalized-text fingerprint.
+    Output: one row per document with its duplicate group, group size, and
+    ``is_canonical`` (the min id of the group survives)."""
+    fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min(id_col).alias("canonical_id"),
+    )
+    return (fp.join(groups, "fp")
+            .select(id_col, F.col("fp").alias("fingerprint"), "group_size",
+                    "canonical_id",
+                    (F.col(id_col) == F.col("canonical_id")).alias("is_canonical")))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_bands(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3, n_hashes: int = 12,
+                  bands: int = 4) -> DataFrame:
+    """(id, band_idx, band_hash): md5 over each band's minhash slice."""
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sig = docs.select(
+        F.col(id_col),
+        minhash_signature(tokens(F.col(text_col)), k, n_hashes).alias("sig"),
+    ).filter(F.size("sig") > 0)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx")
+    banded = sig.select(F.col(id_col), "sig", band_idx)
+    return banded.select(
+        id_col, "band_idx",
+        F.md5(F.concat_ws(
+            "|", F.slice(F.col("sig"),
+                         F.col("band_idx") * rows_per_band + 1, rows_per_band)
+        )).alias("band_hash"),
+    )
+
+
+def lsh_candidate_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Self-join band buckets → distinct candidate (a, b) pairs, a < b.
+    The join key (band_idx, band_hash) keeps the shuffle proportional to
+    bucket sizes; AQE splits skewed buckets."""
+    left = banded.select(F.col(id_col).alias("a"), "band_idx", "band_hash")
+    right = banded.select(F.col(id_col).alias("b"), "band_idx", "band_hash")
+    return (left.join(right, ["band_idx", "band_hash"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """Exact word-k-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over
+    distinct shingle sets. Two broadcast-or-shuffle joins against the
+    (id → shingle set) projection; set ops are array expressions."""
+    sh = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(F.col(text_col)), k)).alias("sh"),
+    )
+    j = (pairs
+         .join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a")
+         .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "a", "b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 3,
+                            n_hashes: int = 12, bands: int = 4,
+                            threshold: float = 0.7) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → band buckets → candidate
+    pairs → exact Jaccard verify ≥ threshold. False positives from banding
+    are killed by the verify step; recall is the standard LSH S-curve
+    1-(1-s^r)^b."""
+    banded = minhash_bands(docs, id_col, text_col, k, n_hashes, bands)
+    cands = lsh_candidate_pairs(banded, id_col)
+    scored = ngram_jaccard(cands, docs, id_col, text_col, k)
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash (64-bit, no UDF)
+# --------------------------------------------------------------------------
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, computed entirely JVM-side:
+    explode tokens → xxhash64(token) → per-bit ±1 sums → sign vector →
+    reassembled long. One shuffle (the groupBy id)."""
+    tok = docs.select(F.col(id_col),
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else \
+            F.when(bit == 1, F.lit(-(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def _popcount64(x: Column) -> Column:
+    """Hamming weight via bit_count (Spark built-in)."""
+    return F.bit_count(x)
+
+
+def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+    Candidates from 16-bit chunk equality (pigeonhole: ≤3 differing bits ⇒
+    at least one of 4 chunks identical), then exact hamming verify."""
+    sim = simhash64(docs, id_col, text_col)
+    chunks = sim.select(
+        F.col(id_col), "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk_idx"),
+                     F.shiftrightunsigned("simhash", 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("chunk"))
+            for i in range(4)
+        ])).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_idx", "c.chunk")
+    left = chunks.select(F.col(id_col).alias("a"),
+                         F.col("simhash").alias("sim_a"), "chunk_idx", "chunk")
+    right = chunks.select(F.col(id_col).alias("b"),
+                          F.col("simhash").alias("sim_b"), "chunk_idx", "chunk")
+    cands = (left.join(right, ["chunk_idx", "chunk"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", "sim_a", "sim_b").distinct())
+    hamming = _popcount64(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (cands.withColumn("hamming", hamming)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def embedding_near_duplicates(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, n_planes: int = 0, seed: int = 7,
+) -> DataFrame:
+    """Cosine-similarity near-dup pairs over an embedding column.
+
+    ``n_planes == 0`` → exact all-pairs (the verification baseline; O(n²)
+    — only for small n). ``n_planes > 0`` → random-hyperplane LSH: documents
+    must agree on all plane signs to become candidates, then exact cosine
+    verifies. Planes are deterministic (xxhash64-derived), so results are
+    reproducible without any RNG state.
+    """
+    vecs = emb.select(F.col(id_col).alias("__id"),
+                      F.col(vec_col).cast("array<double>").alias("__v"))
+    if n_planes > 0:
+        dim = F.size("__v")
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("__v"),
+                        F.transform(
+                            F.sequence(F.lit(1), dim),
+                            lambda d: (F.pmod(
+                                F.xxhash64(p * F.lit(100003) + d, F.lit(seed)),
+                                F.lit(2001)) - 1000).cast("double") / 1000.0,
+                        ),
+                        lambda x, r: x * r,
+                    ),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ) >= 0, F.lit("1")).otherwise(F.lit("0")),
+        )
+        vecs = vecs.withColumn("__bucket", F.concat_ws("", sig))
+        left = vecs.select(F.col("__id").alias("a"),
+                           F.col("__v").alias("va"), "__bucket")
+        right = vecs.select(F.col("__id").alias("b"),
+                            F.col("__v").alias("vb"), "__bucket")
+        pairs = left.join(right, "__bucket").filter(F.col("a") < F.col("b"))
+    else:
+        left = vecs.select(F.col("__id").alias("a"), F.col("__v").alias("va"))
+        right = vecs.select(F.col("__id").alias("b"), F.col("__v").alias("vb"))
+        pairs = left.crossJoin(right).filter(F.col("a") < F.col("b"))
+    return (pairs.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", F.round("cosine", 6).alias("cosine")))

@@ -1,0 +1,55 @@
+"""Multimodal plumbing: schema, batching, payload-aware partitioning,
+frame sampling; decode stub contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from chrono_scraper_spark.operators import multimodal as MM
+
+
+def test_synth_media_schema(spark):
+    df = MM.synth_media(spark, 30)
+    assert df.count() == 30
+    assert dict(df.dtypes)["payload"] == "binary"
+    assert {r["kind"] for r in df.select("kind").distinct().collect()} == \
+        {"image", "audio", "video"}
+
+
+def test_extract_features_fake_kernel(spark):
+    media = MM.synth_media(spark, 30)
+    feats = MM.extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    one = {r["media_id"]: r for r in rows}[0]
+    assert one["n_bytes"] == len("PAYLOAD:") + 64  # sha2-256 hex
+    assert 0 < one["byte_entropy"] < math.log2(256)
+    assert one["header_hex"] == "5041594c"  # 'PAYL'
+
+
+def test_extract_features_real_kernel_stubbed(spark):
+    media = MM.synth_media(spark, 4)
+    with pytest.raises(Exception) as ei:
+        MM.extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or \
+        isinstance(ei.value, NotImplementedError)
+
+
+def test_repartition_for_payload(spark):
+    media = MM.synth_media(spark, 64)
+    out = MM.repartition_for_payload(media, target_bytes=500)
+    assert out.rdd.getNumPartitions() > 1
+    assert out.count() == 64
+
+
+def test_sample_frames(spark):
+    media = MM.synth_media(spark, 30)
+    frames = MM.sample_frames(media, every_n=5)
+    per = frames.groupBy("media_id").count()
+    joined = per.join(media.select("media_id", "meta.n_frames"), "media_id")
+    bad = joined.filter(
+        F.col("count") != F.floor((F.col("n_frames") - 1) / 5) + 1).count()
+    assert bad == 0
