@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship crawl query: the oracle-parity CDX frontier at
+sf0.001 through the full discovery chain (server-side filters → decision
+chain → politeness round-0 budget → deterministic global crawl order).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data ops; definitions live in
+``chrono_scraper_spark.entry_queries`` (Spark fns) with independent DuckDB
+SQL oracles.
 """
 
 from __future__ import annotations
@@ -15,24 +18,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the scheduled round-0 crawl
+    frontier in deterministic crawl order."""
+    from chrono_scraper_spark.entry_queries import _scheduled
+    from chrono_scraper_spark.operators.politeness import with_global_order
+    from pyspark.sql import functions as F
+
+    sched = _scheduled(spark, "/root/testdata/sf0.001").filter(
+        F.col("sched_status") == "scheduled")
+    return with_global_order(sched).select(
+        "seq", "url", "ts14", "host",
+        F.col("decision.priority_score").alias("priority_score"),
+        F.col("decision.reason").alias("reason"),
+    ).orderBy("seq")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from chrono_scraper_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from chrono_scraper_spark.entry_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,831 @@
+"""Driver-contract query registry: every operator as a (Spark fn, DuckDB
+oracle SQL) pair.
+
+``__spark_entry__.py`` exposes these through ``queries()`` / ``oracle_sql()``.
+Each Spark callable runs the ENGINE operators (chrono_scraper_spark.*) over
+the driver's parquet tables at ``sf_dir``; each oracle is independent ANSI
+SQL for DuckDB over the same tables (views pre-registered by the driver).
+Column names/types are aligned pairwise — the driver hash-compares values
+after sorting columns by name.
+
+The crawl-family queries run over the *oracle-parity CDX corpus*
+(corpus.PAGES_CTE_*): a deterministic frontier derived from ``documents`` by
+an identical SQL template on both engines, so every crawl operator
+(filters, dedup, politeness, ordering, analytics) is value-checkable
+end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chrono_scraper_spark import config as C
+from chrono_scraper_spark.corpus import PAGES_CTE_DUCK, cdx_pages_view
+from chrono_scraper_spark.functions import oracle_gen as OG
+from chrono_scraper_spark.functions import textops as T
+from chrono_scraper_spark.functions.urls import (
+    url_depth,
+    url_extension,
+    url_host,
+    url_path,
+)
+from chrono_scraper_spark.operators import analytics as A
+from chrono_scraper_spark.operators import ann as ANN
+from chrono_scraper_spark.operators import intervals as IV
+from chrono_scraper_spark.operators import text_dedup as TD
+from chrono_scraper_spark.operators.dedup import (
+    anti_join_seen,
+    bloom_prefilter_anti_join,
+    categorize_against_registry,
+    collapse_digest,
+)
+from chrono_scraper_spark.operators.filters import filter_stats, with_filter_decision
+from chrono_scraper_spark.operators.index import build_inverted_terms, tokenize
+from chrono_scraper_spark.operators.politeness import schedule_round, with_global_order
+
+# --------------------------------------------------------------------------
+# shared preludes
+# --------------------------------------------------------------------------
+# DuckDB prelude: the CDX frontier + the server-side CDX filter (S1)
+_PRELUDE = (f"WITH pages_cdx AS ({PAGES_CTE_DUCK}), "
+            f"cand AS (SELECT * FROM pages_cdx WHERE status = 200 "
+            f"AND mime IN ('text/html','application/pdf'))")
+
+_DCOLS = OG.decision_columns_sql()
+_DECIDED = (_PRELUDE + f""",
+decided AS (
+  SELECT url, ts14, host, length, digest,
+    {_DCOLS['status']} AS status,
+    {_DCOLS['reason']} AS reason,
+    {_DCOLS['confidence']} AS confidence,
+    {_DCOLS['matched_pattern']} AS matched_pattern,
+    {_DCOLS['priority_score']} AS priority_score
+  FROM cand
+)""")
+
+_BUDGET_RPS, _BUDGET_BURST, _BUDGET_SECONDS = 0.1, 2, 60.0
+_BUDGET0 = int(_BUDGET_RPS * _BUDGET_SECONDS) + _BUDGET_BURST  # round-0: 8
+
+_SCHEDULED = (_DECIDED + f""",
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY priority_score DESC, url ASC, ts14 ASC) AS host_rank
+  FROM decided WHERE status = 'pending'
+),
+scheduled AS (
+  SELECT *, CASE WHEN host_rank <= {_BUDGET0} THEN 'scheduled'
+                 ELSE 'deferred' END AS sched_status
+  FROM ranked
+)""")
+
+
+def _cand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = cdx_pages_view(spark, sf_dir)
+    return df.filter((F.col("status") == 200)
+                     & F.col("mime").isin("text/html", "application/pdf"))
+
+
+def _decided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_filter_decision(_cand(spark, sf_dir))
+
+
+def _scheduled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pending = _decided(spark, sf_dir).filter(
+        F.col("decision.status") == C.STATUS_PENDING)
+    return schedule_round(pending, round_idx=0, rps=_BUDGET_RPS,
+                          burst=_BUDGET_BURST, round_seconds=_BUDGET_SECONDS)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# crawl family
+# --------------------------------------------------------------------------
+
+def q_filter_decisions(spark, sf_dir):
+    return _decided(spark, sf_dir).select(
+        "url", "ts14",
+        F.col("decision.status").alias("status"),
+        F.col("decision.reason").alias("reason"),
+        F.col("decision.confidence").alias("confidence"),
+        F.col("decision.matched_pattern").alias("matched_pattern"),
+        F.col("decision.priority_score").alias("priority_score"),
+    )
+
+
+SQL_FILTER_DECISIONS = _DECIDED + """
+SELECT url, ts14, status, reason, confidence, matched_pattern, priority_score
+FROM decided"""
+
+
+def q_filter_stats(spark, sf_dir):
+    return filter_stats(_decided(spark, sf_dir))
+
+
+SQL_FILTER_STATS = _DECIDED + """
+SELECT status, reason, count(*) AS n FROM decided GROUP BY 1, 2"""
+
+
+def q_collapse_digest(spark, sf_dir):
+    return collapse_digest(_cand(spark, sf_dir)).select("url", "ts14", "digest")
+
+
+SQL_COLLAPSE_DIGEST = _PRELUDE + """
+SELECT url, ts14, digest FROM cand
+QUALIFY row_number() OVER (PARTITION BY digest
+                           ORDER BY warc_ts ASC, url ASC) = 1"""
+
+
+def _seen(spark, sf_dir):
+    return _cand(spark, sf_dir).filter(F.col("doc_id") % 7 == 0) \
+        .select("url", "ts14")
+
+
+SQL_SEEN_ANTI_JOIN = _PRELUDE + """
+SELECT c.url, c.ts14 FROM cand c
+ANTI JOIN (SELECT url, ts14 FROM cand WHERE doc_id % 7 = 0) s
+  ON c.url = s.url AND c.ts14 = s.ts14"""
+
+
+def q_seen_antijoin(spark, sf_dir):
+    return anti_join_seen(_cand(spark, sf_dir), _seen(spark, sf_dir),
+                          keys=["url", "ts14"]).select("url", "ts14")
+
+
+def q_seen_antijoin_bloom(spark, sf_dir):
+    return bloom_prefilter_anti_join(
+        _cand(spark, sf_dir), _seen(spark, sf_dir), keys=["url", "ts14"],
+    ).select("url", "ts14")
+
+
+def q_registry_categorize(spark, sf_dir):
+    cand = _cand(spark, sf_dir)
+    registry = cand.filter(F.col("doc_id") % 5 < 2).select(
+        F.col("url").alias("url_canon"), "ts14",
+        F.when(F.col("doc_id") % 5 == 0, "completed")
+        .otherwise("pending").alias("scrape_status"))
+    out = categorize_against_registry(
+        cand.withColumn("url_canon", F.col("url")), registry)
+    return out.select(F.col("url_canon").alias("url"), "ts14", "dedup_category")
+
+
+SQL_REGISTRY_CATEGORIZE = _PRELUDE + """
+, registry AS (
+  SELECT url, ts14,
+         CASE WHEN doc_id % 5 = 0 THEN 'completed' ELSE 'pending' END
+           AS scrape_status
+  FROM cand WHERE doc_id % 5 < 2
+)
+SELECT c.url, c.ts14,
+  CASE WHEN r.scrape_status = 'completed' THEN 'to_link'
+       WHEN r.scrape_status IN ('pending', 'in_progress')
+         THEN 'already_processing'
+       ELSE 'to_scrape' END AS dedup_category
+FROM cand c LEFT JOIN registry r ON c.url = r.url AND c.ts14 = r.ts14"""
+
+
+def q_politeness_schedule(spark, sf_dir):
+    return _scheduled(spark, sf_dir).select(
+        "url", "ts14", "host", "host_rank", "sched_status")
+
+
+SQL_POLITENESS_SCHEDULE = _SCHEDULED + """
+SELECT url, ts14, host, host_rank, sched_status FROM scheduled"""
+
+
+def q_crawl_order(spark, sf_dir):
+    sched = _scheduled(spark, sf_dir).filter(
+        F.col("sched_status") == "scheduled")
+    return with_global_order(sched).select("seq", "url", "ts14")
+
+
+SQL_CRAWL_ORDER = _SCHEDULED + """
+SELECT row_number() OVER (ORDER BY priority_score DESC, url ASC, ts14 ASC)
+         AS seq,
+       url, ts14
+FROM scheduled WHERE sched_status = 'scheduled'"""
+
+
+def q_url_parts(spark, sf_dir):
+    urls = cdx_pages_view(spark, sf_dir).select("url").distinct()
+    u = F.col("url")
+    return urls.select(
+        "url", url_host(u).alias("host"), url_path(u).alias("path"),
+        url_depth(u).alias("url_depth"),
+        url_extension(u).alias("file_extension"))
+
+
+SQL_URL_PARTS = _PRELUDE + """
+, urls AS (SELECT DISTINCT url FROM pages_cdx),
+parts AS (
+  SELECT url,
+    lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS host,
+    coalesce(nullif(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                    ''), '/') AS path
+  FROM urls
+)
+SELECT url, host, path,
+  len(list_filter(string_split(path, '/'), s -> s != '')) AS url_depth,
+  CASE WHEN contains(list_extract(string_split(lower(path), '/'), -1), '.')
+       THEN '.' || list_extract(
+              string_split(list_extract(string_split(lower(path), '/'), -1),
+                           '.'), -1)
+       ELSE '' END AS file_extension
+FROM parts"""
+
+
+# --------------------------------------------------------------------------
+# analytics family
+# --------------------------------------------------------------------------
+
+def q_cdx_analytics(spark, sf_dir):
+    return A.cdx_analytics_transform(cdx_pages_view(spark, sf_dir)).select(
+        "url", "capture_date", "capture_year", "capture_month",
+        "capture_hour", "mime_type", "status_code", "content_length",
+        "content_size_category", "success_indicator")
+
+
+SQL_CDX_ANALYTICS = _PRELUDE + """
+SELECT url,
+  CAST(warc_ts AS DATE) AS capture_date,
+  CAST(year(warc_ts) AS INT) AS capture_year,
+  CAST(month(warc_ts) AS INT) AS capture_month,
+  CAST(hour(warc_ts) AS INT) AS capture_hour,
+  mime AS mime_type, status AS status_code, length AS content_length,
+  CASE WHEN length < 1024 THEN 'tiny'
+       WHEN length < 10240 THEN 'small'
+       WHEN length < 102400 THEN 'medium'
+       WHEN length < 1048576 THEN 'large'
+       ELSE 'huge' END AS content_size_category,
+  CAST(status = 200 AS INT) AS success_indicator
+FROM pages_cdx"""
+
+
+def _fact(spark, sf_dir):
+    return A.cdx_analytics_transform(cdx_pages_view(spark, sf_dir))
+
+
+def q_daily_stats(spark, sf_dir):
+    return A.daily_stats(_fact(spark, sf_dir))
+
+
+SQL_DAILY_STATS = _PRELUDE + """
+SELECT CAST(warc_ts AS DATE) AS capture_date,
+  count(*) AS total_records,
+  count(DISTINCT lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)))
+    AS unique_domains,
+  round(avg(length), 4) AS avg_content_length,
+  sum(CAST(status = 200 AS INT)) AS success_count
+FROM pages_cdx GROUP BY 1"""
+
+
+def q_status_percentiles(spark, sf_dir):
+    return A.status_percentiles(_fact(spark, sf_dir))
+
+
+SQL_STATUS_PERCENTILES = _PRELUDE + """
+SELECT status AS status_code,
+  round(quantile_cont(length, 0.5), 4) AS p50_length,
+  round(quantile_cont(length, 0.95), 4) AS p95_length,
+  count(*) AS n
+FROM pages_cdx GROUP BY 1"""
+
+
+def q_domain_profile(spark, sf_dir):
+    return A.domain_profile(_fact(spark, sf_dir))
+
+
+SQL_DOMAIN_PROFILE = _PRELUDE + """
+SELECT lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS url_domain,
+  count(*) AS n_captures,
+  count(DISTINCT url) AS n_urls,
+  round(avg(len(list_filter(string_split(
+    coalesce(nullif(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+             ''), '/'), '/'), s -> s != ''))), 4) AS avg_depth,
+  array_to_string(list_sort(list_distinct(list(mime))), ',') AS mime_types
+FROM pages_cdx GROUP BY 1"""
+
+
+def q_size_distribution(spark, sf_dir):
+    return A.size_distribution(_fact(spark, sf_dir))
+
+
+SQL_SIZE_DISTRIBUTION = _PRELUDE + """
+, bucketed AS (
+  SELECT CASE WHEN length < 1024 THEN 'tiny'
+              WHEN length < 10240 THEN 'small'
+              WHEN length < 102400 THEN 'medium'
+              WHEN length < 1048576 THEN 'large'
+              ELSE 'huge' END AS content_size_category
+  FROM pages_cdx
+), counts AS (
+  SELECT content_size_category, count(*) AS n FROM bucketed GROUP BY 1
+)
+SELECT content_size_category, n,
+  round(n * 100.0 / sum(n) OVER (), 4) AS pct
+FROM counts"""
+
+
+# --------------------------------------------------------------------------
+# windows / intervals over events
+# --------------------------------------------------------------------------
+
+def _event_intervals(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("start"),
+        (F.unix_timestamp("ts")
+         + (F.col("value") * 10).cast("long") + 1).alias("end"))
+
+
+_SQL_EVENT_INTERVALS = """
+intervals AS (
+  SELECT user_id,
+    CAST(floor(epoch(ts)) AS BIGINT) AS start,
+    CAST(floor(epoch(ts)) AS BIGINT)
+      + CAST(floor(value * 10) AS BIGINT) + 1 AS "end"
+  FROM events
+)"""
+
+
+def q_interval_merge(spark, sf_dir):
+    return IV.merge_intervals(_event_intervals(spark, sf_dir), "user_id")
+
+
+SQL_INTERVAL_MERGE = f"""WITH {_SQL_EVENT_INTERVALS},
+marked AS (
+  SELECT user_id, start, "end",
+    CASE WHEN max("end") OVER (PARTITION BY user_id ORDER BY start, "end"
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR start > max("end") OVER (PARTITION BY user_id ORDER BY start, "end"
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      THEN 1 ELSE 0 END AS new_island
+  FROM intervals
+),
+islands AS (
+  SELECT user_id, start, "end",
+    sum(new_island) OVER (PARTITION BY user_id ORDER BY start, "end"
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+)
+SELECT user_id, min(start) AS start, max("end") AS "end"
+FROM islands GROUP BY user_id, island"""
+
+
+def q_gap_detect(spark, sf_dir):
+    return IV.detect_gaps(_event_intervals(spark, sf_dir), "user_id",
+                          min_gap=3600)
+
+
+SQL_GAP_DETECT = f"""WITH {_SQL_EVENT_INTERVALS},
+marked AS (
+  SELECT user_id, start, "end",
+    CASE WHEN max("end") OVER (PARTITION BY user_id ORDER BY start, "end"
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR start > max("end") OVER (PARTITION BY user_id ORDER BY start, "end"
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      THEN 1 ELSE 0 END AS new_island
+  FROM intervals
+),
+islands AS (
+  SELECT user_id, start, "end",
+    sum(new_island) OVER (PARTITION BY user_id ORDER BY start, "end"
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+merged AS (
+  SELECT user_id, min(start) AS start, max("end") AS "end"
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, "end" AS gap_start,
+  lead(start) OVER (PARTITION BY user_id ORDER BY start) AS gap_end,
+  CAST(lead(start) OVER (PARTITION BY user_id ORDER BY start) AS DOUBLE)
+    - CAST("end" AS DOUBLE) AS gap_size
+FROM merged
+QUALIFY gap_end IS NOT NULL AND gap_size >= 3600"""
+
+
+def q_sliding_window_count(spark, sf_dir):
+    """P6 sliding-window rate limiter analog: events per user in the
+    preceding hour (rate_limiter.py:89-175)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts"))
+    w = (Window.partitionBy("user_id").orderBy("epoch_s")
+         .rangeBetween(-3600, 0))
+    return ev.select("event_id",
+                     F.count(F.lit(1)).over(w).alias("n_in_window"))
+
+
+SQL_SLIDING_WINDOW_COUNT = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+  FROM events
+)
+SELECT event_id,
+  count(*) OVER (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    AS n_in_window
+FROM e"""
+
+
+def q_events_tumbling(spark, sf_dir):
+    """T1 micro-batch analog: 1-hour tumbling-window rollup per event type
+    (the Structured Streaming windowed agg run in batch mode)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,4)"))
+                         .cast("double"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "sum_value"))
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  count(*) AS n,
+  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+# --------------------------------------------------------------------------
+# text analysis over documents
+# --------------------------------------------------------------------------
+
+def q_doc_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count_ws(t).alias("n_tokens_ws"),
+        T.token_count_bpe(t).alias("n_tokens_bpe"),
+        F.length(t).alias("n_chars"),
+        T.fingerprint(t).alias("fingerprint"))
+
+
+SQL_DOC_STATS = f"""
+SELECT doc_id,
+  {OG.token_count_ws_sql('text')} AS n_tokens_ws,
+  {OG.token_count_bpe_sql('text')} AS n_tokens_bpe,
+  length(text) AS n_chars,
+  {OG.fingerprint_sql('text')} AS fingerprint
+FROM documents"""
+
+
+def q_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.langid(F.col("text")).alias("lang_pred"))
+
+
+SQL_LANGID = f"""
+SELECT doc_id, {OG.langid_sql('text')} AS lang_pred FROM documents"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sig = T.minhash_signature(T.tokens(F.col("text")), k=3, n_hashes=8)
+    return d.select("doc_id", F.concat_ws("|", sig).alias("sig"))
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH s AS (
+  SELECT doc_id,
+    {OG.shingles_sql(OG.tokens_sql('text'), 3)} AS sh
+  FROM documents
+)
+SELECT doc_id,
+  array_to_string({OG.minhash_signature_sql('sh', 8)}, '|') AS sig
+FROM s"""
+
+
+# planted-duplicate corpora (identical SQL shape both engines)
+def _docs_with_clones(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail tokens appended"))
+        .alias("text"))
+    exact = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    return d.unionByName(clones).unionByName(exact)
+
+
+_SQL_DOCS_CLONES = """
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         text || ' extra tail tokens appended' AS text
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 40 = 0
+)"""
+
+
+def q_exact_dups(spark, sf_dir):
+    return TD.exact_duplicates(_docs_with_clones(spark, sf_dir))
+
+
+SQL_EXACT_DUPS = f"""WITH {_SQL_DOCS_CLONES},
+fp AS (
+  SELECT doc_id, {OG.fingerprint_sql('text')} AS fingerprint FROM docs2
+)
+SELECT doc_id, fingerprint,
+  count(*) OVER (PARTITION BY fingerprint) AS group_size,
+  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+  doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+FROM fp"""
+
+
+def q_ngram_jaccard_planted(spark, sf_dir):
+    docs = _docs_with_clones(spark, sf_dir)
+    base = docs.filter((F.col("doc_id") % 25 == 0)
+                       & (F.col("doc_id") < 1000000))
+    pairs = base.select(F.col("doc_id").alias("a"),
+                        (F.col("doc_id") + 1000000).alias("b"))
+    return TD.ngram_jaccard(pairs, docs).withColumn(
+        "jaccard", F.round("jaccard", 6))
+
+
+SQL_NGRAM_JACCARD_PLANTED = f"""WITH {_SQL_DOCS_CLONES},
+sh AS (
+  SELECT doc_id,
+    list_distinct({OG.shingles_sql(OG.tokens_sql('text'), 3)}) AS s
+  FROM docs2
+),
+pairs AS (
+  SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+  WHERE doc_id % 25 = 0
+)
+SELECT p.a, p.b,
+  round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+    THEN len(list_intersect(sa.s, sb.s))
+         / len(list_distinct(list_concat(sa.s, sb.s)))
+    ELSE 0.0 END, 6) AS jaccard
+FROM pairs p
+JOIN sh sa ON sa.doc_id = p.a
+JOIN sh sb ON sb.doc_id = p.b"""
+
+
+def q_minhash_pairs(spark, sf_dir):
+    docs = _docs_with_clones(spark, sf_dir)
+    out = TD.minhash_near_duplicates(docs, n_hashes=12, bands=6,
+                                     threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+SQL_MINHASH_PAIRS = f"""WITH {_SQL_DOCS_CLONES},
+sh AS (
+  SELECT doc_id, {OG.shingles_sql(OG.tokens_sql('text'), 3)} AS s
+  FROM docs2
+),
+sig AS (
+  SELECT doc_id, {OG.minhash_signature_sql('s', 12)} AS sg
+  FROM sh WHERE len(s) > 0
+),
+banded AS (
+  SELECT doc_id, band_idx,
+    md5(array_to_string(sg[band_idx * 2 + 1 : band_idx * 2 + 2], '|'))
+      AS band_hash
+  FROM sig, (SELECT unnest(range(0, 6)) AS band_idx)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+  WHERE l.doc_id < r.doc_id
+),
+dsh AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
+SELECT c.a, c.b,
+  round(len(list_intersect(sa.s, sb.s))
+        / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+FROM cands c
+JOIN dsh sa ON sa.doc_id = c.a
+JOIN dsh sb ON sb.doc_id = c.b
+WHERE len(list_intersect(sa.s, sb.s))
+      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5"""
+
+
+# --------------------------------------------------------------------------
+# full-text search over documents
+# --------------------------------------------------------------------------
+
+_FTS_QUERY = ["data", "query", "window"]
+
+
+def q_fulltext_match(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pi = d.select(F.col("doc_id").cast("string").alias("url_canon"),
+                  F.lit("0").alias("ts14"), F.lit("").alias("title"),
+                  F.col("text").alias("content"))
+    inv = build_inverted_terms(pi)
+    qdf = spark.createDataFrame([(t,) for t in _FTS_QUERY], "term string")
+    hits = inv.join(F.broadcast(qdf), "term")
+    return (hits.groupBy("url_canon")
+            .agg(F.countDistinct("term").alias("matched_terms"),
+                 F.sum("tf").alias("tf_sum"))
+            .select(F.col("url_canon").cast("long").alias("doc_id"),
+                    "matched_terms", "tf_sum"))
+
+
+SQL_FULLTEXT_MATCH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({OG.tokens_sql('text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+q AS (SELECT unnest(['{"','".join(_FTS_QUERY)}']) AS term)
+SELECT doc_id, count(DISTINCT tf.term) AS matched_terms, sum(tf) AS tf_sum
+FROM tf JOIN q ON tf.term = q.term
+GROUP BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# embeddings: ANN + near-dup
+# --------------------------------------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ANN.cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 3).alias("cosine"))
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, neighbor_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank,
+  round(cos, 3) AS cosine
+FROM scored
+QUALIFY rank <= 5"""
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    both = emb.select("vec_id", "embedding").unionByName(clones)
+    out = TD.embedding_near_duplicates(both, threshold=0.999)
+    return out.select("a", "b", F.round("cosine", 3).alias("cosine"))
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH eboth AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+    list_dot_product(l.v, r.v)
+      / (sqrt(list_dot_product(l.v, l.v))
+         * sqrt(list_dot_product(r.v, r.v))) AS cos
+  FROM eboth l JOIN eboth r ON l.vec_id < r.vec_id
+)
+SELECT a, b, round(cos, 3) AS cosine FROM pairs WHERE cos >= 0.999"""
+
+
+# --------------------------------------------------------------------------
+# generic analytics (A2/J-family) over the star schema
+# --------------------------------------------------------------------------
+
+def q_lineitem_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum(dec("l_quantity")).cast("double"), 4)
+                 .alias("sum_qty"),
+                 F.round(F.sum(dec("l_extendedprice")).cast("double"), 4)
+                 .alias("sum_price"),
+                 F.round(F.avg(dec("l_discount")).cast("double"), 6)
+                 .alias("avg_disc"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_LINEITEM_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 4)
+    AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+    AS sum_price,
+  round(CAST(avg(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 6)
+    AS avg_disc,
+  count(*) AS n
+FROM lineitem GROUP BY 1, 2"""
+
+
+def q_top_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (o.groupBy("o_custkey")
+           .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                        .cast("double"), 4).alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders")))
+    return (rev.join(F.broadcast(c), rev["o_custkey"] == c["c_custkey"])
+            .select(F.col("c_custkey").alias("custkey"), "c_name",
+                    "revenue", "n_orders")
+            .orderBy(F.desc("revenue"), F.asc("custkey")).limit(10))
+
+
+SQL_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT o_custkey,
+    round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+      AS revenue,
+    count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT c.c_custkey AS custkey, c.c_name, r.revenue, r.n_orders
+FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+ORDER BY revenue DESC, custkey ASC LIMIT 10"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "filter_decisions": q_filter_decisions,
+    "filter_stats": q_filter_stats,
+    "collapse_digest": q_collapse_digest,
+    "seen_antijoin": q_seen_antijoin,
+    "seen_antijoin_bloom": q_seen_antijoin_bloom,
+    "registry_categorize": q_registry_categorize,
+    "politeness_schedule": q_politeness_schedule,
+    "crawl_order": q_crawl_order,
+    "url_parts": q_url_parts,
+    "cdx_analytics": q_cdx_analytics,
+    "daily_stats": q_daily_stats,
+    "status_percentiles": q_status_percentiles,
+    "domain_profile": q_domain_profile,
+    "size_distribution": q_size_distribution,
+    "interval_merge": q_interval_merge,
+    "gap_detect": q_gap_detect,
+    "sliding_window_count": q_sliding_window_count,
+    "events_tumbling": q_events_tumbling,
+    "doc_stats": q_doc_stats,
+    "langid": q_langid,
+    "minhash_signatures": q_minhash_signatures,
+    "exact_dups": q_exact_dups,
+    "ngram_jaccard_planted": q_ngram_jaccard_planted,
+    "minhash_pairs": q_minhash_pairs,
+    "fulltext_match": q_fulltext_match,
+    "ann_topk": q_ann_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "lineitem_rollup": q_lineitem_rollup,
+    "top_customers": q_top_customers,
+}
+
+ORACLES: dict[str, str] = {
+    "filter_decisions": SQL_FILTER_DECISIONS,
+    "filter_stats": SQL_FILTER_STATS,
+    "collapse_digest": SQL_COLLAPSE_DIGEST,
+    "seen_antijoin": SQL_SEEN_ANTI_JOIN,
+    "seen_antijoin_bloom": SQL_SEEN_ANTI_JOIN,
+    "registry_categorize": SQL_REGISTRY_CATEGORIZE,
+    "politeness_schedule": SQL_POLITENESS_SCHEDULE,
+    "crawl_order": SQL_CRAWL_ORDER,
+    "url_parts": SQL_URL_PARTS,
+    "cdx_analytics": SQL_CDX_ANALYTICS,
+    "daily_stats": SQL_DAILY_STATS,
+    "status_percentiles": SQL_STATUS_PERCENTILES,
+    "domain_profile": SQL_DOMAIN_PROFILE,
+    "size_distribution": SQL_SIZE_DISTRIBUTION,
+    "interval_merge": SQL_INTERVAL_MERGE,
+    "gap_detect": SQL_GAP_DETECT,
+    "sliding_window_count": SQL_SLIDING_WINDOW_COUNT,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "doc_stats": SQL_DOC_STATS,
+    "langid": SQL_LANGID,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "exact_dups": SQL_EXACT_DUPS,
+    "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "fulltext_match": SQL_FULLTEXT_MATCH,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "lineitem_rollup": SQL_LINEITEM_ROLLUP,
+    "top_customers": SQL_TOP_CUSTOMERS,
+}
