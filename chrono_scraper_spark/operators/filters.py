@@ -46,13 +46,24 @@ def _decision(status: str, reason: Column | str, confidence: float,
 def _first_pattern_match(target: Column, groups: list[tuple[str, list[str]]],
                          build) -> Column:
     """First (category, pattern) whose regex matches ``target``, in declared
-    order; ``build(category, pattern_lit)`` makes the decision struct."""
-    whens = []
+    order; ``build(category, pattern_lit)`` makes the decision struct.
+
+    Hot-path shape: one combined alternation regex per CATEGORY gates entry
+    (compiled once inside codegen); the per-pattern chain — needed because
+    the decision records WHICH pattern matched — only evaluates for rows
+    that passed the gate. Non-matching rows (the vast majority at crawl
+    scale) cost len(groups) regex runs instead of total-pattern count."""
+    cat_whens = []
     for category, patterns in groups:
-        for pat in patterns:
-            whens.append((target.rlike(pat), build(category, pat)))
+        combined = "|".join(f"(?:{p})" for p in patterns)
+        per = reduce(
+            lambda acc, pw: acc.when(pw[0], pw[1]),
+            [(target.rlike(p), build(category, p)) for p in patterns[1:]],
+            F.when(target.rlike(patterns[0]), build(category, patterns[0])),
+        )
+        cat_whens.append((target.rlike(combined), per))
     return reduce(lambda acc, cw: acc.when(cw[0], cw[1]),
-                  whens[1:], F.when(whens[0][0], whens[0][1]))
+                  cat_whens[1:], F.when(cat_whens[0][0], cat_whens[0][1]))
 
 
 def _ends_with_any(path: Column, groups: list[tuple[str, list[str]]], build) -> Column:

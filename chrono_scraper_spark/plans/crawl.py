@@ -133,7 +133,7 @@ class CrawlJob:
         pages = read_pages(self.spark, self.pages_path)
         cands = discover(pages, self.seeds,
                          allowed_mime=None if self.include_attachments
-                         else ["text/html"])
+                         else ["text/html"]).cache()
         n_discovered = cands.count()
         # D1: one capture per content digest, earliest wins
         cands = collapse_digest(cands)

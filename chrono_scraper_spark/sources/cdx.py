@@ -4,21 +4,25 @@ The reference pages through a remote CDX API with server-side filters
 (``statuscode:200``, mime whitelist, date range, domain match, field list —
 wayback_machine.py:741-907). Over an Iceberg/parquet corpus those become
 pushed-down predicates + column pruning on one declarative scan; pagination
-disappears (partitions are the pages). Seed matching (exact/prefix/domain/
-regex, project.py:34-39) is evaluated once per row against a broadcast seed
-list — one scan regardless of seed count, instead of the reference's
-scan-per-domain loop.
+disappears (partitions are the pages).
 
-All predicates here are JVM column expressions: the status/mime/date filters
-reach the parquet reader (PushedFilters), and the static-asset pre-filter
-(wayback_machine.py:389-532) is a single vectorized boolean expression.
+Seed matching (exact/prefix/domain/regex, project.py:34-39) compiles the
+seed list — driver-side config data, thousands of rows at most — into
+LITERAL column predicates: one codegen-friendly boolean per seed, with
+project attribution via an array-explode. A broadcast join with a
+column-valued regex would fall back to BroadcastNestedLoopJoin and compile
+the regex per row (measured 10-20× slower); literal predicates stay inside
+whole-stage codegen with regexes compiled once.
+
+The static-asset pre-filter (wayback_machine.py:389-532) is likewise three
+single-compile alternation regexes instead of ~90 chained predicates.
 """
 
 from __future__ import annotations
 
-from functools import reduce
+import re
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from .. import config as C
@@ -37,41 +41,44 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def seed_match_condition(match_type_col: Column, domain_col: Column,
-                         path_prefix_col: Column, url: Column,
-                         host: Column) -> Column:
-    """One row-vs-seed match predicate covering all four match types
+def _seed_condition(seed: Row, url: Column, host: Column,
+                    warc_ts: Column) -> Column:
+    """Literal match predicate for ONE seed row
     (project.py:34-39; common_crawl_direct_service.py:209-231)."""
-    url_noscheme = F.regexp_replace(url, r"^https?://", "")
-    prefix = F.concat(domain_col, F.coalesce(path_prefix_col, F.lit("")))
-    return (
-        F.when(match_type_col == "exact", host == domain_col)
-        .when(match_type_col == "domain",
-              (host == domain_col) | host.endswith(F.concat(F.lit("."), domain_col)))
-        .when(match_type_col == "prefix", url_noscheme.startswith(prefix))
-        .when(match_type_col == "regex", F.regexp_like(url, domain_col))
-        .otherwise(F.lit(False))
-    )
+    mt = seed["match_type"]
+    domain = seed["domain_name"]
+    if mt == "exact":
+        cond = host == F.lit(domain)
+    elif mt == "domain":
+        cond = (host == F.lit(domain)) | host.endswith("." + domain)
+    elif mt == "prefix":
+        prefix = domain + (seed["url_path"] or "")
+        cond = F.regexp_replace(url, r"^https?://", "").startswith(prefix)
+    elif mt == "regex":
+        cond = url.rlike(domain)
+    else:
+        cond = F.lit(False)
+    if seed["from_date"] is not None:
+        cond = cond & (F.to_date(warc_ts) >= F.lit(seed["from_date"]))
+    if seed["to_date"] is not None:
+        cond = cond & (F.to_date(warc_ts) <= F.lit(seed["to_date"]))
+    return cond
+
+
+_EXT_ALT = "|".join(re.escape(e) for e in C.STATIC_ASSET_EXTENSIONS)
+_STATIC_EXT_RE = f"(?:{_EXT_ALT})$"
+_MIME_RE = ("^(?:" + "|".join(re.escape(p) for p in C.STATIC_ASSET_MIME_PREFIXES)
+            + ")|^(?:" + "|".join(re.escape(m) for m in C.STATIC_ASSET_MIME_EXACT)
+            + ")$")
+_URL_PAT_RE = "|".join(re.escape(p) for p in C.STATIC_ASSET_URL_PATTERNS)
 
 
 def static_asset_condition(url: Column, path: Column, mime: Column) -> Column:
     """F1 scan-level pre-filter (wayback_machine.py:389-532): True ⇒ drop.
-    One boolean expression — extension suffix, mime class, path patterns."""
-    lower_path = F.lower(path)
-    ext_hit = reduce(
-        lambda a, b: a | b,
-        [lower_path.endswith(e) for e in C.STATIC_ASSET_EXTENSIONS],
-    )
-    mime_hit = reduce(
-        lambda a, b: a | b,
-        [mime.startswith(p) for p in C.STATIC_ASSET_MIME_PREFIXES]
-        + [mime == m for m in C.STATIC_ASSET_MIME_EXACT],
-    )
-    pattern_hit = reduce(
-        lambda a, b: a | b,
-        [F.lower(url).contains(p) for p in C.STATIC_ASSET_URL_PATTERNS],
-    )
-    return ext_hit | mime_hit | pattern_hit
+    Three alternation regexes, each compiled once inside codegen."""
+    return (F.lower(path).rlike(_STATIC_EXT_RE)
+            | mime.rlike(_MIME_RE)
+            | F.lower(url).rlike(_URL_PAT_RE))
 
 
 def discover(
@@ -85,9 +92,10 @@ def discover(
     """S1-S5: corpus scan × seed list → candidate frontier.
 
     ``seeds`` columns: project_id int, domain_name string, match_type string,
-    url_path string, from_date date, to_date date, max_pages int (nullable).
-    The seed list is tiny → broadcast nested-loop join with the match
-    predicate; status/mime/date filters push into the scan.
+    url_path string, from_date date, to_date date. The seed list is collected
+    (config-scale data) and compiled to literal predicates; a row matching k
+    seeds yields k frontier rows (one per project), matching the reference's
+    per-project fan-out. Status/mime filters push into the scan.
     """
     allowed_mime = allowed_mime or C.CDX_ALLOWED_MIME
     df = pages
@@ -100,21 +108,18 @@ def discover(
     df = df.filter(F.col("status") == allowed_status)
     df = df.filter(F.col("mime").isin(allowed_mime))
 
-    cond = seed_match_condition(
-        seeds["match_type"], seeds["domain_name"], seeds["url_path"],
-        df["url"], df["host"],
-    )
-    cond = cond & (
-        seeds["from_date"].isNull()
-        | (F.to_date(df["warc_ts"]) >= seeds["from_date"])
-    ) & (
-        seeds["to_date"].isNull()
-        | (F.to_date(df["warc_ts"]) <= seeds["to_date"])
-    )
-    matched = df.join(
-        F.broadcast(seeds.select("project_id", "domain_name", "match_type",
-                                 "url_path", "from_date", "to_date")),
-        cond, "inner",
+    seed_rows = seeds.collect()
+    if not seed_rows:
+        return df.limit(0).withColumn("project_id", F.lit(None).cast("int"))
+    url, host, wts = F.col("url"), F.col("host"), F.col("warc_ts")
+    per_seed = [
+        F.when(_seed_condition(s, url, host, wts),
+               F.lit(s["project_id"]).cast("int"))
+        for s in seed_rows
+    ]
+    matched = df.withColumn(
+        "project_id",
+        F.explode(F.filter(F.array(*per_seed), lambda p: p.isNotNull())),
     )
 
     if drop_static_assets:
