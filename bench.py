@@ -120,7 +120,8 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="css-bench-")
     try:
         crawl = bench_crawl(spark, n_docs, workdir)
-        queries = bench_queries(spark, sf_dir)
+        queries = {} if os.environ.get("CSS_BENCH_SKIP_QUERIES") \
+            else bench_queries(spark, sf_dir)
         result = {
             "metric": "frontier_urls_per_sec",
             "value": crawl["urls_per_sec"],

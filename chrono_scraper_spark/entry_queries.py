@@ -763,6 +763,56 @@ ORDER BY revenue DESC, custkey ASC LIMIT 10"""
 
 
 # --------------------------------------------------------------------------
+# rows-only queries (no SQL oracle — xxhash64/UDF-based; the driver records
+# a weaker rows-only check for these)
+# --------------------------------------------------------------------------
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64 is Spark-specific → no DuckDB twin).
+    Deterministic: hash family and chunk buckets are seed-free."""
+    docs = _docs_with_clones(spark, sf_dir)
+    return TD.simhash_near_duplicates(docs, max_hamming=3)
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Multi-probe hyperplane-LSH ANN (approximate by design — verified
+    against the brute-force twin in tests; rank set is deterministic)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ANN.cosine_topk_lsh(emb, queries, k=5, n_planes=6)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_extraction_identity(spark, sf_dir):
+    """Byte-identity of the pinned html→text extractor over the co-generated
+    corpus (the round contract's per-row invariant). Row count == corpus
+    size and `identical` is true everywhere; html is binary → no SQL twin."""
+    from chrono_scraper_spark.corpus import generate_pages
+    from chrono_scraper_spark.operators.extraction import with_extraction
+
+    pages = generate_pages(spark, 300, partitions=4)
+    out = with_extraction(pages)
+    return out.select(
+        "url", F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
+        (F.col("extracted.text") == F.col("text")).alias("identical"),
+        F.col("extracted.method").alias("method"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: deterministic byte-level features over binary
+    payloads via Arrow mapInPandas (decode kernels stubbed in-container)."""
+    from chrono_scraper_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, 64)
+    return extract_features(media, fake=True).withColumn(
+        "byte_entropy", F.round("byte_entropy", 4))
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -796,6 +846,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "lineitem_rollup": q_lineitem_rollup,
     "top_customers": q_top_customers,
+    # rows-only (no oracle): non-SQL-expressible ops
+    "simhash_pairs": q_simhash_pairs,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "extraction_identity": q_extraction_identity,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {

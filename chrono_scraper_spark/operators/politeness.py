@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import config as C
 
@@ -43,35 +44,44 @@ def with_priority_order_key(frontier: DataFrame) -> DataFrame:
 
 def with_global_order(frontier: DataFrame) -> DataFrame:
     """Deterministic global crawl sequence ``seq`` without a one-partition
-    window: repartitionByRange on the order key (range exchange), sort within
-    partitions, per-partition row_number + exclusive prefix-sum of partition
-    counts (collected — one long per partition, not rows)."""
-    ordered = with_priority_order_key(frontier).repartitionByRange(
-        "order_key"
-    ).sortWithinPartitions("order_key")
-    with_pid = ordered.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy("order_key")
-    with_rn = with_pid.withColumn("__rn", F.row_number().over(w))
+    window: range-partition on the order key, sort within partitions, then
+    assign ``seq = partition_offset + local_index`` in ONE shuffle-free
+    mapInPandas pass. Partition offsets come from an exclusive prefix-sum of
+    per-partition counts (one long per partition collected — never rows).
+    A pid-partitioned window here would re-shuffle the whole frontier on the
+    pid hash; this keeps the range exchange as the only shuffle."""
+    ordered = (
+        with_priority_order_key(frontier)
+        .repartitionByRange("order_key")
+        .sortWithinPartitions("order_key")
+        .drop("order_key")
+        .cache()
+    )
     counts = (
-        with_pid.groupBy("__pid").count().orderBy("__pid").collect()
+        ordered.groupBy(F.spark_partition_id().alias("__pid")).count()
+        .orderBy("__pid").collect()
     )
     offsets = {}
     acc = 0
     for row in counts:
         offsets[row["__pid"]] = acc
         acc += row["count"]
-    spark = frontier.sparkSession
-    if offsets:
-        off_df = spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "__pid int, __off long"
-        )
-        with_rn = with_rn.join(F.broadcast(off_df), "__pid", "left")
-    else:
-        with_rn = with_rn.withColumn("__off", F.lit(0).cast("long"))
-    return (
-        with_rn.withColumn("seq", F.col("__off") + F.col("__rn"))
-        .drop("__pid", "__rn", "__off", "order_key")
-    )
+
+    out_schema = T.StructType(
+        list(ordered.schema.fields) + [T.StructField("seq", T.LongType())])
+
+    def _assign(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        nxt = offsets.get(pid, 0) + 1
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["seq"] = range(nxt, nxt + len(pdf))
+            nxt += len(pdf)
+            yield pdf
+
+    return ordered.mapInPandas(_assign, out_schema)
 
 
 def host_budgets(round_idx: int, rps: float = C.DEFAULT_HOST_RPS,

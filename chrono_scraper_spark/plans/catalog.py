@@ -100,10 +100,15 @@ class SnapshotCatalog:
     # -- commits -------------------------------------------------------------
     def commit(self, table: str, df: DataFrame, *, operation: str,
                properties: dict | None = None,
-               partition_by: list[str] | None = None) -> dict:
+               partition_by: list[str] | None = None,
+               row_count: int | None = None) -> dict:
         """Write ``df`` as the table's next snapshot. Iceberg:
         ``df.writeTo(table).overwritePartitions()`` / ``append`` under one
-        snapshot commit."""
+        snapshot commit.
+
+        ``row_count``: caller-provided when already known; -1 (unknown)
+        otherwise — recounting would cost one extra job per commit, and
+        Iceberg gets snapshot record counts from file metadata for free."""
         prev = self.current_version(table)
         version = (prev or 0) + 1
         data_dir = self._data_dir(table, version)
@@ -111,7 +116,8 @@ class SnapshotCatalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        row_count = self.spark.read.parquet(data_dir).count()
+        if row_count is None:
+            row_count = -1
         manifest = {
             "table": table,
             "version": version,
@@ -145,11 +151,17 @@ class SnapshotCatalog:
 
     def merge_not_matched(self, table: str, new_rows: DataFrame,
                           keys: list[str], *, operation: str = "merge",
-                          properties: dict | None = None) -> dict:
+                          properties: dict | None = None,
+                          assume_unique: bool = False) -> dict:
         """``MERGE INTO table USING new ON keys WHEN NOT MATCHED THEN INSERT``
         (reference semantics: ON CONFLICT DO NOTHING,
-        cdx_deduplication_service.py:229-238)."""
-        new_rows = new_rows.dropDuplicates(keys)
+        cdx_deduplication_service.py:229-238).
+
+        ``assume_unique=True`` skips the delta-side key dedup shuffle when
+        the caller guarantees key uniqueness (e.g. output of a groupBy on
+        the keys)."""
+        if not assume_unique:
+            new_rows = new_rows.dropDuplicates(keys)
         if self.exists(table):
             existing = self.read(table)
             fresh = new_rows.join(existing.select(*keys), keys, "left_anti")

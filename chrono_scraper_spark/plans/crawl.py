@@ -45,7 +45,6 @@ from ..operators.politeness import (
     robots_filter,
     schedule_round,
     with_global_order,
-    with_salted_host_partition,
 )
 from ..sources.cdx import discover, read_pages
 from .catalog import SnapshotCatalog
@@ -72,6 +71,10 @@ class CrawlJob:
         robots_rules: DataFrame | None = None,
         budget_overrides: DataFrame | None = None,
         salt_target_rows: int = 50_000,
+        broadcast_fetch_join: bool = True,
+        retry_transient: bool = False,
+        max_retries: int = C.MAX_RETRIES,
+        failure_rate_trip: float | None = None,
     ):
         self.spark = spark
         self.cat = catalog
@@ -84,6 +87,17 @@ class CrawlJob:
         self.robots_rules = robots_rules
         self.budget_overrides = budget_overrides
         self.salt_target_rows = salt_target_rows
+        self.broadcast_fetch_join = broadcast_fetch_join
+        # T7: re-enter failed rows next round until max_retries (celery
+        # retry analog, shared_pages_scraping.py:277-284). Off by default:
+        # corpus-replay failures are deterministic, so the reference-parity
+        # mode terminalizes them immediately.
+        self.retry_transient = retry_transient
+        self.max_retries = max_retries
+        # T8: driver-side circuit breaker between rounds
+        # (circuit_breaker.py:16-277 — per-service breakers collapse to one
+        # per-round failure-rate check under deterministic rounds).
+        self.failure_rate_trip = failure_rate_trip
 
     # ------------------------------------------------------------------ state
     def completed_rounds(self) -> list[int]:
@@ -131,21 +145,34 @@ class CrawlJob:
     # -------------------------------------------------------------- discovery
     def _discover_round0(self) -> tuple[DataFrame, dict]:
         pages = read_pages(self.spark, self.pages_path)
-        cands = discover(pages, self.seeds,
-                         allowed_mime=None if self.include_attachments
-                         else ["text/html"]).cache()
-        n_discovered = cands.count()
-        # D1: one capture per content digest, earliest wins
-        cands = collapse_digest(cands)
-        # D2/D8: in-batch (url, ts) dedup
-        cands = in_batch_dedup(cands, FRONTIER_KEY)
+        raw = discover(pages, self.seeds,
+                       allowed_mime=None if self.include_attachments
+                       else ["text/html"]).cache()
+        n_discovered = raw.count()
+        # D1: one capture per content digest, earliest wins;
+        # D2/D8: in-batch (url, ts) dedup. Cache the DEDUPED set — it feeds
+        # the decision chain and the round body; caching upstream instead
+        # would re-run both window shuffles.
+        cands = in_batch_dedup(collapse_digest(raw), FRONTIER_KEY).cache()
         n_unique = cands.count()
+        raw.unpersist()
         return cands, {"discovered": n_discovered,
                        "digest_collapsed_or_dup": n_discovered - n_unique}
 
     # ------------------------------------------------------------------ round
     def run_round(self, round_idx: int) -> dict:
+        import time as _time
+
         counters: dict = {"round_idx": round_idx}
+        timings: dict = {}
+        _t0 = _time.time()
+
+        def _tick(phase: str) -> None:
+            nonlocal _t0
+            t1 = _time.time()
+            timings[phase] = round(t1 - _t0, 3)
+            _t0 = t1
+
         prev = self._prev_versions(round_idx)
 
         if round_idx == 0:
@@ -182,6 +209,7 @@ class CrawlJob:
 
         filtered = decided.filter(F.col("decision.status") != C.STATUS_PENDING)
         pending = decided.filter(F.col("decision.status") == C.STATUS_PENDING)
+        _tick("discover_dedup_decide")
 
         # record filtered rows once (reference keeps FILTERED_* ScrapePages)
         self.cat.merge_not_matched(
@@ -195,7 +223,9 @@ class CrawlJob:
                 F.lit(round_idx).alias("round_idx"),
             ),
             FRONTIER_KEY, properties={"round_idx": round_idx},
+            assume_unique=True,
         )
+        _tick("commit_filtered_log")
 
         # politeness budget split (P4/W5)
         sched = schedule_round(
@@ -209,47 +239,90 @@ class CrawlJob:
         # deterministic global crawl order within the round (P1)
         scheduled = with_global_order(scheduled)
 
-        # fetch+extract over host-salted partitions (P8 skew splitting)
-        work = with_salted_host_partition(
-            scheduled, target_rows_per_partition=self.salt_target_rows)
+        # FETCH: the frontier is metadata-only; payloads join back for the
+        # scheduled subset. Broadcasting the scheduled keys keeps the
+        # (payload-heavy) corpus side unshuffled — html moves zero times
+        # before extraction. At 10^10 scale with a >1e7-row schedule, swap
+        # the broadcast for a bucketed join on url (pages table bucketed by
+        # url at write time) — same code path minus the hint. In live-fetch
+        # mode (origin HTTP), with_salted_host_partition distributes the
+        # scheduled set instead (P8; operator tested separately).
+        payload = read_pages(self.spark, self.pages_path).select(
+            "url", F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
+            "html")
+        if "retry_count" not in scheduled.columns:
+            scheduled = scheduled.withColumn("retry_count",
+                                             F.lit(0).cast("int"))
+        # broadcast only while the scheduled set is genuinely small; above
+        # the cutoff fall back to a shuffle join (on a real deployment the
+        # pages table is bucketed by url, making this bucket-local)
+        n_sched = sched.filter(F.col("sched_status") == "scheduled").count()
+        if self.broadcast_fetch_join and n_sched <= 500_000:
+            work = payload.join(F.broadcast(scheduled), ["url", "ts14"],
+                                "inner")
+        else:
+            work = payload.join(scheduled, ["url", "ts14"], "inner")
         extracted = with_extraction(work)
         extracted = with_quality_score(
             extracted, "extracted.text").cache()
 
-        # per-partition lineage: rows extracted per (host-salted) partition
+        # T7: transient-retry split — failed rows below the retry cap
+        # re-enter the next round's frontier instead of terminalizing
+        if self.retry_transient:
+            retryable = extracted.filter(
+                (F.col("fetch_status") == C.STATUS_FAILED)
+                & (F.col("retry_count") < self.max_retries))
+            terminal = extracted.filter(
+                (F.col("fetch_status") != C.STATUS_FAILED)
+                | (F.col("retry_count") >= self.max_retries))
+        else:
+            retryable = extracted.limit(0)
+            terminal = extracted
+
+        # per-partition lineage: rows extracted per (host-salted) partition —
+        # this action also materializes the extraction cache
         part_counts = (
             extracted.groupBy(F.spark_partition_id().alias("pid"))
             .count().orderBy("pid").collect()
         )
+        _tick("schedule_order_extract")
 
-        counters["scheduled"] = scheduled.count()
+        counters["scheduled"] = sum(r["count"] for r in part_counts)
         counters["deferred"] = deferred.count()
         counters["filtered"] = filtered.count()
-        counters["completed"] = extracted.filter(
-            F.col("fetch_status") == C.STATUS_COMPLETED).count()
-        counters["failed"] = extracted.filter(
-            F.col("fetch_status") == C.STATUS_FAILED).count()
+        by_status = dict(
+            extracted.groupBy("fetch_status").count().collect())
+        counters["completed"] = int(by_status.get(C.STATUS_COMPLETED, 0))
+        counters["failed"] = int(by_status.get(C.STATUS_FAILED, 0))
+        _tick("counters")
 
         # ---- commits (all idempotent MERGEs; lineage row last) ----
+        # fetch_log records every ATTEMPT: keyed per round so retried rows
+        # appear once per attempt, and a replayed round converges
         fetch_rows = extracted.select(
             F.lit(round_idx).alias("round_idx"), "seq", "url", "url_canon",
             "ts14", "host", "digest", "length",
             F.col("decision.priority_score").alias("priority_score"),
             F.col("decision.reason").alias("filter_reason"),
-            "fetch_status",
+            "fetch_status", "retry_count",
             F.col("extracted.word_count").alias("word_count"),
             F.col("extracted.method").alias("extract_method"),
         )
-        self.cat.merge_not_matched("fetch_log", fetch_rows, FRONTIER_KEY,
-                                   properties={"round_idx": round_idx})
+        self.cat.merge_not_matched("fetch_log", fetch_rows,
+                                   ["round_idx", *FRONTIER_KEY],
+                                   properties={"round_idx": round_idx},
+                                   assume_unique=True)
 
-        seen_rows = extracted.select(
+        # only terminal outcomes enter the seen set — a retryable failure
+        # must stay eligible for the next round's anti-join
+        seen_rows = terminal.select(
             "url_canon", "ts14", "url",
             F.col("fetch_status").alias("status"),
             F.lit(round_idx).alias("first_seen_round"),
         )
         self.cat.merge_not_matched("url_seen", seen_rows, FRONTIER_KEY,
-                                   properties={"round_idx": round_idx})
+                                   properties={"round_idx": round_idx},
+                                   assume_unique=True)
 
         completed = extracted.filter(F.col("fetch_status") == C.STATUS_COMPLETED)
         pages_out = completed.select(
@@ -261,20 +334,36 @@ class CrawlJob:
             F.lit(round_idx).alias("round_idx"), "seq",
         )
         self.cat.merge_not_matched("pages_out", pages_out, FRONTIER_KEY,
-                                   properties={"round_idx": round_idx})
+                                   properties={"round_idx": round_idx},
+                                   assume_unique=True)
 
         page_index = build_page_index(completed)
         self.cat.merge_not_matched("page_index", page_index, FRONTIER_KEY,
-                                   properties={"round_idx": round_idx})
+                                   properties={"round_idx": round_idx},
+                                   assume_unique=True)
         inv = build_inverted_terms(page_index)
         self.cat.merge_not_matched("inverted_terms", inv,
                                    ["term", "url_canon", "ts14"],
-                                   properties={"round_idx": round_idx})
+                                   properties={"round_idx": round_idx},
+                                   assume_unique=True)
 
-        # the open frontier = deferred rows (next round's candidates)
+        # the open frontier = deferred rows ∪ retryable failures (with
+        # retry_count bumped), the next round's candidates
+        next_frontier = deferred.drop("host_rank", "sched_status")
+        if "retry_count" not in next_frontier.columns:
+            next_frontier = next_frontier.withColumn(
+                "retry_count", F.lit(0).cast("int"))
+        if self.retry_transient:
+            retry_rows = retryable.withColumn(
+                "retry_count", F.col("retry_count") + 1
+            ).select(*next_frontier.columns)
+            next_frontier = next_frontier.unionByName(retry_rows)
+            counters["retrying"] = retry_rows.count()
         self.cat.commit(
-            "frontier", deferred.drop("host_rank", "sched_status"),
+            "frontier", next_frontier,
             operation="overwrite", properties={"round_idx": round_idx})
+        _tick("commits")
+        counters["timings"] = timings
 
         # lineage row LAST — this is the round's commit point
         lineage = self.spark.createDataFrame(
@@ -293,6 +382,8 @@ class CrawlJob:
         decided.unpersist()
         sched.unpersist()
         extracted.unpersist()
+        if round_idx == 0:
+            cands.unpersist()
         return counters
 
     # ------------------------------------------------------------------ runs
@@ -304,6 +395,17 @@ class CrawlJob:
         for round_idx in range(start, start + max_rounds):
             counters = self.run_round(round_idx)
             out.append(counters)
-            if counters.get("empty") or counters.get("deferred", 0) == 0:
+            if counters.get("empty"):
+                break
+            if (counters.get("deferred", 0) == 0
+                    and counters.get("retrying", 0) == 0):
+                break
+            # T8: trip the breaker when a round's failure rate exceeds the
+            # configured threshold (driver-side, between rounds)
+            attempts = counters.get("completed", 0) + counters.get("failed", 0)
+            if (self.failure_rate_trip is not None and attempts > 0
+                    and counters.get("failed", 0) / attempts
+                    > self.failure_rate_trip):
+                counters["circuit_open"] = True
                 break
         return out

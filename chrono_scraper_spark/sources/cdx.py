@@ -88,6 +88,7 @@ def discover(
     drop_static_assets: bool = True,
     allowed_mime: list[str] | None = None,
     allowed_status: int = C.CDX_ALLOWED_STATUS,
+    include_payload: bool = False,
 ) -> DataFrame:
     """S1-S5: corpus scan × seed list → candidate frontier.
 
@@ -96,6 +97,12 @@ def discover(
     (config-scale data) and compiled to literal predicates; a row matching k
     seeds yields k frontier rows (one per project), matching the reference's
     per-project fan-out. Status/mime filters push into the scan.
+
+    ``include_payload=False`` (default) keeps the frontier METADATA-ONLY:
+    html/text never enter the dedup/filter/schedule shuffles (at WARC scale
+    payloads are 50-100 KB/row — shuffling them through every window would
+    dominate the job). The fetch stage joins payloads back for the scheduled
+    subset only (CrawlJob.run_round).
     """
     allowed_mime = allowed_mime or C.CDX_ALLOWED_MIME
     df = pages
@@ -126,6 +133,7 @@ def discover(
         matched = matched.filter(
             ~static_asset_condition(F.col("url"), F.col("path"), F.col("mime"))
         )
+    extras = ("html", "text", "lang", "title") if include_payload else ("lang",)
     keep = [c for c in matched.columns
-            if c in FRONTIER_COLUMNS or c in ("html", "text", "lang", "title")]
+            if c in FRONTIER_COLUMNS or c in extras]
     return matched.select(*keep)
