@@ -53,8 +53,11 @@ def _seeds(spark):
 
 def bench_crawl(spark, n_docs: int, workdir: str) -> dict:
     corpus_path = os.path.join(workdir, "pages")
+    # realistic page sizes: ~8× word count ≈ 3-8 KB of text per long doc
+    words_scale = int(os.environ.get("CSS_BENCH_WORDS_SCALE", "8"))
     t0 = time.time()
-    generate_pages(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
+    generate_pages(spark, n_docs, words_scale=words_scale) \
+        .write.mode("overwrite").parquet(corpus_path)
     gen_s = time.time() - t0
 
     # Warmup: identical plan shapes over a small corpus to populate the
@@ -109,12 +112,17 @@ def bench_queries(spark, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("CSS_BENCH_DOCS", "30000"))
+    n_docs = int(os.environ.get("CSS_BENCH_DOCS", "120000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in sf_dir else 0.1
 
+    # shuffle partitioning and heap are held CONSTANT across parallelism
+    # levels: the scaling comparison varies cores only (a real cluster
+    # comparison keeps the partitioning scheme fixed while executors vary)
+    shuffle = int(os.environ.get("CSS_BENCH_SHUFFLE", "64"))
+    os.environ.setdefault("CSS_DRIVER_MEM", "48g")
     spark = get_spark(app_name="css-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=shuffle)
     spark.range(1).count()  # warm the JVM before timing
 
     workdir = tempfile.mkdtemp(prefix="css-bench-")

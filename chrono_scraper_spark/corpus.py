@@ -169,6 +169,7 @@ def generate_pages(
     n_hosts: int = 50,
     captures_per_url: int = 3,
     partitions: int | None = None,
+    words_scale: int = 1,
 ) -> DataFrame:
     """Deterministic corpus: ``n_docs`` distinct urls × 1-3 captures each.
 
@@ -184,13 +185,16 @@ def generate_pages(
         F.when((F.col("id") % 17 == 0) & (F.col("id") > 0), F.col("id") - 1)
         .otherwise(F.col("id")),
     )
-    # word count: 30..149, deterministic; %5==0 docs are short (<=40 words)
+    # word count: 30..149, deterministic; %5==0 docs are short (<=40 words).
+    # ``words_scale`` multiplies LONG docs only (bench realism: real webtext
+    # is 1-10 KB of text; short docs stay short so the extraction-failure
+    # gate still fires).
     df = df.withColumn(
         "n_words",
         F.when(F.col("id") % 5 == 0,
                (30 + F.pmod(F.xxhash64("content_seed"), F.lit(11))).cast("int"))
-        .otherwise((60 + F.pmod(F.xxhash64("content_seed", F.lit(3)),
-                                F.lit(90))).cast("int")),
+        .otherwise(((60 + F.pmod(F.xxhash64("content_seed", F.lit(3)),
+                                 F.lit(90))) * words_scale).cast("int")),
     )
     words = _words_expr("content_seed", "n_words")
     half = (F.col("n_words") / 2).cast("int")

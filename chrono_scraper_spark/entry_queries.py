@@ -71,8 +71,9 @@ _BUDGET0 = int(_BUDGET_RPS * _BUDGET_SECONDS) + _BUDGET_BURST  # round-0: 8
 
 _SCHEDULED = (_DECIDED + f""",
 ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY host
-            ORDER BY priority_score DESC, url ASC, ts14 ASC) AS host_rank
+  SELECT *, CAST(row_number() OVER (PARTITION BY host
+            ORDER BY priority_score DESC, url ASC, ts14 ASC) AS INT)
+            AS host_rank
   FROM decided WHERE status = 'pending'
 ),
 scheduled AS (
@@ -216,7 +217,7 @@ def q_url_parts(spark, sf_dir):
     u = F.col("url")
     return urls.select(
         "url", url_host(u).alias("host"), url_path(u).alias("path"),
-        url_depth(u).alias("url_depth"),
+        url_depth(u).cast("long").alias("url_depth"),
         url_extension(u).alias("file_extension"))
 
 
@@ -280,7 +281,7 @@ SELECT CAST(warc_ts AS DATE) AS capture_date,
   count(DISTINCT lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)))
     AS unique_domains,
   round(avg(length), 4) AS avg_content_length,
-  sum(CAST(status = 200 AS INT)) AS success_count
+  CAST(sum(CAST(status = 200 AS INT)) AS BIGINT) AS success_count
 FROM pages_cdx GROUP BY 1"""
 
 
@@ -462,9 +463,9 @@ def q_doc_stats(spark, sf_dir):
     t = F.col("text")
     return d.select(
         "doc_id",
-        T.token_count_ws(t).alias("n_tokens_ws"),
-        T.token_count_bpe(t).alias("n_tokens_bpe"),
-        F.length(t).alias("n_chars"),
+        T.token_count_ws(t).cast("long").alias("n_tokens_ws"),
+        T.token_count_bpe(t).cast("long").alias("n_tokens_bpe"),
+        F.length(t).cast("long").alias("n_chars"),
         T.fingerprint(t).alias("fingerprint"))
 
 
@@ -642,7 +643,8 @@ tf AS (
   SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
 ),
 q AS (SELECT unnest(['{"','".join(_FTS_QUERY)}']) AS term)
-SELECT doc_id, count(DISTINCT tf.term) AS matched_terms, sum(tf) AS tf_sum
+SELECT doc_id, count(DISTINCT tf.term) AS matched_terms,
+  CAST(sum(tf) AS BIGINT) AS tf_sum
 FROM tf JOIN q ON tf.term = q.term
 GROUP BY doc_id"""
 

@@ -54,6 +54,17 @@ def build_page_index(pages_out: DataFrame) -> DataFrame:
     )
 
 
+def page_index_from_pages_out(pages_out: DataFrame) -> DataFrame:
+    """The searchable-document table DERIVED from the committed
+    ``pages_out`` snapshot — a pure projection, so the crawl never writes
+    the (large) text content twice. Iceberg analog: a view."""
+    return pages_out.select(
+        "url", "url_canon", "ts14", "host", "title",
+        F.col("extracted_text").alias("content"),
+        "word_count", "quality_score", "lang", "warc_ts",
+    )
+
+
 def build_inverted_terms(page_index: DataFrame) -> DataFrame:
     """Explode title+content tokens → (term, url_canon, ts14, tf).
 

@@ -45,6 +45,7 @@ from ..operators.politeness import (
     robots_filter,
     schedule_round,
     with_global_order,
+    with_salted_host_partition,
 )
 from ..sources.cdx import discover, read_pages
 from .catalog import SnapshotCatalog
@@ -262,6 +263,12 @@ class CrawlJob:
                                 "inner")
         else:
             work = payload.join(scheduled, ["url", "ts14"], "inner")
+        # P8: spread extraction over (host, salt) partitions — the join
+        # output otherwise inherits the corpus scan's partition count (can
+        # be far below cluster parallelism), and a mega-host must never pin
+        # one task. One shuffle of the scheduled payloads only.
+        work = with_salted_host_partition(
+            work, target_rows_per_partition=self.salt_target_rows)
         extracted = with_extraction(work)
         extracted = with_quality_score(
             extracted, "extracted.text").cache()
@@ -337,10 +344,10 @@ class CrawlJob:
                                    properties={"round_idx": round_idx},
                                    assume_unique=True)
 
+        # page_index is NOT a separate table: it is a projection of
+        # pages_out (operators/index.py::page_index_from_pages_out) —
+        # committing it would write the full text content twice per round
         page_index = build_page_index(completed)
-        self.cat.merge_not_matched("page_index", page_index, FRONTIER_KEY,
-                                   properties={"round_idx": round_idx},
-                                   assume_unique=True)
         inv = build_inverted_terms(page_index)
         self.cat.merge_not_matched("inverted_terms", inv,
                                    ["term", "url_canon", "ts14"],
@@ -372,7 +379,7 @@ class CrawlJob:
                           for r in part_counts]),
               json.dumps({t: self.cat.current_version(t)
                           for t in ("fetch_log", "url_seen", "pages_out",
-                                    "page_index", "inverted_terms",
+                                    "inverted_terms",
                                     "frontier", "filtered_log")}))],
             "round_idx int, counters string, partition_lineage string, "
             "table_versions string",

@@ -22,6 +22,18 @@ from chrono_scraper_spark.session import get_spark  # noqa: E402
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# DuckDB → Spark type-name normalization for schema comparison
+_DUCK_TYPES = {
+    "BIGINT": "bigint", "INTEGER": "int", "SMALLINT": "smallint",
+    "TINYINT": "tinyint", "HUGEINT": "hugeint", "DOUBLE": "double",
+    "FLOAT": "float", "VARCHAR": "string", "DATE": "date",
+    "TIMESTAMP": "timestamp", "BOOLEAN": "boolean",
+}
+
+
+def norm_duck_type(t: str) -> str:
+    return _DUCK_TYPES.get(str(t).upper(), str(t).lower())
+
 
 def norm_cell(v):
     if isinstance(v, float):
@@ -68,6 +80,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
@@ -79,10 +92,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
         try:
             rel = con.sql(oracles[name])
             dcols = rel.columns
+            dtypes = {c: norm_duck_type(t)
+                      for c, t in zip(rel.columns, rel.types)}
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        type_diffs = {c: (stypes.get(c), dtypes.get(c)) for c in scols
+                      if c in dtypes and stypes.get(c) != dtypes.get(c)}
+        if type_diffs:
+            failures.append((name, f"dtype mismatch: {type_diffs}"))
+            print(f"FAIL {name}: dtype mismatch: {type_diffs}")
             continue
         sc, sr = norm_rows(scols, srows)
         dc, dr = norm_rows(dcols, drows)

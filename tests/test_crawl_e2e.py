@@ -72,8 +72,12 @@ def test_crawl_matches_oracle(spark, tmp_path, corpus_path, seeds):
     lineage = job.cat.read("crawl_rounds").collect()
     assert len(lineage) == len(rounds)
 
-    # full-text search works over the committed index
-    pi, inv = job.cat.read("page_index"), job.cat.read("inverted_terms")
+    # full-text search works over the committed index (page_index is a
+    # projection of pages_out, not a separate table)
+    from chrono_scraper_spark.operators.index import page_index_from_pages_out
+
+    pi = page_index_from_pages_out(job.cat.read("pages_out"))
+    inv = job.cat.read("inverted_terms")
     some_word = pi.selectExpr("split(content, ' ')[0] w").first()["w"]
     hits = search(pi, inv, some_word, limit=5)
     assert hits.count() > 0
