@@ -443,8 +443,8 @@ def q_events_tumbling(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(F.col("value").cast("decimal(18,4)"))
                          .cast("double"), 4).alias("sum_value"))
-            .select(F.col("w.start").alias("window_start"), "event_type",
-                    "n", "sum_value"))
+            .select(F.col("w.start").cast("timestamp").alias("window_start"),
+                    "event_type", "n", "sum_value"))
 
 
 SQL_EVENTS_TUMBLING = """

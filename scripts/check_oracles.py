@@ -35,6 +35,11 @@ def norm_duck_type(t: str) -> str:
     return _DUCK_TYPES.get(str(t).upper(), str(t).lower())
 
 
+def norm_spark_type(t: str) -> str:
+    # naive timestamps: ntz and session-tz compare equal as values
+    return "timestamp" if t == "timestamp_ntz" else t
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -80,7 +85,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None):
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            stypes = dict(sdf.dtypes)
+            stypes = {c: norm_spark_type(t) for c, t in sdf.dtypes}
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
