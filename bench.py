@@ -176,11 +176,12 @@ def main() -> None:
                               "cpus": cpus,
                               "extract_stage": extract_stage}))
             return
+        # queries first (fresh heap — the crawl leaves GC pressure behind)
+        queries = {} if os.environ.get("CSS_BENCH_SKIP_QUERIES") \
+            else bench_queries(spark, sf_dir)
         crawl = bench_crawl(spark, n_docs, workdir)
         extract_stage = bench_extract_stage(
             spark, stage_corpus or os.path.join(workdir, "pages"))
-        queries = {} if os.environ.get("CSS_BENCH_SKIP_QUERIES") \
-            else bench_queries(spark, sf_dir)
         result = {
             "metric": "frontier_urls_per_sec",
             "value": crawl["urls_per_sec"],
