@@ -50,8 +50,9 @@ def decision_rules(url: str = "url", length: str = "length",
             rules.append((f"regexp_matches({ul}, '{q(pat)}')",
                           C.STATUS_FILTERED_LIST_PAGE, f"list_page_{cat}",
                           0.9, f"'{q(pat)}'", 5))
+    # after the FIRST '?' (reference: url.split('?', 1)[1])
     qpart = (f"CASE WHEN contains({url}, '?') THEN "
-             f"list_extract(string_split({url}, '?'), -1) ELSE '' END")
+             f"substr({url}, instr({url}, '?') + 1) ELSE '' END")
     dyn = " OR ".join(f"contains({qpart}, '{q(p)}')"
                       for p in C.HEURISTIC_DYNAMIC_PARAMS)
     heur = (f"((len(string_split({url}, '/')) <= 4 AND "

@@ -26,11 +26,21 @@ from pyspark.sql import functions as F
 SEEN_KEY = ["url_canon", "ts14"]
 
 
+def _tie_break_order(frontier: DataFrame) -> list:
+    """Deterministic window order: (warc_ts, url) plus project_id when the
+    frontier carries one — discover() fans out one row per matching project
+    with identical (url, ts), so without project_id in the order the
+    surviving project attribution would be partition-order nondeterministic."""
+    order = [F.col("warc_ts").asc(), F.col("url").asc()]
+    if "project_id" in frontier.columns:
+        order.append(F.col("project_id").asc_nulls_last())
+    return order
+
+
 def collapse_digest(frontier: DataFrame, digest_col: str = "digest") -> DataFrame:
     """D1/W4: keep the earliest capture per content digest
-    (deterministic tie-break on url then ts14)."""
-    w = Window.partitionBy(digest_col).orderBy(F.col("warc_ts").asc(),
-                                               F.col("url").asc())
+    (deterministic tie-break on url, ts, then project_id)."""
+    w = Window.partitionBy(digest_col).orderBy(*_tie_break_order(frontier))
     return (
         frontier.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -113,9 +123,11 @@ def merge_into_seen(url_seen: DataFrame, new_rows: DataFrame,
 
 
 def in_batch_dedup(frontier: DataFrame, keys: list[str] = SEEN_KEY) -> DataFrame:
-    """D2/D8: first occurrence per key within a batch, deterministic order."""
+    """D2/D8: first occurrence per key within a batch, deterministic order
+    (project_id included in the tie-break when present — the lowest project
+    id deterministically owns a multi-seed page)."""
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
-        F.col("warc_ts").asc(), F.col("url").asc()
+        *_tie_break_order(frontier)
     )
     return (
         frontier.withColumn("__rn", F.row_number().over(w))

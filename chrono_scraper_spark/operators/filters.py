@@ -109,7 +109,12 @@ def list_page_heuristic_decision(url: Column) -> Column:
     many_params = url.contains("?") & (
         F.size(F.split(url, "&")) - 1 > 3
     )
-    query_part = F.when(url.contains("?"), F.substring_index(url, "?", -1)).otherwise(F.lit(""))
+    # everything after the FIRST '?' — the reference does url.split('?', 1)[1]
+    # (enhanced_intelligent_filter.py:322), so a second '?' stays in the query
+    query_part = F.when(
+        url.contains("?"),
+        F.substring(url, F.instr(url, "?") + F.lit(1), F.length(url)),
+    ).otherwise(F.lit(""))
     dyn = reduce(
         lambda a, b: a | b,
         [query_part.contains(p) for p in C.HEURISTIC_DYNAMIC_PARAMS],

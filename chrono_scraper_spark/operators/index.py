@@ -35,10 +35,12 @@ def tokenize(text: Column) -> Column:
 
 def tokenize_query(q: str) -> list[str]:
     """Driver-side tokenizer for query strings — must agree with
-    ``tokenize`` (same split class, lower-case)."""
+    ``tokenize``: split on anything that is not a letter/digit, INCLUDING
+    underscore (Python ``\\w`` keeps ``_``; the JVM class ``[^\\p{L}\\p{N}]``
+    does not, so ``[\\W_]`` is the matching Python class)."""
     import re
 
-    return [t for t in re.split(r"[^\w]+", q.lower()) if t]
+    return [t for t in re.split(r"[\W_]+", q.lower()) if t]
 
 
 def build_page_index(pages_out: DataFrame) -> DataFrame:

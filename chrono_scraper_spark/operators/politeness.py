@@ -49,7 +49,12 @@ def with_global_order(frontier: DataFrame) -> DataFrame:
     mapInPandas pass. Partition offsets come from an exclusive prefix-sum of
     per-partition counts (one long per partition collected — never rows).
     A pid-partitioned window here would re-shuffle the whole frontier on the
-    pid hash; this keeps the range exchange as the only shuffle."""
+    pid hash; this keeps the range exchange as the only shuffle.
+
+    The range-partitioned frame is cached (the count pass and the assign pass
+    must see identical partitioning); the cache handle rides on the returned
+    DataFrame as ``_global_order_cache`` so callers can unpersist once the
+    output is materialized (CrawlJob.run_round does)."""
     ordered = (
         with_priority_order_key(frontier)
         .repartitionByRange("order_key")
@@ -81,7 +86,9 @@ def with_global_order(frontier: DataFrame) -> DataFrame:
             nxt += len(pdf)
             yield pdf
 
-    return ordered.mapInPandas(_assign, out_schema)
+    out = ordered.mapInPandas(_assign, out_schema)
+    out._global_order_cache = ordered  # type: ignore[attr-defined]
+    return out
 
 
 def host_budgets(round_idx: int, rps: float = C.DEFAULT_HOST_RPS,

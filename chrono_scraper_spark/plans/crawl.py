@@ -239,6 +239,7 @@ class CrawlJob:
 
         # deterministic global crawl order within the round (P1)
         scheduled = with_global_order(scheduled)
+        go_cache = getattr(scheduled, "_global_order_cache", None)
 
         # FETCH: the frontier is metadata-only; payloads join back for the
         # scheduled subset. Broadcasting the scheduled keys keeps the
@@ -263,6 +264,15 @@ class CrawlJob:
                                 "inner")
         else:
             work = payload.join(scheduled, ["url", "ts14"], "inner")
+        # Scheduled rows with no matching payload (live-fetch / partial-corpus
+        # mode) must still terminalize: give them a null payload so the
+        # extractor marks them failed — they enter fetch_log + url_seen
+        # instead of silently vanishing from the inner join.
+        missing = (scheduled
+                   .join(payload.select("url", "ts14"), ["url", "ts14"],
+                         "left_anti")
+                   .withColumn("html", F.lit(None).cast("binary")))
+        work = work.unionByName(missing, allowMissingColumns=True)
         # P8: spread extraction over (host, salt) partitions — the join
         # output otherwise inherits the corpus scan's partition count (can
         # be far below cluster parallelism), and a mega-host must never pin
@@ -292,6 +302,10 @@ class CrawlJob:
             extracted.groupBy(F.spark_partition_id().alias("pid"))
             .count().orderBy("pid").collect()
         )
+        # the extraction cache is materialized now — the range-partitioned
+        # global-order cache behind it is no longer needed
+        if go_cache is not None:
+            go_cache.unpersist()
         _tick("schedule_order_extract")
 
         counters["scheduled"] = sum(r["count"] for r in part_counts)

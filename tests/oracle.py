@@ -44,7 +44,7 @@ def decide(url: str, length: int | None, digest: str,
     parts = url.split("/")
     short_path = len(parts) <= 4 and not any(len(p) > 8 for p in parts)
     many_params = "?" in url and url.count("&") > 3
-    query_part = url.split("?")[-1] if "?" in url else ""
+    query_part = url.split("?", 1)[1] if "?" in url else ""
     dynamic = any(p in query_part for p in C.HEURISTIC_DYNAMIC_PARAMS)
     if short_path or many_params or dynamic:
         return dict(status=C.STATUS_FILTERED_LIST_PAGE,
