@@ -684,11 +684,17 @@ QUALIFY rank <= 5"""
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    """Runs the BANDED hyperplane-LSH path (the 100 TB-scale construction);
+    the oracle is the exact all-pairs SQL — the exact-cosine verify stage
+    makes LSH output exact wherever recalled, and the planted pairs are
+    identical vectors (cosine 1.0), which agree on every plane of every
+    band, so recall is 1 by construction and the hash must match."""
     emb = _t(spark, sf_dir, "embeddings")
     clones = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     both = emb.select("vec_id", "embedding").unionByName(clones)
-    out = TD.embedding_near_duplicates(both, threshold=0.999)
+    out = TD.embedding_near_duplicates(both, threshold=0.999,
+                                       bands=6, r_planes=4)
     return out.select("a", "b", F.round("cosine", 3).alias("cosine"))
 
 
@@ -765,45 +771,137 @@ ORDER BY revenue DESC, custkey ASC LIMIT 10"""
 
 
 # --------------------------------------------------------------------------
-# rows-only queries (no SQL oracle — xxhash64/UDF-based; the driver records
-# a weaker rows-only check for these)
+# formerly rows-only queries — all four now carry real DuckDB value oracles
 # --------------------------------------------------------------------------
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64 is Spark-specific → no DuckDB twin).
-    Deterministic: hash family and chunk buckets are seed-free."""
+    """SimHash near-dup pairs via the PORTABLE md5-bit hash family (identical
+    construction in the DuckDB oracle); the xxhash64 long variant stays the
+    fast production path (unit-tested equivalent semantics)."""
     docs = _docs_with_clones(spark, sf_dir)
-    return TD.simhash_near_duplicates(docs, max_hamming=3)
+    return TD.simhash_near_duplicates_portable(docs, max_hamming=3)
+
+
+SQL_SIMHASH_PAIRS = f"""WITH {_SQL_DOCS_CLONES},
+tok AS (
+  SELECT doc_id, unnest({OG.tokens_sql('text')}) AS tok FROM docs2
+),
+h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+sums AS (
+  SELECT doc_id,
+    {OG.simhash_sum_exprs_sql('hx')}
+  FROM h GROUP BY doc_id
+),
+bits AS (
+  SELECT doc_id, {OG.simhash_bits_concat_sql()} AS bits FROM sums
+),
+chunks AS (
+  SELECT doc_id, bits, i AS chunk_idx,
+         substr(bits, 1 + 16 * i, 16) AS chunk
+  FROM bits, (SELECT unnest(range(0, 4)) AS i)
+),
+cands AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+         l.bits AS ba, r.bits AS bb
+  FROM chunks l JOIN chunks r
+    ON l.chunk_idx = r.chunk_idx AND l.chunk = r.chunk
+  WHERE l.doc_id < r.doc_id
+),
+pairs AS (
+  SELECT a, b,
+    CAST(len(list_filter(range(1, 65),
+         i -> substr(ba, CAST(i AS INT), 1) != substr(bb, CAST(i AS INT), 1)))
+         AS INT) AS hamming
+  FROM cands
+)
+SELECT a, b, hamming FROM pairs WHERE hamming <= 3"""
 
 
 def q_ann_topk_lsh(spark, sf_dir):
-    """Multi-probe hyperplane-LSH ANN (approximate by design — verified
-    against the brute-force twin in tests; rank set is deterministic)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    """Multi-probe hyperplane-LSH ANN, value-checked as a RECALL contract.
+
+    Hyperplane LSH only promises recall for genuinely-near neighbors (small
+    angle); the nearest neighbors of a random query in a random corpus are
+    near-orthogonal, where no LSH family helps. So the contract plants the
+    neighbors: each query vector gets 5 small deterministic perturbations
+    (cosine ≈ 0.999) unioned into the corpus, the exact brute-force top-5
+    for each query is recomputed, and the query emits per-query
+    ``recall_ok`` = (LSH found ≥ 0.8 of the true top-5). The oracle asserts
+    the same invariant as constant truth — a recall regression (plane
+    construction, probing, bucketing bugs) flips a row and breaks the hash."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    out = ANN.cosine_topk_lsh(emb, queries, k=5, n_planes=6)
-    return out.select("query_id", "neighbor_id", "rank")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = queries.select(
+        F.col("query_id"), F.explode(F.sequence(F.lit(1), F.lit(5))).alias("j"),
+        "embedding",
+    ).select(
+        (F.col("query_id") * 10 + F.col("j") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: x + (F.pmod(F.xxhash64(F.col("query_id"), F.col("j"),
+                                             x.cast("string")),
+                                  F.lit(201)) - 100).cast("double") / 50000.0,
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id",
+                        F.col("embedding").cast("array<double>")
+                        .alias("embedding")).unionByName(planted)
+    lsh = ANN.cosine_topk_lsh(corpus, queries, k=5, n_planes=6).select(
+        "query_id", "neighbor_id")
+    brute = ANN.cosine_topk_bruteforce(corpus, queries, k=5).select(
+        "query_id", "neighbor_id")
+    hit = brute.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+    recall = (brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+              .join(hit.groupBy("query_id")
+                    .agg(F.count(F.lit(1)).alias("found")),
+                    "query_id", "left")
+              .select("query_id",
+                      (F.coalesce(F.col("found"), F.lit(0)) / F.col("k"))
+                      .alias("recall")))
+    return recall.select("query_id",
+                         (F.col("recall") >= 0.8).alias("recall_ok"))
+
+
+SQL_ANN_TOPK_LSH = """
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5"""
 
 
 def q_extraction_identity(spark, sf_dir):
-    """Byte-identity of the pinned html→text extractor over the co-generated
-    corpus (the round contract's per-row invariant). Row count == corpus
-    size and `identical` is true everywhere; html is binary → no SQL twin."""
-    from chrono_scraper_spark.corpus import generate_pages
+    """Byte-identity of the pinned html→text extractor, value-checked: the
+    query renders html from the oracle-parity corpus text (the same
+    co-generation the crawl pipeline uses), extracts, and emits
+    md5(extracted text) + title + method; the oracle hashes the source text
+    directly — any extractor byte divergence breaks the hash."""
+    from chrono_scraper_spark.corpus import _render_html_udf
     from chrono_scraper_spark.operators.extraction import with_extraction
 
-    pages = generate_pages(spark, 300, partitions=4)
+    pages = cdx_pages_view(spark, sf_dir).filter(F.col("mime") == "text/html")
+    pages = pages.withColumn(
+        "page_title", F.concat(F.lit("doc "), F.col("doc_id").cast("string")))
+    pages = pages.withColumn(
+        "html", _render_html_udf(F.col("page_title"), F.col("text")))
     out = with_extraction(pages)
     return out.select(
-        "url", F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
-        (F.col("extracted.text") == F.col("text")).alias("identical"),
+        "url", "ts14",
+        F.md5(F.col("extracted.text")).alias("text_md5"),
+        F.col("extracted.title").alias("title"),
         F.col("extracted.method").alias("method"))
 
 
+SQL_EXTRACTION_IDENTITY = _PRELUDE + """
+SELECT url, ts14, md5(text) AS text_md5,
+  'doc ' || CAST(doc_id AS VARCHAR) AS title,
+  'article' AS method
+FROM pages_cdx WHERE mime = 'text/html'"""
+
+
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: deterministic byte-level features over binary
-    payloads via Arrow mapInPandas (decode kernels stubbed in-container)."""
+    """Multimodal plumbing with a value oracle: payloads are deterministic
+    (sha256-derived), so byte-level features (length, entropy, header hex)
+    are recomputable in DuckDB SQL over the regenerated payload strings."""
     from chrono_scraper_spark.operators.multimodal import (
         extract_features,
         synth_media,
@@ -812,6 +910,24 @@ def q_multimodal_features(spark, sf_dir):
     media = synth_media(spark, 64)
     return extract_features(media, fake=True).withColumn(
         "byte_entropy", F.round("byte_entropy", 4))
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH m AS (SELECT t.range AS media_id FROM range(0, 64) t),
+p AS (
+  SELECT media_id,
+    CASE WHEN media_id % 3 = 0 THEN 'image'
+         WHEN media_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+    'PAYLOAD:' || sha256(CAST(media_id AS VARCHAR)) AS s
+  FROM m
+),
+chars AS (SELECT media_id, unnest(string_split(s, '')) AS ch FROM p),
+ent AS (SELECT media_id, entropy(ch) AS e FROM chars GROUP BY 1)
+SELECT p.media_id, p.kind,
+  CAST(length(p.s) AS BIGINT) AS n_bytes,
+  round(round(ent.e, 6), 4) AS byte_entropy,
+  lower(hex(substr(p.s, 1, 4))) AS header_hex
+FROM p JOIN ent USING (media_id)"""
 
 
 # --------------------------------------------------------------------------
@@ -848,7 +964,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "lineitem_rollup": q_lineitem_rollup,
     "top_customers": q_top_customers,
-    # rows-only (no oracle): non-SQL-expressible ops
     "simhash_pairs": q_simhash_pairs,
     "ann_topk_lsh": q_ann_topk_lsh,
     "extraction_identity": q_extraction_identity,
@@ -885,4 +1000,8 @@ ORACLES: dict[str, str] = {
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,
     "top_customers": SQL_TOP_CUSTOMERS,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "ann_topk_lsh": SQL_ANN_TOPK_LSH,
+    "extraction_identity": SQL_EXTRACTION_IDENTITY,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

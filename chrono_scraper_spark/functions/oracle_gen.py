@@ -156,6 +156,28 @@ def token_count_bpe_sql(text: str) -> str:
             f"'{T.BPE_TOKEN_RE}'))")
 
 
+def text_quality_sql(text: str) -> str:
+    """DuckDB twin of textops.text_quality (0-1 score, rounded to 4)."""
+    t = f"coalesce({text}, '')"
+    length = f"length({t})"
+    words = token_count_ws_sql(text)
+    alpha = f"length(regexp_replace({t}, '[^\\p{{L}}]', '', 'g'))"
+    punct = f"length(regexp_replace({t}, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))"
+    sw = stopword_hits_sql(text, "en")
+    len_score = f"least({length} / 2000.0, 1.0)"
+    alpha_ratio = f"CASE WHEN {length} > 0 THEN {alpha} / {length} ELSE 0.0 END"
+    punct_pen = (f"CASE WHEN {length} > 0 THEN "
+                 f"least({punct} * 5.0 / {length}, 1.0) ELSE 0.0 END")
+    sw_score = (f"CASE WHEN {words} > 0 THEN "
+                f"least({sw} * 8.0 / {words}, 1.0) ELSE 0.0 END")
+    wordlen = f"CASE WHEN {words} > 0 THEN {length} / {words} ELSE 0.0 END"
+    wordlen_score = (f"CASE WHEN {wordlen} >= 3 AND {wordlen} <= 12 "
+                     f"THEN 1.0 ELSE 0.3 END")
+    return (f"round({len_score} * 0.3 + ({alpha_ratio}) * 0.3 + "
+            f"(1 - ({punct_pen})) * 0.1 + ({sw_score}) * 0.1 + "
+            f"({wordlen_score}) * 0.2, 4)")
+
+
 def fingerprint_sql(text: str) -> str:
     return (f"md5(regexp_replace(trim(lower(coalesce({text}, ''))), "
             f"'\\s+', ' ', 'g'))")
@@ -173,3 +195,22 @@ def minhash_signature_sql(sh: str, n_hashes: int = 12) -> str:
     """array<string> minhash signature over shingle list ``sh``."""
     return (f"[list_min(list_transform({sh}, x -> md5(i || ':' || x))) "
             f"for i in range(0, {n_hashes})]")
+
+
+def simhash_sum_exprs_sql(hx: str = "hx") -> str:
+    """The 64 per-bit ±1 sum aggregates over md5-hex token hashes — DuckDB
+    twin of operators.text_dedup.simhash_bits_portable (bit b of a token =
+    bit (b%4) of hex digit b//4 of md5(token))."""
+    exprs = []
+    for b in range(64):
+        hd = (f"(strpos('0123456789abcdef', substr({hx}, {b // 4 + 1}, 1)) "
+              f"- 1)")
+        bit = f"(({hd} // {1 << (b % 4)}) % 2)"
+        exprs.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS b{b}")
+    return ",\n    ".join(exprs)
+
+
+def simhash_bits_concat_sql() -> str:
+    """Reassemble the 64 sign bits into the bit string (b0 leftmost)."""
+    return " || ".join(
+        f"CASE WHEN b{b} > 0 THEN '1' ELSE '0' END" for b in range(64))

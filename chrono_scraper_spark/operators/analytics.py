@@ -93,3 +93,95 @@ def size_distribution(analytics: DataFrame) -> DataFrame:
     return (counts
             .withColumn("pct", F.round(F.col("n") * 100.0 / total, 4))
             .orderBy("content_size_category"))
+
+
+def facet_distribution(df: DataFrame, facet_cols: list[str]) -> DataFrame:
+    """A10: multi-facet value counts in ONE pass — explode each row into
+    (facet, value) pairs then hash-aggregate (Meilisearch facetDistribution
+    analog, meilisearch_service.py:395-412; the reference's A10 facet rollup
+    over analytics facts). One shuffle regardless of facet count — N separate
+    groupBys would scan the fact N times."""
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("facet"),
+                 F.col(c).cast("string").alias("value"))
+        for c in facet_cols
+    ])).alias("fv"))
+    return (pairs.groupBy(F.col("fv.facet").alias("facet"),
+                          F.col("fv.value").alias("value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("facet", "value"))
+
+
+def content_analytics_transform(pages: DataFrame) -> DataFrame:
+    """S8-bis: extraction-metrics fact table
+    (analytics/schemas/content_analytics.sql:5-75,
+    data_transformers.py:97-412). One projection from crawl/extraction
+    output; every derivation is a column expression. Sink partitioning:
+    processing_date (Iceberg ``days(...)``).
+
+    Expects frontier+extraction columns (url, host, warc_ts, mime, length,
+    text word counts, quality, lang); callers map their column names first.
+    """
+    from ..functions.textops import text_quality, token_count_ws
+
+    text = F.col("text")
+    wc = token_count_ws(text).cast("int")
+    return pages.select(
+        F.col("url").alias("original_url"),
+        F.col("host").alias("domain"),
+        F.to_date("warc_ts").alias("processing_date"),
+        F.year("warc_ts").alias("processing_year"),
+        F.month("warc_ts").alias("processing_month"),
+        F.col("mime").alias("mime_type"),
+        F.when(F.col("mime") == "text/html", "html")
+        .when(F.col("mime") == "application/pdf", "pdf")
+        .otherwise("other").alias("content_category"),
+        F.col("length").alias("original_size_bytes"),
+        # extraction method/status mirror the engine cascade: html extracts
+        # via the pinned article path; non-html mimes are routed unsupported
+        F.when(F.col("mime") == "text/html", "article")
+        .otherwise("unsupported_mime").alias("extraction_method"),
+        F.when((F.col("mime") == "text/html") & (wc > 0), "success")
+        .otherwise("failed").alias("extraction_status"),
+        F.length(text).cast("int").alias("text_content_length"),
+        wc.alias("word_count"),
+        F.size(F.split(text, r"\n\n")).cast("int").alias("paragraph_count"),
+        F.col("lang").alias("language"),
+        text_quality(text).alias("content_quality_score"),
+        (wc > 50).alias("has_meaningful_content"),
+    )
+
+
+def extraction_method_stats(content_fact: DataFrame) -> DataFrame:
+    """Extraction-method effectiveness rollup
+    (sample_queries.sql:110-123): per (method, status) attempt counts,
+    average quality/word count, meaningful-content count. Hash agg with
+    map-side partials."""
+    # decimal-cast the double avg: float summation order differs between
+    # engines/partitionings; decimal aggregation is exact and deterministic
+    return (content_fact.groupBy("extraction_method", "extraction_status")
+            .agg(F.count(F.lit(1)).alias("total_attempts"),
+                 F.round(F.avg(F.col("content_quality_score")
+                               .cast("decimal(18,6)")).cast("double"), 3)
+                 .alias("avg_quality"),
+                 F.round(F.avg("word_count"), 1).alias("avg_word_count"),
+                 F.sum(F.when(F.col("has_meaningful_content"), 1)
+                       .otherwise(0)).alias("meaningful_content_count"))
+            .orderBy("extraction_method", "extraction_status"))
+
+
+def project_monthly_rollup(project_fact: DataFrame) -> DataFrame:
+    """Project/user monthly aggregation (project_analytics.sql:5-40,
+    sample_queries.sql:179-210): per (project, month) page counts, success
+    rate, distinct domains, average quality proxy."""
+    return (project_fact
+            .groupBy("project_id",
+                     F.date_trunc("month", F.col("warc_ts"))
+                     .cast("date").alias("analytics_month"))
+            .agg(F.count(F.lit(1)).alias("total_pages_processed"),
+                 F.sum(F.when(F.col("status") == 200, 1).otherwise(0))
+                 .alias("success_pages"),
+                 F.countDistinct("host").alias("active_domains"),
+                 F.round(F.avg(F.length("text")), 2)
+                 .alias("avg_content_length"))
+            .orderBy("project_id", "analytics_month"))

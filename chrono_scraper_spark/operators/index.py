@@ -85,12 +85,13 @@ def build_inverted_terms(page_index: DataFrame) -> DataFrame:
 
 
 def search(page_index: DataFrame, inverted_terms: DataFrame, query: str,
-           limit: int = 20) -> DataFrame:
+           limit: int = 20, offset: int = 0) -> DataFrame:
     """Ranked full-text match (J7). Ranking follows the reference's rule
     order analog: #matched terms desc (words), total tf desc (proximity/
     exactness proxy), then quality_score desc, word_count desc
     (shared_pages_meilisearch.py:167-176); deterministic final tie-break on
-    (url_canon, ts14)."""
+    (url_canon, ts14). ``offset`` pages through the ranked list (O3 —
+    Meilisearch limit/offset, meilisearch_service.py:356)."""
     terms = tokenize_query(query)
     spark = page_index.sparkSession
     if not terms:
@@ -104,11 +105,93 @@ def search(page_index: DataFrame, inverted_terms: DataFrame, query: str,
         F.sum("tf").alias("tf_sum"),
     )
     out = scored.join(page_index, ["url_canon", "ts14"], "inner")
-    return (
-        out.orderBy(
-            F.desc("matched_terms"), F.desc("tf_sum"),
-            F.desc("quality_score"), F.desc("word_count"),
-            F.asc("url_canon"), F.asc("ts14"),
-        )
-        .limit(limit)
+    ranked = out.orderBy(
+        F.desc("matched_terms"), F.desc("tf_sum"),
+        F.desc("quality_score"), F.desc("word_count"),
+        F.asc("url_canon"), F.asc("ts14"),
     )
+    if offset:
+        ranked = ranked.offset(offset)
+    return ranked.limit(limit)
+
+
+def match_set(inverted_terms: DataFrame, terms: list[str]) -> DataFrame:
+    """Pages matching ≥1 query term with per-page match stats — the result
+    set faceting and filtering operate over (Meilisearch estimated result
+    set, meilisearch_service.py:353-412)."""
+    spark = inverted_terms.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in sorted(set(terms))],
+                                "term string")
+    hits = inverted_terms.join(F.broadcast(qdf), "term", "inner")
+    return hits.groupBy("url_canon", "ts14").agg(
+        F.countDistinct("term").alias("matched_terms"),
+        F.sum("tf").alias("tf_sum"),
+    )
+
+
+def search_facets(page_index: DataFrame, inverted_terms: DataFrame,
+                  query: str, facet_cols: list[str]) -> DataFrame:
+    """Facet distribution over the search match set
+    (meilisearch_service.py:395-412 ``facets`` params;
+    shared_pages_meilisearch.py:497-502 facet fields): for each facet column,
+    value → number of matching pages. One pass over the match-set join —
+    the explode fans each matching page into (facet, value) pairs, then one
+    hash aggregation (same shape as analytics.facet_distribution)."""
+    from .analytics import facet_distribution
+
+    terms = tokenize_query(query)
+    ms = match_set(inverted_terms, terms)
+    matched = ms.join(page_index, ["url_canon", "ts14"], "inner")
+    return facet_distribution(matched, facet_cols)
+
+
+def expand_terms_typo(inverted_terms: DataFrame, terms: list[str],
+                      max_edit: int = 1) -> DataFrame:
+    """Typo tolerance (meilisearch_service.py:454-470 ranking rule ``typo``):
+    map each query term to index terms within ``max_edit`` Levenshtein edits.
+    Output: (term, query_term, edit_dist).
+
+    Scale shape: the distinct-term vocabulary is aggregated once (hash agg),
+    then the TINY query-term list broadcasts against it with a
+    length-pre-filter (``abs(len diff) <= max_edit``) so the Levenshtein UDF
+    never runs on hopeless pairs. Vocabulary is ~10^6-10^7 rows even for a
+    10^10-page corpus — a broadcast-nested-loop against ≤10 query terms is
+    one map-side pass, no shuffle of the inverted index."""
+    spark = inverted_terms.sparkSession
+    vocab = inverted_terms.select("term").distinct()
+    qdf = spark.createDataFrame([(t,) for t in sorted(set(terms))],
+                                "query_term string")
+    joined = vocab.join(
+        F.broadcast(qdf),
+        (F.abs(F.length("term") - F.length("query_term")) <= max_edit)
+        & (F.levenshtein("term", "query_term") <= max_edit),
+        "inner",
+    )
+    return joined.select(
+        "term", "query_term",
+        F.levenshtein("term", "query_term").alias("edit_dist"))
+
+
+def search_typo(page_index: DataFrame, inverted_terms: DataFrame, query: str,
+                limit: int = 20, max_edit: int = 1) -> DataFrame:
+    """Typo-tolerant ranked search: query terms expand to edit-distance ≤
+    ``max_edit`` index terms; exact matches rank above typo matches (the
+    reference's ``words > typo`` rule order, meilisearch_service.py:454-470),
+    then the standard ranking chain."""
+    terms = tokenize_query(query)
+    if not terms:
+        return search(page_index, inverted_terms, query, limit)
+    expanded = expand_terms_typo(inverted_terms, terms, max_edit)
+    hits = inverted_terms.join(F.broadcast(expanded), "term", "inner")
+    scored = hits.groupBy("url_canon", "ts14").agg(
+        F.countDistinct("query_term").alias("matched_terms"),
+        F.countDistinct(F.when(F.col("edit_dist") == 0, F.col("query_term")))
+        .alias("exact_terms"),
+        F.sum("tf").alias("tf_sum"),
+    )
+    out = scored.join(page_index, ["url_canon", "ts14"], "inner")
+    return (out.orderBy(
+        F.desc("matched_terms"), F.desc("exact_terms"), F.desc("tf_sum"),
+        F.desc("quality_score"), F.desc("word_count"),
+        F.asc("url_canon"), F.asc("ts14"))
+        .limit(limit))

@@ -150,6 +150,70 @@ def _popcount64(x: Column) -> Column:
     return F.bit_count(x)
 
 
+def simhash_bits_portable(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as a '0'/'1' bit STRING, hash family derived from md5
+    hex digits (bit b of a token = bit (b%4) of hex digit b//4) — portable:
+    the identical construction runs in the DuckDB oracle
+    (oracle_gen.simhash_sum_exprs_sql), so pair output is value-checkable.
+    Same shape as ``simhash64`` (explode → 64 aggregates → sign vector);
+    one shuffle (the groupBy id)."""
+    tok = docs.select(F.col(id_col),
+                      F.explode(tokens(F.col(text_col))).alias("tok"))
+    hx = F.md5("tok")
+    aggs = []
+    for b in range(64):
+        hd = F.conv(F.substring(hx, b // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(hd, b % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)))
+                    .alias(f"b{b}"))
+    sums = tok.groupBy(id_col).agg(*aggs)
+    chars = [F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+             for b in range(64)]
+    return sums.select(F.col(id_col), F.concat(*chars).alias("bits"))
+
+
+def _bits_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(a)), F.lit(0),
+        lambda acc, i: acc + F.when(
+            F.substring(a, i, F.lit(1)) != F.substring(b, i, F.lit(1)),
+            F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def simhash_near_duplicates_portable(docs: DataFrame, id_col: str = "doc_id",
+                                     text_col: str = "text",
+                                     max_hamming: int = 3) -> DataFrame:
+    """``simhash_near_duplicates`` over the portable md5-derived bits —
+    identical pigeonhole candidate construction (16-bit chunks), hamming
+    verify on the bit strings. Used by the oracle-checked contract query;
+    the xxhash64 long variant below is the faster production path."""
+    sim = simhash_bits_portable(docs, id_col, text_col)
+    chunks = sim.select(
+        F.col(id_col), "bits",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk_idx"),
+                     F.substring("bits", 1 + 16 * i, 16).alias("chunk"))
+            for i in range(4)
+        ])).alias("c"),
+    ).select(id_col, "bits", "c.chunk_idx", "c.chunk")
+    left = chunks.select(F.col(id_col).alias("a"),
+                         F.col("bits").alias("bits_a"), "chunk_idx", "chunk")
+    right = chunks.select(F.col(id_col).alias("b"),
+                          F.col("bits").alias("bits_b"), "chunk_idx", "chunk")
+    cands = (left.join(right, ["chunk_idx", "chunk"])
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", "bits_a", "bits_b").distinct())
+    return (cands
+            .withColumn("hamming",
+                        _bits_hamming(F.col("bits_a"), F.col("bits_b"))
+                        .cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))
+
+
 def simhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             max_hamming: int = 3) -> DataFrame:
@@ -197,45 +261,68 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _hyperplane_sig(vec: Column, band: int, r_planes: int, seed: int) -> Column:
+    """Sign bit-string of ``vec`` against ``r_planes`` deterministic
+    (xxhash64-derived) hyperplanes for one band — no RNG state shipped."""
+    dim = F.size(vec)
+    return F.concat_ws("", F.transform(
+        F.sequence(F.lit(0), F.lit(r_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(1), dim),
+                        lambda d: (F.pmod(
+                            F.xxhash64(
+                                (F.lit(band) * F.lit(1009) + p)
+                                * F.lit(100003) + d,
+                                F.lit(seed)),
+                            F.lit(2001)) - 1000).cast("double") / 1000.0,
+                    ),
+                    lambda x, rnd: x * rnd,
+                ),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ) >= 0, F.lit("1")).otherwise(F.lit("0")),
+    ))
+
+
 def embedding_near_duplicates(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95, n_planes: int = 0, seed: int = 7,
+    threshold: float = 0.95, bands: int = 0, r_planes: int = 4, seed: int = 7,
 ) -> DataFrame:
     """Cosine-similarity near-dup pairs over an embedding column.
 
-    ``n_planes == 0`` → exact all-pairs (the verification baseline; O(n²)
-    — only for small n). ``n_planes > 0`` → random-hyperplane LSH: documents
-    must agree on all plane signs to become candidates, then exact cosine
-    verifies. Planes are deterministic (xxhash64-derived), so results are
-    reproducible without any RNG state.
+    ``bands == 0`` → exact all-pairs (the verification baseline; O(n²) —
+    only for small n). ``bands > 0`` → BANDED random-hyperplane LSH, the
+    same OR-of-ANDs construction as MinHash banding: each band hashes the
+    vector against ``r_planes`` independent hyperplanes; two vectors become
+    candidates when they agree on ALL planes of AT LEAST ONE band (candidate
+    union across bands), then exact cosine verifies every candidate, so the
+    output is exact wherever a pair is recalled. Recall follows the LSH
+    S-curve 1-(1-p^r)^b with p = 1 - θ/π — multiple bands avoid the
+    single-AND-band recall cliff. Shuffle volume ∝ bucket collisions
+    (bands × n rows keyed by (band, sig)), never n².
     """
     vecs = emb.select(F.col(id_col).alias("__id"),
                       F.col(vec_col).cast("array<double>").alias("__v"))
-    if n_planes > 0:
-        dim = F.size("__v")
-        sig = F.transform(
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda p: F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("__v"),
-                        F.transform(
-                            F.sequence(F.lit(1), dim),
-                            lambda d: (F.pmod(
-                                F.xxhash64(p * F.lit(100003) + d, F.lit(seed)),
-                                F.lit(2001)) - 1000).cast("double") / 1000.0,
-                        ),
-                        lambda x, r: x * r,
-                    ),
-                    F.lit(0.0), lambda acc, v: acc + v,
-                ) >= 0, F.lit("1")).otherwise(F.lit("0")),
-        )
-        vecs = vecs.withColumn("__bucket", F.concat_ws("", sig))
-        left = vecs.select(F.col("__id").alias("a"),
-                           F.col("__v").alias("va"), "__bucket")
-        right = vecs.select(F.col("__id").alias("b"),
-                            F.col("__v").alias("vb"), "__bucket")
-        pairs = left.join(right, "__bucket").filter(F.col("a") < F.col("b"))
+    if bands > 0:
+        banded = vecs.select(
+            "__id", "__v",
+            F.explode(F.array(*[
+                F.struct(F.lit(bd).alias("band_idx"),
+                         _hyperplane_sig(F.col("__v"), bd, r_planes, seed)
+                         .alias("sig"))
+                for bd in range(bands)
+            ])).alias("bs"),
+        ).select("__id", "__v", "bs.band_idx", "bs.sig")
+        left = banded.select(F.col("__id").alias("a"),
+                             F.col("__v").alias("va"), "band_idx", "sig")
+        right = banded.select(F.col("__id").alias("b"),
+                              F.col("__v").alias("vb"), "band_idx", "sig")
+        pairs = (left.join(right, ["band_idx", "sig"])
+                 .filter(F.col("a") < F.col("b"))
+                 .select("a", "b", "va", "vb").distinct())
     else:
         left = vecs.select(F.col("__id").alias("a"), F.col("__v").alias("va"))
         right = vecs.select(F.col("__id").alias("b"), F.col("__v").alias("vb"))

@@ -15,11 +15,14 @@ its manifest file, then ``os.replace`` the ``_current`` pointer. A crash
 before the pointer swap leaves the previous snapshot current — exactly
 Iceberg's metadata-pointer semantics.
 
-Scale notes: snapshots here are copy-on-write full rewrites, fine for tables
-that are small per-round deltas at test scale. On a cluster the url_seen
-table is Iceberg format-v2 merge-on-read: MERGE writes only delta files, and
-the 10^10-key seen set never rewrites. The engine code paths are identical —
-``merge_not_matched`` takes the delta DataFrame either way.
+Scale notes: commits are DELTA-APPEND (Iceberg fast-append / format-v2
+merge-on-read semantics): ``append`` and ``merge_not_matched`` write ONLY the
+delta rows as a new parquet fragment, and the manifest lists the snapshot's
+fragment set; a read is the union of the listed fragments. Commit cost is
+O(delta), never O(accumulated table) — the 10^10-key ``url_seen`` table is
+never rewritten, round over round. ``commit`` (overwrite) replaces the
+fragment set; ``compact`` folds the fragment chain back into one file when
+fragment count grows (Iceberg rewrite_data_files analog).
 """
 
 from __future__ import annotations
@@ -84,13 +87,29 @@ class SnapshotCatalog:
         return self.current_version(table) is not None
 
     # -- reads ---------------------------------------------------------------
+    def _fragments(self, table: str, version: int) -> list[str]:
+        """Absolute fragment paths for a snapshot (manifest-listed; falls
+        back to the snapshot's own data dir for pre-fragment manifests)."""
+        m = self.manifest(table, version)
+        rels = m.get("fragments") if m else None
+        if rels is None:
+            return [self._data_dir(table, version)]
+        return [os.path.join(self.root, r) for r in rels]
+
     def read(self, table: str, version: int | None = None) -> DataFrame:
-        """Current (or time-travel) snapshot read. Iceberg:
+        """Current (or time-travel) snapshot read = union of the manifest's
+        fragment files. Iceberg:
         ``spark.read.option("snapshot-id", …).table(table)``."""
         version = version if version is not None else self.current_version(table)
         if version is None:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
-        return self.spark.read.parquet(self._data_dir(table, version))
+        frags = self._fragments(table, version)
+        reader = self.spark.read
+        if len(frags) > 1:
+            # fragments may differ in schema across rounds (column adds) —
+            # Iceberg resolves by schema id; plain parquet needs mergeSchema
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*frags)
 
     def read_or_empty(self, table: str, schema: str) -> DataFrame:
         if self.exists(table):
@@ -98,34 +117,32 @@ class SnapshotCatalog:
         return self.spark.createDataFrame([], schema)
 
     # -- commits -------------------------------------------------------------
-    def commit(self, table: str, df: DataFrame, *, operation: str,
-               properties: dict | None = None,
-               partition_by: list[str] | None = None,
-               row_count: int | None = None) -> dict:
-        """Write ``df`` as the table's next snapshot. Iceberg:
-        ``df.writeTo(table).overwritePartitions()`` / ``append`` under one
-        snapshot commit.
-
-        ``row_count``: caller-provided when already known; -1 (unknown)
-        otherwise — recounting would cost one extra job per commit, and
-        Iceberg gets snapshot record counts from file metadata for free."""
-        prev = self.current_version(table)
-        version = (prev or 0) + 1
+    def _write_fragment(self, table: str, version: int, df: DataFrame,
+                        partition_by: list[str] | None = None) -> str:
+        """Write one fragment dir for the snapshot; returns its root-relative
+        path (what the manifest stores)."""
         data_dir = self._data_dir(table, version)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        if row_count is None:
-            row_count = -1
+        return os.path.relpath(data_dir, self.root)
+
+    def _commit_manifest(self, table: str, fragments: list[str], *,
+                         version: int, prev: int | None, operation: str,
+                         properties: dict | None,
+                         row_count: int | None) -> dict:
+        """Manifest write + atomic ``_current`` pointer swap — the actual
+        commit point (a crash before the swap leaves the parent current)."""
         manifest = {
             "table": table,
             "version": version,
             "parent_version": prev,
             "snapshot_id": uuid.uuid4().hex,
             "operation": operation,
-            "row_count": row_count,
+            "row_count": -1 if row_count is None else row_count,
             "committed_at_unix": time.time(),
+            "fragments": fragments,
             "properties": properties or {},
         }
         mpath = self._manifest_path(table, version)
@@ -134,7 +151,6 @@ class SnapshotCatalog:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, mpath)
-        # atomic current-pointer swap — the actual commit point
         cur = os.path.join(self._tdir(table), _CURRENT)
         tmpc = cur + f".tmp-{uuid.uuid4().hex}"
         with open(tmpc, "w") as f:
@@ -142,12 +158,38 @@ class SnapshotCatalog:
         os.replace(tmpc, cur)
         return manifest
 
+    def commit(self, table: str, df: DataFrame, *, operation: str,
+               properties: dict | None = None,
+               partition_by: list[str] | None = None,
+               row_count: int | None = None) -> dict:
+        """OVERWRITE commit: ``df`` becomes the table's entire next snapshot
+        (one fragment). Iceberg: ``df.writeTo(table).overwritePartitions()``.
+
+        ``row_count``: caller-provided when already known; -1 (unknown)
+        otherwise — recounting would cost one extra job per commit, and
+        Iceberg gets snapshot record counts from file metadata for free."""
+        prev = self.current_version(table)
+        version = (prev or 0) + 1
+        frag = self._write_fragment(table, version, df, partition_by)
+        return self._commit_manifest(table, [frag], version=version,
+                                     prev=prev, operation=operation,
+                                     properties=properties,
+                                     row_count=row_count)
+
     def append(self, table: str, df: DataFrame, *, operation: str = "append",
                properties: dict | None = None) -> dict:
-        """Append = previous ∪ new (Iceberg fast-append; here CoW union)."""
-        if self.exists(table):
-            df = self.read(table).unionByName(df, allowMissingColumns=True)
-        return self.commit(table, df, operation=operation, properties=properties)
+        """DELTA append (Iceberg fast-append): write ONLY ``df`` as a new
+        fragment; the new manifest lists parent fragments + the new one.
+        Cost is O(delta) regardless of accumulated table size."""
+        prev = self.current_version(table)
+        version = (prev or 0) + 1
+        frag = self._write_fragment(table, version, df)
+        prev_frags = self._fragments(table, prev) if prev is not None else []
+        rel_prev = [os.path.relpath(p, self.root) for p in prev_frags]
+        return self._commit_manifest(table, rel_prev + [frag],
+                                     version=version, prev=prev,
+                                     operation=operation,
+                                     properties=properties, row_count=None)
 
     def merge_not_matched(self, table: str, new_rows: DataFrame,
                           keys: list[str], *, operation: str = "merge",
@@ -155,20 +197,38 @@ class SnapshotCatalog:
                           assume_unique: bool = False) -> dict:
         """``MERGE INTO table USING new ON keys WHEN NOT MATCHED THEN INSERT``
         (reference semantics: ON CONFLICT DO NOTHING,
-        cdx_deduplication_service.py:229-238).
+        cdx_deduplication_service.py:229-238) as a MERGE-ON-READ delta: the
+        anti-join keeps only genuinely-new keys, and ONLY those rows are
+        written (one new fragment). The accumulated table is read (for the
+        key check) but never rewritten — commit cost stays O(delta) as the
+        table grows, matching Iceberg format-v2 merge-on-read.
 
         ``assume_unique=True`` skips the delta-side key dedup shuffle when
         the caller guarantees key uniqueness (e.g. output of a groupBy on
         the keys)."""
         if not assume_unique:
             new_rows = new_rows.dropDuplicates(keys)
-        if self.exists(table):
+        prev = self.current_version(table)
+        if prev is not None:
             existing = self.read(table)
             fresh = new_rows.join(existing.select(*keys), keys, "left_anti")
-            merged = existing.unionByName(fresh, allowMissingColumns=True)
         else:
-            merged = new_rows
-        return self.commit(table, merged, operation=operation,
+            fresh = new_rows
+        version = (prev or 0) + 1
+        frag = self._write_fragment(table, version, fresh)
+        prev_frags = self._fragments(table, prev) if prev is not None else []
+        rel_prev = [os.path.relpath(p, self.root) for p in prev_frags]
+        return self._commit_manifest(table, rel_prev + [frag],
+                                     version=version, prev=prev,
+                                     operation=operation,
+                                     properties=properties, row_count=None)
+
+    def compact(self, table: str, *, properties: dict | None = None) -> dict:
+        """Fold the fragment chain into one fragment (Iceberg
+        rewrite_data_files). Run occasionally — e.g. every N rounds or when
+        ``len(manifest['fragments'])`` crosses a threshold — never per-commit."""
+        df = self.read(table)
+        return self.commit(table, df, operation="compact",
                            properties=properties)
 
     def drop(self, table: str) -> None:

@@ -38,6 +38,39 @@ def test_append_and_read_or_empty(spark, tmp_path):
     assert cat.read("t").count() == 2
 
 
+def test_delta_commits_accumulate_fragments(spark, tmp_path):
+    """append/merge write ONLY the delta fragment; the manifest chain lists
+    accumulated fragments and reads union them (no CoW rewrite)."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.append("t", spark.createDataFrame([(1, "a")], "id int, v string"))
+    cat.append("t", spark.createDataFrame([(2, "b")], "id int, v string"))
+    cat.merge_not_matched(
+        "t", spark.createDataFrame([(2, "X"), (3, "c")], "id int, v string"),
+        ["id"])
+    m = cat.manifest("t")
+    assert len(m["fragments"]) == 3  # one per commit — deltas, not rewrites
+    # delta fragment of the merge holds ONLY the genuinely-new key
+    frag3 = spark.read.parquet(cat._data_dir("t", 3))
+    assert [tuple(r) for r in frag3.collect()] == [(3, "c")]
+    got = {r["id"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # time travel still sees the old fragment set
+    assert cat.read("t", version=1).count() == 1
+    # compaction folds the chain back to one fragment, same contents
+    cat.compact("t")
+    assert len(cat.manifest("t")["fragments"]) == 1
+    assert {r["id"]: r["v"] for r in cat.read("t").collect()} == got
+
+
+def test_delta_append_schema_evolution(spark, tmp_path):
+    """Fragments may add columns across rounds; reads merge schemas."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.append("t", spark.createDataFrame([(1,)], "id int"))
+    cat.append("t", spark.createDataFrame([(2, "b")], "id int, extra string"))
+    rows = {r["id"]: r["extra"] for r in cat.read("t").collect()}
+    assert rows == {1: None, 2: "b"}
+
+
 def test_crash_before_pointer_swap_keeps_previous(spark, tmp_path):
     """Simulate a crash after data+manifest write but before the _current
     swap: the previous snapshot must stay current."""

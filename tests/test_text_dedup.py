@@ -84,5 +84,53 @@ def test_embedding_near_duplicates_exact_and_lsh(spark):
     assert exact == {(0, 1), (2, 4)}
     lsh = {(r["a"], r["b"]) for r in
            TD.embedding_near_duplicates(emb, threshold=0.99,
-                                        n_planes=4).collect()}
+                                        bands=4, r_planes=3).collect()}
     assert lsh.issubset(exact)  # LSH may lose boundary pairs, never invent
+
+
+def test_embedding_banded_lsh_recall_on_planted_near_dups(spark):
+    """Banded OR-construction recall ≥0.95 on planted 0.99-cosine pairs vs
+    the all-pairs baseline (the single-AND-band construction this replaces
+    loses recall as planes grow; banding must not)."""
+    n, dim = 120, 8
+    base = spark.range(n).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: (F.pmod(F.xxhash64("id", d), F.lit(2001)) - 1000)
+            .cast("double") / 1000.0,
+        ).alias("embedding"),
+    )
+    # planted near-dups: tiny deterministic perturbation of each base vector
+    clones = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: x + ((F.pmod(F.xxhash64(x.cast("string")), F.lit(21))
+                            - 10).cast("double") / 2000.0),
+        ).alias("embedding"),
+    )
+    emb = base.unionByName(clones)
+    exact = {(r["a"], r["b"]) for r in TD.embedding_near_duplicates(
+        emb, threshold=0.99).collect()}
+    banded = {(r["a"], r["b"]) for r in TD.embedding_near_duplicates(
+        emb, threshold=0.99, bands=8, r_planes=4).collect()}
+    assert banded.issubset(exact)  # verify step ⇒ no false positives
+    planted = {p for p in exact if p[1] - p[0] == 100000}
+    recalled = planted & banded
+    assert len(planted) >= 100  # the corpus really plants the pairs
+    assert len(recalled) / len(planted) >= 0.95
+
+
+def test_simhash_portable_matches_semantics(spark, docs):
+    """Portable (md5-bit) simhash: identical text → identical bits; pair set
+    behaves like the xxhash64 variant (near-dups in, disjoint docs out)."""
+    bits = {r["doc_id"]: r["bits"] for r in
+            TD.simhash_bits_portable(docs).collect()}
+    assert bits[0] == bits[1] and len(bits[0]) == 64
+    assert set(bits[0]) <= {"0", "1"}
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             TD.simhash_near_duplicates_portable(docs, max_hamming=10)
+             .collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 4) not in pairs and (0, 5) not in pairs
