@@ -141,19 +141,25 @@ def _words_expr(seed_col: str, n_words_col: str) -> F.Column:
 
 
 @pandas_udf(BinaryType())
-def _render_html_udf(title: pd.Series, text: pd.Series) -> pd.Series:  # pragma: no cover
-    """Render the co-generated page: title + nav noise + <article> paragraphs
-    + footer. The pinned extractor inverts this exactly."""
+def _render_html_udf(title: pd.Series, text: pd.Series,
+                     pub_date: pd.Series) -> pd.Series:  # pragma: no cover
+    """Render the co-generated page: title + OpenGraph/published meta + nav
+    noise + <article> paragraphs + footer. The pinned extractor inverts the
+    text byte-for-byte and recovers og_title/pub_date (E8)."""
     out = []
-    for t, x in zip(title, text):
+    for t, x, d in zip(title, text, pub_date):
         paras = "".join(
             f"<p>{_htmlmod.escape(p)}</p>" for p in (x or "").split("\n\n")
         )
+        esc_t = _htmlmod.escape(t or "")
+        meta = (f'<meta property="og:title" content="{esc_t}"/>'
+                + (f'<meta property="article:published_time" content="{d}"/>'
+                   if d else ""))
         out.append(
             (
                 "<html><head><title>"
-                + _htmlmod.escape(t or "")
-                + "</title></head><body>"
+                + esc_t
+                + f"</title>{meta}</head><body>"
                 + "<nav><a href='/'>home</a><a href='/blog/'>blog</a></nav>"
                 + f"<article>{paras}</article>"
                 + "<footer>copyright archive corp</footer>"
@@ -245,7 +251,10 @@ def generate_pages(
     df = df.withColumn("lang", F.when(F.col("id") % 10 < 8, F.lit("en"))
                        .when(F.col("id") % 10 == 8, F.lit("de"))
                        .otherwise(F.lit("fr")))
-    df = df.withColumn("html", _render_html_udf(F.col("title"), F.col("text")))
+    df = df.withColumn(
+        "html",
+        _render_html_udf(F.col("title"), F.col("text"),
+                         F.date_format("warc_ts", "yyyy-MM-dd")))
     df = df.withColumn("digest", F.md5(F.col("text")))
     df = df.withColumn("mime", F.lit("text/html"))
     df = df.withColumn("status", F.lit(200))

@@ -164,6 +164,16 @@ def q_seen_antijoin_bloom(spark, sf_dir):
     ).select("url", "ts14")
 
 
+def q_seen_antijoin_bloom_bucketed(spark, sf_dir):
+    """The 10^10-key dedup path: per-bucket executor-built filters (no
+    global broadcast), exact anti-join on the maybe-seen remainder — output
+    provably identical to the plain anti-join oracle."""
+    return bloom_prefilter_anti_join(
+        _cand(spark, sf_dir), _seen(spark, sf_dir), keys=["url", "ts14"],
+        n_buckets=8,
+    ).select("url", "ts14")
+
+
 def q_registry_categorize(spark, sf_dir):
     cand = _cand(spark, sf_dir)
     registry = cand.filter(F.col("doc_id") % 5 < 2).select(
@@ -197,6 +207,27 @@ def q_politeness_schedule(spark, sf_dir):
 
 SQL_POLITENESS_SCHEDULE = _SCHEDULED + """
 SELECT url, ts14, host, host_rank, sched_status FROM scheduled"""
+
+
+def q_politeness_schedule_pruned(spark, sf_dir):
+    """The mega-host-safe two-phase ranking (prune per (host, salt), exact
+    window on survivors): scheduled set + scheduled ranks provably identical
+    to the full window; deferred rows carry a null rank. The oracle computes
+    the full window and nulls ranks beyond budget — hash-match proves the
+    pruned path exact."""
+    pending = _decided(spark, sf_dir).filter(
+        F.col("decision.status") == C.STATUS_PENDING)
+    out = schedule_round(pending, round_idx=0, rps=_BUDGET_RPS,
+                         burst=_BUDGET_BURST, round_seconds=_BUDGET_SECONDS,
+                         prune_salt_k=8)
+    return out.select("url", "ts14", "host", "host_rank", "sched_status")
+
+
+SQL_POLITENESS_SCHEDULE_PRUNED = _SCHEDULED + f"""
+SELECT url, ts14, host,
+  CASE WHEN host_rank <= {_BUDGET0} THEN host_rank END AS host_rank,
+  sched_status
+FROM scheduled"""
 
 
 def q_crawl_order(spark, sf_dir):
@@ -310,6 +341,30 @@ SELECT lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)) AS url_domain,
              ''), '/'), '/'), s -> s != ''))), 4) AS avg_depth,
   array_to_string(list_sort(list_distinct(list(mime))), ',') AS mime_types
 FROM pages_cdx GROUP BY 1"""
+
+
+def q_domain_similarity(spark, sf_dir):
+    """J4 theta self-join: per-domain content profiles, pairwise similarity
+    (sample_queries.sql:278-309), top-20 most-similar pairs."""
+    return A.domain_similarity_pairs(cdx_pages_view(spark, sf_dir),
+                                     min_pages=20, top_n=20)
+
+
+SQL_DOMAIN_SIMILARITY = _PRELUDE + f"""
+, prof AS (
+  SELECT host AS domain,
+    avg({OG.token_count_ws_sql('text')}) AS avg_word_count,
+    count(*) AS total_pages
+  FROM pages_cdx GROUP BY 1 HAVING count(*) >= 20
+)
+SELECT d1.domain AS domain_1, d2.domain AS domain_2,
+  round(abs(d1.avg_word_count - d2.avg_word_count), 6) AS word_count_diff,
+  round(abs(d1.avg_word_count - d2.avg_word_count) / 1000.0, 6)
+    AS similarity_score
+FROM prof d1 CROSS JOIN prof d2
+WHERE d1.domain < d2.domain
+ORDER BY similarity_score ASC, domain_1 ASC, domain_2 ASC
+LIMIT 20"""
 
 
 def q_size_distribution(spark, sf_dir):
@@ -650,6 +705,241 @@ GROUP BY doc_id"""
 
 
 # --------------------------------------------------------------------------
+# faceted + typo-tolerant search (Meilisearch analogs)
+# --------------------------------------------------------------------------
+
+def _doc_index(spark, sf_dir):
+    """documents as a (page_index, inverted_terms) pair for search queries."""
+    d = _t(spark, sf_dir, "documents")
+    pi = d.select(
+        F.col("doc_id").cast("string").alias("url_canon"),
+        F.lit("0").alias("ts14"), "lang", "source",
+        F.when(F.col("n_chars") < 150, "short")
+        .when(F.col("n_chars") < 350, "medium")
+        .otherwise("long").alias("len_bucket"),
+        F.col("text").alias("content"), F.lit("").alias("title"))
+    inv = build_inverted_terms(pi)
+    return pi, inv
+
+
+def q_facet_counts(spark, sf_dir):
+    """Faceted search (meilisearch_service.py:353-412 ``facets`` param;
+    shared_pages_meilisearch.py:497-502): per-facet value counts over the
+    pages matching >=1 query term."""
+    from chrono_scraper_spark.operators.index import search_facets
+
+    pi, inv = _doc_index(spark, sf_dir)
+    return search_facets(pi, inv, " ".join(_FTS_QUERY),
+                         ["lang", "source", "len_bucket"])
+
+
+SQL_FACET_COUNTS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({OG.tokens_sql('text')}) AS term FROM documents
+),
+q AS (SELECT unnest(['{"','".join(_FTS_QUERY)}']) AS term),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks JOIN q ON toks.term = q.term
+),
+md AS (
+  SELECT d.doc_id, d.lang, d.source,
+    CASE WHEN d.n_chars < 150 THEN 'short'
+         WHEN d.n_chars < 350 THEN 'medium' ELSE 'long' END AS len_bucket
+  FROM documents d JOIN matched m ON d.doc_id = m.doc_id
+)
+SELECT 'lang' AS facet, lang AS value, count(*) AS n FROM md GROUP BY 2
+UNION ALL
+SELECT 'source' AS facet, source AS value, count(*) AS n FROM md GROUP BY 2
+UNION ALL
+SELECT 'len_bucket' AS facet, len_bucket AS value, count(*) AS n
+FROM md GROUP BY 2"""
+
+
+_TYPO_QUERY = ["dta", "windw", "query"]
+
+
+def q_fulltext_typo(spark, sf_dir):
+    """Typo-tolerant match (meilisearch_service.py:454-470 typo rule):
+    query terms expand to edit-distance<=1 vocabulary terms; per-document
+    match stats distinguish exact from typo matches."""
+    from chrono_scraper_spark.operators.index import expand_terms_typo
+
+    pi, inv = _doc_index(spark, sf_dir)
+    expanded = expand_terms_typo(inv, _TYPO_QUERY, max_edit=1)
+    hits = inv.join(F.broadcast(expanded), "term", "inner")
+    return (hits.groupBy("url_canon")
+            .agg(F.countDistinct("query_term").alias("matched_terms"),
+                 F.countDistinct(
+                     F.when(F.col("edit_dist") == 0, F.col("query_term")))
+                 .alias("exact_terms"),
+                 F.sum("tf").alias("tf_sum"))
+            .select(F.col("url_canon").cast("long").alias("doc_id"),
+                    "matched_terms", "exact_terms", "tf_sum"))
+
+
+SQL_FULLTEXT_TYPO = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({OG.tokens_sql('text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT term FROM tf),
+q AS (SELECT unnest(['{"','".join(_TYPO_QUERY)}']) AS query_term),
+expanded AS (
+  SELECT v.term, q.query_term,
+         levenshtein(v.term, q.query_term) AS edit_dist
+  FROM vocab v JOIN q
+    ON abs(length(v.term) - length(q.query_term)) <= 1
+   AND levenshtein(v.term, q.query_term) <= 1
+)
+SELECT tf.doc_id,
+  count(DISTINCT e.query_term) AS matched_terms,
+  count(DISTINCT CASE WHEN e.edit_dist = 0 THEN e.query_term END)
+    AS exact_terms,
+  CAST(sum(tf.tf) AS BIGINT) AS tf_sum
+FROM tf JOIN expanded e ON tf.term = e.term
+GROUP BY tf.doc_id"""
+
+
+def q_pagination(spark, sf_dir):
+    """O3 offset pagination over a deterministic total order (Meilisearch
+    limit/offset paging, meilisearch_service.py:356)."""
+    return (cdx_pages_view(spark, sf_dir)
+            .select("url", "ts14")
+            .orderBy("url", "ts14")
+            .offset(100).limit(50))
+
+
+SQL_PAGINATION = _PRELUDE + """
+SELECT url, ts14 FROM pages_cdx
+ORDER BY url, ts14 LIMIT 50 OFFSET 100"""
+
+
+def q_entity_extract(spark, sf_dir):
+    """Deterministic NER analog (entity_backends.py:15-116 stands in via
+    regex families, like langid for langdetect): entities are planted into
+    the lowercase corpus text by an identical portable suffix on both
+    engines, then extracted per mention."""
+    from chrono_scraper_spark.functions.entities import extract_entities
+
+    d = _t(spark, sf_dir, "documents")
+    suffix = F.concat(
+        F.lit(" Contact Alice Johnson at alice@example.com on 2021-07-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        F.lit(" see https://ref.example.org/item-"),
+        F.col("doc_id").cast("string"),
+        F.lit(" cost $"), (F.col("doc_id") % 100).cast("string"),
+        F.lit(".50"))
+    docs = d.select("doc_id", F.concat(F.col("text"), suffix).alias("text"))
+    out = docs.select(
+        "doc_id", F.explode(extract_entities(F.col("text"))).alias("e"))
+    return out.select("doc_id",
+                      F.col("e.entity_type").alias("entity_type"),
+                      F.col("e.entity").alias("entity"))
+
+
+def _entity_oracle_sql() -> str:
+    from chrono_scraper_spark.functions.entities import ENTITY_PATTERNS
+
+    suffix = ("' Contact Alice Johnson at alice@example.com on 2021-07-' || "
+              "lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || "
+              "' see https://ref.example.org/item-' || "
+              "CAST(doc_id AS VARCHAR) || "
+              "' cost $' || CAST(doc_id % 100 AS VARCHAR) || '.50'")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{etype}' AS entity_type, "
+        f"unnest(regexp_extract_all(text2, '{pat}')) AS entity FROM d2"
+        for etype, pat in ENTITY_PATTERNS)
+    return (f"WITH d2 AS (SELECT doc_id, text || {suffix} AS text2 "
+            f"FROM documents)\n{unions}")
+
+
+SQL_ENTITY_EXTRACT = _entity_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# content / project analytics facts (content_analytics.sql, project_analytics.sql)
+# --------------------------------------------------------------------------
+
+def q_extraction_stats(spark, sf_dir):
+    """content_analytics transform + extraction-method effectiveness rollup
+    (content_analytics.sql:5-75; sample_queries.sql:110-123)."""
+    fact = A.content_analytics_transform(cdx_pages_view(spark, sf_dir))
+    return A.extraction_method_stats(fact)
+
+
+SQL_EXTRACTION_STATS = _PRELUDE + f""",
+fact AS (
+  SELECT
+    CASE WHEN mime = 'text/html' THEN 'article'
+         ELSE 'unsupported_mime' END AS extraction_method,
+    CASE WHEN mime = 'text/html'
+              AND {OG.token_count_ws_sql('text')} > 0 THEN 'success'
+         ELSE 'failed' END AS extraction_status,
+    {OG.text_quality_sql('text')} AS content_quality_score,
+    {OG.token_count_ws_sql('text')} AS word_count,
+    {OG.token_count_ws_sql('text')} > 50 AS has_meaningful_content
+  FROM pages_cdx
+)
+SELECT extraction_method, extraction_status,
+  count(*) AS total_attempts,
+  round(CAST(avg(CAST(content_quality_score AS DECIMAL(18,6))) AS DOUBLE), 3)
+    AS avg_quality,
+  round(avg(word_count), 1) AS avg_word_count,
+  CAST(sum(CASE WHEN has_meaningful_content THEN 1 ELSE 0 END) AS BIGINT)
+    AS meaningful_content_count
+FROM fact GROUP BY 1, 2"""
+
+
+def q_project_monthly(spark, sf_dir):
+    """project_analytics monthly rollup (project_analytics.sql:5-40,
+    sample_queries.sql:179-210): per (project, month) pages, successes,
+    active domains, content-length average."""
+    pages = cdx_pages_view(spark, sf_dir).withColumn(
+        "project_id", (F.col("doc_id") % 7).cast("int"))
+    return A.project_monthly_rollup(pages)
+
+
+SQL_PROJECT_MONTHLY = _PRELUDE + """
+SELECT CAST(doc_id % 7 AS INT) AS project_id,
+  CAST(date_trunc('month', warc_ts) AS DATE) AS analytics_month,
+  count(*) AS total_pages_processed,
+  CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+    AS success_pages,
+  count(DISTINCT host) AS active_domains,
+  round(avg(length(text)), 2) AS avg_content_length
+FROM pages_cdx GROUP BY 1, 2"""
+
+
+def q_cdx_facets(spark, sf_dir):
+    """A10: multi-facet distribution over the analytics fact in one pass
+    (Meilisearch facetDistribution over the whole index)."""
+    return A.facet_distribution(
+        _fact(spark, sf_dir),
+        ["mime_type", "status_code", "content_size_category"])
+
+
+SQL_CDX_FACETS = _PRELUDE + """
+, fact AS (
+  SELECT mime AS mime_type, CAST(status AS VARCHAR) AS status_code,
+    CASE WHEN length < 1024 THEN 'tiny'
+         WHEN length < 10240 THEN 'small'
+         WHEN length < 102400 THEN 'medium'
+         WHEN length < 1048576 THEN 'large'
+         ELSE 'huge' END AS content_size_category
+  FROM pages_cdx
+)
+SELECT 'mime_type' AS facet, mime_type AS value, count(*) AS n
+FROM fact GROUP BY 2
+UNION ALL
+SELECT 'status_code' AS facet, status_code AS value, count(*) AS n
+FROM fact GROUP BY 2
+UNION ALL
+SELECT 'content_size_category' AS facet, content_size_category AS value,
+       count(*) AS n
+FROM fact GROUP BY 2"""
+
+
+# --------------------------------------------------------------------------
 # embeddings: ANN + near-dup
 # --------------------------------------------------------------------------
 
@@ -882,19 +1172,27 @@ def q_extraction_identity(spark, sf_dir):
     pages = pages.withColumn(
         "page_title", F.concat(F.lit("doc "), F.col("doc_id").cast("string")))
     pages = pages.withColumn(
-        "html", _render_html_udf(F.col("page_title"), F.col("text")))
+        "html", _render_html_udf(F.col("page_title"), F.col("text"),
+                                 F.date_format("warc_ts", "yyyy-MM-dd")))
     out = with_extraction(pages)
     return out.select(
         "url", "ts14",
         F.md5(F.col("extracted.text")).alias("text_md5"),
         F.col("extracted.title").alias("title"),
-        F.col("extracted.method").alias("method"))
+        F.col("extracted.method").alias("method"),
+        F.md5(F.col("extracted.markdown")).alias("markdown_md5"),
+        F.col("extracted.og_title").alias("og_title"),
+        F.col("extracted.pub_date").alias("pub_date"))
 
 
 SQL_EXTRACTION_IDENTITY = _PRELUDE + """
 SELECT url, ts14, md5(text) AS text_md5,
   'doc ' || CAST(doc_id AS VARCHAR) AS title,
-  'article' AS method
+  'article' AS method,
+  md5('# doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text)
+    AS markdown_md5,
+  'doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+  strftime(warc_ts, '%Y-%m-%d') AS pub_date
 FROM pages_cdx WHERE mime = 'text/html'"""
 
 
@@ -940,14 +1238,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collapse_digest": q_collapse_digest,
     "seen_antijoin": q_seen_antijoin,
     "seen_antijoin_bloom": q_seen_antijoin_bloom,
+    "seen_antijoin_bloom_bucketed": q_seen_antijoin_bloom_bucketed,
     "registry_categorize": q_registry_categorize,
     "politeness_schedule": q_politeness_schedule,
+    "politeness_schedule_pruned": q_politeness_schedule_pruned,
     "crawl_order": q_crawl_order,
     "url_parts": q_url_parts,
     "cdx_analytics": q_cdx_analytics,
     "daily_stats": q_daily_stats,
     "status_percentiles": q_status_percentiles,
     "domain_profile": q_domain_profile,
+    "domain_similarity": q_domain_similarity,
     "size_distribution": q_size_distribution,
     "interval_merge": q_interval_merge,
     "gap_detect": q_gap_detect,
@@ -960,6 +1261,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_planted": q_ngram_jaccard_planted,
     "minhash_pairs": q_minhash_pairs,
     "fulltext_match": q_fulltext_match,
+    "facet_counts": q_facet_counts,
+    "fulltext_typo": q_fulltext_typo,
+    "pagination": q_pagination,
+    "entity_extract": q_entity_extract,
+    "extraction_stats": q_extraction_stats,
+    "project_monthly": q_project_monthly,
+    "cdx_facets": q_cdx_facets,
     "ann_topk": q_ann_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "lineitem_rollup": q_lineitem_rollup,
@@ -976,14 +1284,17 @@ ORACLES: dict[str, str] = {
     "collapse_digest": SQL_COLLAPSE_DIGEST,
     "seen_antijoin": SQL_SEEN_ANTI_JOIN,
     "seen_antijoin_bloom": SQL_SEEN_ANTI_JOIN,
+    "seen_antijoin_bloom_bucketed": SQL_SEEN_ANTI_JOIN,
     "registry_categorize": SQL_REGISTRY_CATEGORIZE,
     "politeness_schedule": SQL_POLITENESS_SCHEDULE,
+    "politeness_schedule_pruned": SQL_POLITENESS_SCHEDULE_PRUNED,
     "crawl_order": SQL_CRAWL_ORDER,
     "url_parts": SQL_URL_PARTS,
     "cdx_analytics": SQL_CDX_ANALYTICS,
     "daily_stats": SQL_DAILY_STATS,
     "status_percentiles": SQL_STATUS_PERCENTILES,
     "domain_profile": SQL_DOMAIN_PROFILE,
+    "domain_similarity": SQL_DOMAIN_SIMILARITY,
     "size_distribution": SQL_SIZE_DISTRIBUTION,
     "interval_merge": SQL_INTERVAL_MERGE,
     "gap_detect": SQL_GAP_DETECT,
@@ -996,6 +1307,13 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "fulltext_match": SQL_FULLTEXT_MATCH,
+    "facet_counts": SQL_FACET_COUNTS,
+    "fulltext_typo": SQL_FULLTEXT_TYPO,
+    "pagination": SQL_PAGINATION,
+    "entity_extract": SQL_ENTITY_EXTRACT,
+    "extraction_stats": SQL_EXTRACTION_STATS,
+    "project_monthly": SQL_PROJECT_MONTHLY,
+    "cdx_facets": SQL_CDX_FACETS,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "lineitem_rollup": SQL_LINEITEM_ROLLUP,

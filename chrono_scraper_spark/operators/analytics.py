@@ -170,6 +170,42 @@ def extraction_method_stats(content_fact: DataFrame) -> DataFrame:
             .orderBy("extraction_method", "extraction_status"))
 
 
+def domain_similarity_pairs(pages: DataFrame, min_pages: int = 20,
+                            top_n: int = 20) -> DataFrame:
+    """J4: domain-profile theta self-join (sample_queries.sql:278-309):
+    per-domain content profile → CROSS JOIN with ``d1.host < d2.host`` →
+    similarity score (lower = more similar) → top-N pairs.
+
+    Scale: the HAVING >= min_pages prunes the profile table to qualifying
+    domains BEFORE the quadratic join — at web scale the profile table is
+    ~10^5-10^6 rows (domains, not pages), so the theta join is over domain
+    cardinality and Spark broadcasts the smaller side."""
+    from ..functions.textops import token_count_ws
+
+    prof = (pages
+            .groupBy(F.col("host").alias("domain"))
+            .agg(F.avg(token_count_ws(F.col("text")))
+                 .alias("avg_word_count"),
+                 F.count(F.lit(1)).alias("total_pages"))
+            .filter(F.col("total_pages") >= min_pages))
+    d1 = prof.select(F.col("domain").alias("domain_1"),
+                     F.col("avg_word_count").alias("w1"),
+                     F.col("total_pages").alias("n1"))
+    d2 = prof.select(F.col("domain").alias("domain_2"),
+                     F.col("avg_word_count").alias("w2"),
+                     F.col("total_pages").alias("n2"))
+    pairs = d1.crossJoin(d2).filter(F.col("domain_1") < F.col("domain_2"))
+    sim = F.abs(F.col("w1") - F.col("w2")) / 1000.0
+    return (pairs
+            .select("domain_1", "domain_2",
+                    F.round(F.abs(F.col("w1") - F.col("w2")), 6)
+                    .alias("word_count_diff"),
+                    F.round(sim, 6).alias("similarity_score"))
+            .orderBy(F.asc("similarity_score"), F.asc("domain_1"),
+                     F.asc("domain_2"))
+            .limit(top_n))
+
+
 def project_monthly_rollup(project_fact: DataFrame) -> DataFrame:
     """Project/user monthly aggregation (project_analytics.sql:5-40,
     sample_queries.sql:179-210): per (project, month) page counts, success

@@ -67,6 +67,8 @@ def bloom_prefilter_anti_join(
     keys: list[str] = SEEN_KEY,
     expected_items: int | None = None,
     fpp: float = 0.01,
+    n_buckets: int | None = None,
+    bloom_dir: str | None = None,
 ) -> DataFrame:
     """D4 at scale: Bloom-prefiltered exact anti-join.
 
@@ -77,15 +79,35 @@ def bloom_prefilter_anti_join(
 
     A Bloom false positive only costs a row in the exact join; a false
     negative is impossible, so no candidate is ever wrongly dropped.
+
+    ``n_buckets``: the 10^10-key path — per-bucket filters built executor-
+    side and written under ``bloom_dir`` (shared storage), probed bucket-
+    locally; no global broadcast, no driver bitmap merge
+    (functions/bloom.py:build_bloom_partitioned). Without it, one global
+    filter is built and broadcast (fine to ~10^8 keys).
     """
-    from ..functions.bloom import build_bloom, with_bloom_probe
+    from ..functions.bloom import (
+        build_bloom,
+        build_bloom_partitioned,
+        with_bloom_probe,
+        with_bloom_probe_partitioned,
+    )
 
     key_expr = F.concat_ws("\x1f", *[F.col(k) for k in keys])
     n = expected_items or url_seen.count()
     if n == 0:
         return candidates
-    bloom = build_bloom(url_seen, key_expr, n, fpp)
-    cand = with_bloom_probe(candidates, key_expr, bloom, "__maybe")
+    if n_buckets:
+        import tempfile
+
+        out_dir = bloom_dir or tempfile.mkdtemp(prefix="bloom_buckets_")
+        meta = build_bloom_partitioned(url_seen, key_expr, out_dir, n,
+                                       n_buckets=n_buckets, fpp=fpp)
+        cand = with_bloom_probe_partitioned(candidates, key_expr, meta,
+                                            "__maybe")
+    else:
+        bloom = build_bloom(url_seen, key_expr, n, fpp)
+        cand = with_bloom_probe(candidates, key_expr, bloom, "__maybe")
     definitely_new = cand.filter(~F.col("__maybe")).drop("__maybe")
     maybe = cand.filter(F.col("__maybe")).drop("__maybe")
     confirmed_new = anti_join_seen(maybe, url_seen, keys)

@@ -37,6 +37,14 @@ PINNED_EXTRACTOR_VERSION = "css-extractor-1"
 _RE_ARTICLE = re.compile(r"<article>(.*?)</article>", re.S)
 _RE_TITLE = re.compile(r"<title>(.*?)</title>", re.S)
 _RE_PARA = re.compile(r"<p>(.*?)</p>", re.S)
+# E8 metadata: OpenGraph title + published date (extruct/htmldate analog,
+# intelligent_content_extractor.py:499-588)
+_RE_OG_TITLE = re.compile(
+    r"<meta\s+property=[\"']og:title[\"']\s+content=[\"'](.*?)[\"']", re.S)
+_RE_PUB_META = re.compile(
+    r"<meta\s+property=[\"']article:published_time[\"']\s+"
+    r"content=[\"'](\d{4}-\d{2}-\d{2})", re.S)
+_RE_ANY_DATE = re.compile(r"\b(\d{4}-\d{2}-\d{2})\b")
 # noise removal for the fallback path (reference strips nav/footer/script/...)
 _RE_NOISE = re.compile(
     r"<(nav|footer|header|script|style|aside)\b[^>]*>.*?</\1>", re.S | re.I
@@ -45,21 +53,47 @@ _RE_TAG = re.compile(r"<[^>]+>")
 _RE_WS = re.compile(r"[ \t]+")
 
 
-def extract_one(html_bytes: bytes) -> tuple[str | None, str | None, str, int]:
-    """(text, title, method, word_count) for one page — the pinned cascade.
+def _markdown(title: str | None, text: str | None) -> str | None:
+    """Markdown rendering of the extracted structure (the PageV2 markdown
+    content output, intelligent_content_extractor.py:263-449): title as an
+    H1, paragraphs preserved."""
+    if text is None:
+        return None
+    return f"# {title}\n\n{text}" if title else text
+
+
+def _page_meta(doc: str) -> tuple[str | None, str | None]:
+    """(og_title, pub_date): OpenGraph title + publication date — meta tag
+    first, else first ISO date anywhere in the document (htmldate analog)."""
+    m_og = _RE_OG_TITLE.search(doc)
+    og_title = _htmlmod.unescape(m_og.group(1)).strip() if m_og else None
+    m_pub = _RE_PUB_META.search(doc)
+    if m_pub:
+        return og_title, m_pub.group(1)
+    m_any = _RE_ANY_DATE.search(doc)
+    return og_title, (m_any.group(1) if m_any else None)
+
+
+def extract_one(
+    html_bytes: bytes,
+) -> tuple[str | None, str | None, str, int, str | None, str | None,
+           str | None]:
+    """(text, title, method, word_count, markdown, og_title, pub_date) for
+    one page — the pinned cascade plus E8 metadata enrichment.
 
     Deterministic pure function of the bytes; used both by the Spark UDF and
     by the corpus generator (ground-truth co-generation) and unit tests.
     """
     if html_bytes is None:
-        return None, None, "none", 0
+        return None, None, "none", 0, None, None, None
     try:
         doc = html_bytes.decode("utf-8", errors="replace")
     except Exception:
-        return None, None, "none", 0
+        return None, None, "none", 0, None, None, None
 
     m_title = _RE_TITLE.search(doc)
     title = _htmlmod.unescape(m_title.group(1)).strip() if m_title else None
+    og_title, pub_date = _page_meta(doc)
 
     # primary: semantic main-content extraction
     m = _RE_ARTICLE.search(doc)
@@ -71,7 +105,8 @@ def extract_one(html_bytes: bytes) -> tuple[str | None, str | None, str, int]:
         # early-stop condition mirrors the reference's confidence gate
         # (>50 words + title ⇒ short-circuit, :150-160)
         if wc > 0:
-            return text, title, "article", wc
+            return (text, title, "article", wc, _markdown(title, text),
+                    og_title, pub_date)
 
     # fallback: strip noise tags then all markup
     stripped = _RE_NOISE.sub(" ", doc)
@@ -81,15 +116,21 @@ def extract_one(html_bytes: bytes) -> tuple[str | None, str | None, str, int]:
     lines = [ln.strip() for ln in stripped.split("\n")]
     text = "\n".join([ln for ln in lines if ln])
     wc = len(text.split())
-    return (text if wc else None), title, "strip", wc
+    return ((text if wc else None), title, "strip", wc,
+            _markdown(title, text if wc else None), og_title, pub_date)
 
 
+_EXTRACT_COLS = ["text", "title", "method", "word_count", "markdown",
+                 "og_title", "pub_date"]
 _EXTRACT_SCHEMA = T.StructType(
     [
         T.StructField("text", T.StringType()),
         T.StructField("title", T.StringType()),
         T.StructField("method", T.StringType()),
         T.StructField("word_count", T.IntegerType()),
+        T.StructField("markdown", T.StringType()),
+        T.StructField("og_title", T.StringType()),
+        T.StructField("pub_date", T.StringType()),
     ]
 )
 
@@ -97,14 +138,38 @@ _EXTRACT_SCHEMA = T.StructType(
 @pandas_udf(_EXTRACT_SCHEMA)
 def extract_text_udf(html: pd.Series) -> pd.DataFrame:  # pragma: no cover
     rows = [extract_one(h) for h in html]
-    return pd.DataFrame(rows, columns=["text", "title", "method", "word_count"])
+    return pd.DataFrame(rows, columns=_EXTRACT_COLS)
 
 
-def with_extraction(pages: DataFrame, html_col: str = "html") -> DataFrame:
+_UNSUPPORTED_MIME = "unsupported_mime"
+
+
+def with_extraction(pages: DataFrame, html_col: str = "html",
+                    mime_col: str = "mime") -> DataFrame:
     """Run the extraction cascade; adds ``extracted`` struct + the
     completed/failed split column per the reference's word_count>50 gate
-    (E9, content_extraction_service.py:181-193)."""
-    out = pages.withColumn("extracted", extract_text_udf(F.col(html_col)))
+    (E9, content_extraction_service.py:181-193).
+
+    Non-HTML mimes (PDF etc. — the CDX filter admits application/pdf,
+    wayback_machine.py:741-907) route to a DISTINCT terminal
+    ``unsupported_mime`` method instead of garbage-stripping binary through
+    the HTML path; the rows terminalize as failed, never silently corrupt."""
+    if mime_col in pages.columns:
+        is_html = F.col(mime_col) == "text/html"
+        unsupported = F.struct(
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("title"),
+            F.lit(_UNSUPPORTED_MIME).alias("method"),
+            F.lit(0).alias("word_count"),
+            F.lit(None).cast("string").alias("markdown"),
+            F.lit(None).cast("string").alias("og_title"),
+            F.lit(None).cast("string").alias("pub_date"),
+        )
+        extracted = F.when(is_html, extract_text_udf(F.col(html_col))) \
+            .otherwise(unsupported)
+    else:
+        extracted = extract_text_udf(F.col(html_col))
+    out = pages.withColumn("extracted", extracted)
     return out.withColumn(
         "fetch_status",
         F.when(F.col("extracted.word_count") > C.MIN_WORD_COUNT,

@@ -23,7 +23,7 @@ per-partition row numbers (two tiny passes, no driver collect of rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -107,30 +107,73 @@ def schedule_round(
     burst: int = C.DEFAULT_HOST_BURST,
     round_seconds: float = C.DEFAULT_ROUND_SECONDS,
     budget_overrides: DataFrame | None = None,
+    prune_salt_k: int | None = None,
 ) -> DataFrame:
     """W5: within each host, rank by (priority desc, url, ts14) and mark the
     first ``budget`` rows ``scheduled`` — the rest ``deferred`` to the next
     round. ``budget_overrides(host, budget)`` broadcasts per-host budgets
     (source-level limits like archive.org's 15/min, archive_org_client.py:23-28).
-    """
+
+    ``prune_salt_k`` enables the MEGA-HOST-SAFE two-phase ranking: a per-host
+    window makes one task sort the host's ENTIRE frontier (10^9 rows for a
+    mega-host) even though only ``budget`` rows survive. With pruning, rows
+    first rank within (host, salt) partitions (salt = hash(url, ts14) mod k)
+    and only per-salt rank ≤ budget survives to the exact per-host window —
+    any row in the true per-host top-budget has per-salt rank ≤ its per-host
+    rank ≤ budget, so the SCHEDULED SET IS IDENTICAL to the unpruned path
+    (proof: a row with true rank > budget is preceded by ≥ budget surviving
+    rows, so its survivor rank > budget too). The exact window then sorts at
+    most k×budget rows per host. Pruned-away rows come back ``deferred``
+    with ``host_rank`` null (their exact rank is unknowable without the full
+    sort — and unneeded: only scheduled/deferred feeds the round)."""
     budget_default = host_budgets(round_idx, rps, burst, round_seconds)
-    w = Window.partitionBy("host").orderBy(
-        F.col("decision.priority_score").desc(), F.col("url").asc(),
-        F.col("ts14").asc()
-    )
-    df = frontier.withColumn("host_rank", F.row_number().over(w))
-    if budget_overrides is not None:
-        df = df.join(F.broadcast(budget_overrides), "host", "left")
-        budget = F.coalesce(F.col("budget"), F.lit(budget_default))
-    else:
-        budget = F.lit(budget_default)
+    order = [F.col("decision.priority_score").desc(), F.col("url").asc(),
+             F.col("ts14").asc()]
+
+    def _with_budget(df: DataFrame) -> tuple[DataFrame, Column]:
+        if budget_overrides is not None:
+            df = df.join(F.broadcast(budget_overrides), "host", "left")
+            return df, F.coalesce(F.col("budget"), F.lit(budget_default))
+        return df, F.lit(budget_default)
+
+    if prune_salt_k is None:
+        df = frontier.withColumn(
+            "host_rank", F.row_number().over(
+                Window.partitionBy("host").orderBy(*order)))
+        df, budget = _with_budget(df)
+        df = df.withColumn(
+            "sched_status",
+            F.when(F.col("host_rank") <= budget, F.lit("scheduled"))
+            .otherwise(F.lit("deferred")),
+        )
+        return df.drop("budget") if budget_overrides is not None else df
+
+    df, budget = _with_budget(frontier)
     df = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col("url"), F.col("ts14")),
+               F.lit(prune_salt_k)).cast("int"))
+    w_salt = Window.partitionBy("host", "__salt").orderBy(*order)
+    df = df.withColumn("__prune_rank", F.row_number().over(w_salt))
+    survivors = df.filter(F.col("__prune_rank") <= budget)
+    pruned = df.filter(F.col("__prune_rank") > budget)
+    w_host = Window.partitionBy("host").orderBy(*order)
+    survivors = survivors.withColumn(
+        "host_rank", F.row_number().over(w_host)
+    ).withColumn(
         "sched_status",
-        F.when(F.col("host_rank") <= budget, F.lit("scheduled")).otherwise(
-            F.lit("deferred")
-        ),
+        F.when(F.col("host_rank") <= budget, F.lit("scheduled"))
+        .otherwise(F.lit("deferred")),
+    ).withColumn(
+        "host_rank",
+        F.when(F.col("sched_status") == "scheduled", F.col("host_rank"))
+        .cast("int"),
     )
-    return df.drop("budget") if budget_overrides is not None else df
+    pruned = pruned.withColumn(
+        "host_rank", F.lit(None).cast("int")).withColumn(
+        "sched_status", F.lit("deferred"))
+    out = survivors.unionByName(pruned).drop("__salt", "__prune_rank")
+    return out.drop("budget") if budget_overrides is not None else out
 
 
 def with_salted_host_partition(frontier: DataFrame,

@@ -111,6 +111,30 @@ class SnapshotCatalog:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*frags)
 
+    def read_incremental(self, table: str, from_version: int,
+                         to_version: int | None = None) -> DataFrame:
+        """T10/CDC: ONLY the rows added after ``from_version`` up to
+        ``to_version`` (default current) — the Iceberg incremental read
+        (``spark.read.option("start-snapshot-id", …)``). With delta-fragment
+        manifests this is a pure metadata diff: read the fragments present
+        in ``to`` but not in ``from``; no data comparison, no full scan.
+        Exact for append/merge snapshots; an overwrite/compact inside the
+        range re-baselines the table (same caveat as Iceberg incremental
+        reads, which require append-only history)."""
+        to_version = (to_version if to_version is not None
+                      else self.current_version(table))
+        if to_version is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        old = set(self._fragments(table, from_version)) \
+            if from_version is not None else set()
+        new = [p for p in self._fragments(table, to_version) if p not in old]
+        if not new:
+            return self.read(table, to_version).limit(0)
+        reader = self.spark.read
+        if len(new) > 1:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*new)
+
     def read_or_empty(self, table: str, schema: str) -> DataFrame:
         if self.exists(table):
             return self.read(table)

@@ -72,6 +72,8 @@ class CrawlJob:
         robots_rules: DataFrame | None = None,
         budget_overrides: DataFrame | None = None,
         salt_target_rows: int = 50_000,
+        schedule_prune_k: int | None = 16,
+        bloom_buckets: int | None = None,
         broadcast_fetch_join: bool = True,
         retry_transient: bool = False,
         max_retries: int = C.MAX_RETRIES,
@@ -88,6 +90,13 @@ class CrawlJob:
         self.robots_rules = robots_rules
         self.budget_overrides = budget_overrides
         self.salt_target_rows = salt_target_rows
+        # two-phase politeness ranking: prune per (host, salt) before the
+        # exact per-host window — scheduled set provably identical, but a
+        # mega-host never pins one task on a full frontier sort
+        self.schedule_prune_k = schedule_prune_k
+        # >0: per-bucket executor-built seen-set Bloom filters under the
+        # catalog root (no global broadcast — the 10^10-key path)
+        self.bloom_buckets = bloom_buckets
         self.broadcast_fetch_join = broadcast_fetch_join
         # T7: re-enter failed rows next round until max_retries (celery
         # retry analog, shared_pages_scraping.py:277-284). Off by default:
@@ -194,8 +203,15 @@ class CrawlJob:
         seen = self._read_pinned("url_seen", prev, SEEN_SCHEMA)
         seen_n = seen.count()
         if seen_n > BLOOM_THRESHOLD:
+            import os as _os
+
+            bloom_dir = (_os.path.join(self.cat.root, "_bloom",
+                                       f"r{round_idx:05d}")
+                         if self.bloom_buckets else None)
             cands = bloom_prefilter_anti_join(cands, seen, FRONTIER_KEY,
-                                              expected_items=seen_n)
+                                              expected_items=seen_n,
+                                              n_buckets=self.bloom_buckets,
+                                              bloom_dir=bloom_dir)
         elif seen_n > 0:
             cands = anti_join_seen(cands, seen, FRONTIER_KEY)
 
@@ -233,6 +249,7 @@ class CrawlJob:
             pending, round_idx=round_idx, rps=self.rps, burst=self.burst,
             round_seconds=self.round_seconds,
             budget_overrides=self.budget_overrides,
+            prune_salt_k=self.schedule_prune_k,
         ).cache()
         scheduled = sched.filter(F.col("sched_status") == "scheduled")
         deferred = sched.filter(F.col("sched_status") == "deferred")

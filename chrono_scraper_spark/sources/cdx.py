@@ -81,6 +81,17 @@ def static_asset_condition(url: Column, path: Column, mime: Column) -> Column:
             | F.lower(url).rlike(_URL_PAT_RE))
 
 
+def union_with_fallback(primary: DataFrame, fallback: DataFrame,
+                        keys: list[str]) -> DataFrame:
+    """O5: hybrid-source union (wayback + Common Crawl,
+    archive_service_router.py:920-1010): primary rows win; fallback
+    contributes only keys the primary lacks (anti-join), so a snapshot
+    present in both sources is attributed to the primary exactly once.
+    Columns align by name; fallback-only columns null-fill."""
+    extra = fallback.join(primary.select(*keys), keys, "left_anti")
+    return primary.unionByName(extra, allowMissingColumns=True)
+
+
 def discover(
     pages: DataFrame,
     seeds: DataFrame,

@@ -29,16 +29,43 @@ def test_word_count_gate(spark, pages):
 def test_extract_one_fallback_strip():
     html = b"<html><head><title>T</title></head><body><nav>x</nav>" \
            b"<div>hello world from a plain div</div></body></html>"
-    text, title, method, wc = E.extract_one(html)
+    text, title, method, wc, markdown, og_title, pub_date = E.extract_one(html)
     assert method == "strip"
     assert title == "T"
     assert "hello world" in text and "x" not in text.split()
+    assert markdown.startswith("# T\n\n")
+    assert og_title is None and pub_date is None
 
 
 def test_extract_one_handles_null_and_garbage():
-    assert E.extract_one(None) == (None, None, "none", 0)
-    text, _, method, _ = E.extract_one(b"\xff\xfe\x00garbage")
+    assert E.extract_one(None) == (None, None, "none", 0, None, None, None)
+    text, _, method, _, _, _, _ = E.extract_one(b"\xff\xfe\x00garbage")
     assert method == "strip"
+
+
+def test_extract_one_metadata_enrichment():
+    html = (b"<html><head><title>T</title>"
+            b'<meta property="og:title" content="OG Title"/>'
+            b'<meta property="article:published_time" content="2021-03-04"/>'
+            b"</head><body><article><p>alpha beta</p></article></body></html>")
+    text, title, method, wc, markdown, og_title, pub_date = E.extract_one(html)
+    assert (og_title, pub_date) == ("OG Title", "2021-03-04")
+    assert markdown == "# T\n\nalpha beta"
+    # htmldate-style fallback: first ISO date in the body
+    html2 = b"<html><body><article><p>posted 2020-12-25 ok</p></article></body></html>"
+    assert E.extract_one(html2)[6] == "2020-12-25"
+
+
+def test_pdf_mime_routes_to_unsupported(spark):
+    rows = [("u1", "text/html",
+             b"<html><body><article><p>w1 w2</p></article></body></html>"),
+            ("u2", "application/pdf", b"%PDF-1.4 garbage")]
+    df = spark.createDataFrame(rows, "url string, mime string, html binary")
+    out = {r["url"]: r for r in E.with_extraction(df).collect()}
+    assert out["u1"]["extracted"]["method"] == "article"
+    assert out["u2"]["extracted"]["method"] == "unsupported_mime"
+    assert out["u2"]["fetch_status"] == "failed"
+    assert out["u2"]["extracted"]["text"] is None
 
 
 def test_quality_and_counts(spark):

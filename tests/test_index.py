@@ -50,3 +50,48 @@ def test_search_empty_query(spark):
     pi = _page_index(spark)
     inv = build_inverted_terms(pi)
     assert search(pi, inv, "  ").count() == 0
+
+
+def test_tokenize_underscore_agreement(spark):
+    """Underscore must split identically JVM-side and driver-side."""
+    df = spark.createDataFrame([("foo_bar baz",)], "t string")
+    jvm = df.select(tokenize(F.col("t")).alias("tok")).first()["tok"]
+    assert jvm == ["foo", "bar", "baz"]
+    assert tokenize_query("foo_bar baz") == ["foo", "bar", "baz"]
+
+
+def test_search_offset_pagination(spark):
+    from chrono_scraper_spark.operators.index import search as _search
+
+    pi = _page_index(spark)
+    inv = build_inverted_terms(pi)
+    full = _search(pi, inv, "beta", limit=10)
+    page2 = _search(pi, inv, "beta", limit=1, offset=1)
+    urls = [r["url_canon"] for r in full.collect()]
+    assert [r["url_canon"] for r in page2.collect()] == [urls[1]]
+
+
+def test_search_facets(spark):
+    from chrono_scraper_spark.operators.index import search_facets
+
+    pi = _page_index(spark).withColumn(
+        "lang", F.when(F.col("url_canon") == "u1", "en").otherwise("de"))
+    inv = build_inverted_terms(pi)
+    facets = {(r["facet"], r["value"]): r["n"]
+              for r in search_facets(pi, inv, "beta", ["lang"]).collect()}
+    # u1 and u2 match 'beta'; u3 does not
+    assert facets == {("lang", "en"): 1, ("lang", "de"): 1}
+
+
+def test_search_typo_exact_ranks_first(spark):
+    from chrono_scraper_spark.operators.index import search_typo
+
+    pi = _page_index(spark)
+    inv = build_inverted_terms(pi)
+    # 'bta' is edit-1 from 'beta'; u1 also contains exact 'alpha'
+    out = search_typo(pi, inv, "alpha bta", limit=10).collect()
+    assert out[0]["url_canon"] == "u1"       # exact+typo beats typo-only
+    assert {r["url_canon"] for r in out} == {"u1", "u2"}
+    # a pure-typo query still matches
+    out2 = search_typo(pi, inv, "bta", limit=10).collect()
+    assert {r["url_canon"] for r in out2} == {"u1", "u2"}

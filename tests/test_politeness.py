@@ -88,3 +88,63 @@ def test_robots_filter_hook(spark, pages):
     # non-matching hosts untouched
     assert out.filter("host != 'mega.example.com'").count() == \
         fr.filter("host != 'mega.example.com'").count()
+
+
+def test_schedule_round_pruned_identical_scheduled_set(spark):
+    """Two-phase (host,salt)-pruned ranking must produce EXACTLY the same
+    scheduled set and the same host_rank for scheduled rows as the full
+    per-host window, on a skewed frontier (one mega-host)."""
+    from pyspark.sql import functions as F
+
+    from chrono_scraper_spark.operators.politeness import schedule_round
+
+    n = 5000
+    frontier = spark.range(n).select(
+        F.when(F.col("id") % 3 == 0, "mega.example.com")
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 7).cast("string"),
+                            F.lit(".com"))).alias("host"),
+        F.concat(F.lit("https://h/p"), F.col("id").cast("string"))
+        .alias("url"),
+        F.lpad(F.col("id").cast("string"), 14, "0").alias("ts14"),
+        F.struct((F.col("id") % 4 + 5).cast("int").alias("priority_score"))
+        .alias("decision"),
+    )
+    base = schedule_round(frontier, round_idx=0)
+    pruned = schedule_round(frontier, round_idx=0, prune_salt_k=8)
+    b = {(r["url"], r["ts14"]): r["host_rank"] for r in
+         base.filter(F.col("sched_status") == "scheduled").collect()}
+    p = {(r["url"], r["ts14"]): r["host_rank"] for r in
+         pruned.filter(F.col("sched_status") == "scheduled").collect()}
+    assert b == p  # identical set AND identical exact ranks
+    assert pruned.count() == base.count()  # deferred rows all come back
+    # the pruning window really partitions by (host, salt) — no single-task
+    # mega-host sort in the plan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+
+
+def test_schedule_round_pruned_with_overrides(spark):
+    from pyspark.sql import functions as F
+
+    from chrono_scraper_spark.operators.politeness import schedule_round
+
+    frontier = spark.range(200).select(
+        F.when(F.col("id") % 2 == 0, "a.com").otherwise("b.com").alias("host"),
+        F.concat(F.lit("https://h/p"), F.col("id").cast("string"))
+        .alias("url"),
+        F.lpad(F.col("id").cast("string"), 14, "0").alias("ts14"),
+        F.struct(F.lit(5).alias("priority_score")).alias("decision"),
+    )
+    overrides = spark.createDataFrame([("a.com", 3)], "host string, budget int")
+    base = schedule_round(frontier, budget_overrides=overrides)
+    pruned = schedule_round(frontier, budget_overrides=overrides,
+                            prune_salt_k=4)
+    for df in (base, pruned):
+        by_host = {r["host"]: r["count"] for r in
+                   df.filter("sched_status = 'scheduled'")
+                   .groupBy("host").count().collect()}
+        assert by_host["a.com"] == 3
+    assert (set(r["url"] for r in
+                base.filter("sched_status = 'scheduled'").collect())
+            == set(r["url"] for r in
+                   pruned.filter("sched_status = 'scheduled'").collect()))
