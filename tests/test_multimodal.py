@@ -53,3 +53,48 @@ def test_sample_frames(spark):
     bad = joined.filter(
         F.col("count") != F.floor((F.col("n_frames") - 1) / 5) + 1).count()
     assert bad == 0
+
+
+def test_bmp_kernel_roundtrip():
+    from chrono_scraper_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    d = decode_image(encode_bmp(2, 2, px))
+    assert (d["width"], d["height"]) == (2, 2)
+    assert d["mean_r"] == round((255 + 0 + 0 + 10) / 4, 4)
+    assert d["mean_b"] == round((0 + 0 + 255 + 30) / 4, 4)
+
+
+def test_wav_kernel_roundtrip():
+    from chrono_scraper_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    d = decode_audio(encode_wav([0, 100, -100, 0], sample_rate=8000))
+    assert d["sample_rate"] == 8000 and d["n_samples"] == 4
+    assert d["rms"] == round((2 * 100 * 100 / 4) ** 0.5, 4)
+
+
+def test_decode_features_stage(spark):
+    from chrono_scraper_spark.operators.multimodal import (
+        decode_features,
+        synth_media_decodable,
+    )
+
+    media = synth_media_decodable(spark, 24)
+    out = decode_features(media).collect()
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert all(r["decode_status"] == "ok" for r in by_kind["image"])
+    assert all(r["width"] >= 4 and r["mean_r"] is not None
+               for r in by_kind["image"])
+    assert all(r["decode_status"] == "ok" and r["rms"] is not None
+               for r in by_kind["audio"])
+    # video dead-letters instead of failing the stage
+    assert all(r["decode_status"] == "unsupported" for r in by_kind["video"])
+    assert len(out) == 24
