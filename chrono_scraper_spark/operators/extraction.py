@@ -120,25 +120,38 @@ def extract_one(
             _markdown(title, text if wc else None), og_title, pub_date)
 
 
-_EXTRACT_COLS = ["text", "title", "method", "word_count", "markdown",
-                 "og_title", "pub_date"]
-_EXTRACT_SCHEMA = T.StructType(
+# The UDF ships only the fields that REQUIRE Python: markdown is a pure
+# concat of title+text (it would double the Arrow return payload — ~5 KB/row
+# of duplicate bytes — so it is reassembled JVM-side in with_extraction,
+# byte-identical to _markdown()).
+_EXTRACT_CORE_COLS = ["text", "title", "method", "word_count",
+                      "og_title", "pub_date"]
+_EXTRACT_CORE_SCHEMA = T.StructType(
     [
         T.StructField("text", T.StringType()),
         T.StructField("title", T.StringType()),
         T.StructField("method", T.StringType()),
         T.StructField("word_count", T.IntegerType()),
-        T.StructField("markdown", T.StringType()),
         T.StructField("og_title", T.StringType()),
         T.StructField("pub_date", T.StringType()),
     ]
 )
 
 
-@pandas_udf(_EXTRACT_SCHEMA)
+@pandas_udf(_EXTRACT_CORE_SCHEMA)
 def extract_text_udf(html: pd.Series) -> pd.DataFrame:  # pragma: no cover
-    rows = [extract_one(h) for h in html]
-    return pd.DataFrame(rows, columns=_EXTRACT_COLS)
+    # column-wise assembly: pd.DataFrame(list-of-tuples) transposes in
+    # Python — building the six columns directly is measurably cheaper
+    cols: tuple[list, ...] = ([], [], [], [], [], [])
+    for h in html:
+        r = extract_one(h)
+        cols[0].append(r[0])
+        cols[1].append(r[1])
+        cols[2].append(r[2])
+        cols[3].append(r[3])
+        cols[4].append(r[5])
+        cols[5].append(r[6])
+    return pd.DataFrame(dict(zip(_EXTRACT_CORE_COLS, cols)))
 
 
 _UNSUPPORTED_MIME = "unsupported_mime"
@@ -161,15 +174,32 @@ def with_extraction(pages: DataFrame, html_col: str = "html",
             F.lit(None).cast("string").alias("title"),
             F.lit(_UNSUPPORTED_MIME).alias("method"),
             F.lit(0).alias("word_count"),
-            F.lit(None).cast("string").alias("markdown"),
             F.lit(None).cast("string").alias("og_title"),
             F.lit(None).cast("string").alias("pub_date"),
         )
-        extracted = F.when(is_html, extract_text_udf(F.col(html_col))) \
+        core = F.when(is_html, extract_text_udf(F.col(html_col))) \
             .otherwise(unsupported)
     else:
-        extracted = extract_text_udf(F.col(html_col))
-    out = pages.withColumn("extracted", extracted)
+        core = extract_text_udf(F.col(html_col))
+    # materialize the UDF result once, then derive markdown JVM-side
+    # (byte-identical to _markdown(): "# {title}\n\n{text}" when title is
+    # non-empty, else text; null text propagates through concat to null)
+    out = pages.withColumn("_xcore", core)
+    x = F.col("_xcore")
+    markdown = F.when(
+        x["title"].isNotNull() & (x["title"] != ""),
+        F.concat(F.lit("# "), x["title"], F.lit("\n\n"), x["text"]),
+    ).otherwise(x["text"])
+    extracted = F.struct(
+        x["text"].alias("text"),
+        x["title"].alias("title"),
+        x["method"].alias("method"),
+        x["word_count"].alias("word_count"),
+        markdown.alias("markdown"),
+        x["og_title"].alias("og_title"),
+        x["pub_date"].alias("pub_date"),
+    )
+    out = out.withColumn("extracted", extracted).drop("_xcore")
     return out.withColumn(
         "fetch_status",
         F.when(F.col("extracted.word_count") > C.MIN_WORD_COUNT,
