@@ -1228,6 +1228,77 @@ SELECT p.media_id, p.kind,
 FROM p JOIN ent USING (media_id)"""
 
 
+def q_hybrid_source(spark, sf_dir):
+    """O5 source union/fallback (archive_service_router.py:61-99 as data
+    flow): 'wayback' (priority 1) covers doc_id%3≠0, 'cc' (priority 2)
+    covers doc_id%2=0 — overlapping key sets; the merged snapshot takes
+    wayback's row wherever both cover a (url, ts14) key."""
+    from chrono_scraper_spark.sources.cdx import union_with_fallback
+
+    cand = _cand(spark, sf_dir)
+    wayback = cand.filter(F.col("doc_id") % 3 != 0).select(
+        "url", "ts14", F.lit("wayback").alias("source"))
+    cc = cand.filter(F.col("doc_id") % 2 == 0).select(
+        "url", "ts14", F.lit("cc").alias("source"))
+    return union_with_fallback(wayback, cc, keys=["url", "ts14"])
+
+
+SQL_HYBRID_SOURCE = _PRELUDE + """
+, wayback AS (SELECT url, ts14, 'wayback' AS source FROM cand
+              WHERE doc_id % 3 <> 0),
+cc AS (SELECT url, ts14, 'cc' AS source FROM cand WHERE doc_id % 2 = 0)
+SELECT * FROM wayback
+UNION ALL
+SELECT c.* FROM cc c
+ANTI JOIN wayback w ON c.url = w.url AND c.ts14 = w.ts14"""
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF-Flat ANN with the same planted-neighbor RECALL contract as
+    ann_topk_lsh: each query's 5 near-identical perturbations are planted
+    into the corpus; the query emits per-query ``recall_ok`` = (IVF found
+    ≥0.8 of the exact top-5). A centroid-assignment or probe-routing bug
+    flips rows and breaks the oracle hash."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = queries.select(
+        F.col("query_id"), F.explode(F.sequence(F.lit(1), F.lit(5))).alias("j"),
+        "embedding",
+    ).select(
+        (F.col("query_id") * 10 + F.col("j") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: x + (F.pmod(F.xxhash64(F.col("query_id"), F.col("j"),
+                                             x.cast("string")),
+                                  F.lit(201)) - 100).cast("double") / 50000.0,
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id",
+                        F.col("embedding").cast("array<double>")
+                        .alias("embedding")).unionByName(planted)
+    ivf = ANN.cosine_topk_ivf(corpus, queries, k=5, n_centroids=16,
+                              n_probe=4).select("query_id", "neighbor_id")
+    brute = ANN.cosine_topk_bruteforce(corpus, queries, k=5).select(
+        "query_id", "neighbor_id")
+    hit = brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    recall = (brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+              .join(hit.groupBy("query_id")
+                    .agg(F.count(F.lit(1)).alias("found")),
+                    "query_id", "left")
+              .select("query_id",
+                      (F.coalesce(F.col("found"), F.lit(0)) / F.col("k"))
+                      .alias("recall")))
+    return recall.select("query_id",
+                         (F.col("recall") >= 0.8).alias("recall_ok"))
+
+
+SQL_ANN_TOPK_IVF = """
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1274,6 +1345,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers": q_top_customers,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "hybrid_source": q_hybrid_source,
     "extraction_identity": q_extraction_identity,
     "multimodal_features": q_multimodal_features,
 }
@@ -1320,6 +1393,8 @@ ORACLES: dict[str, str] = {
     "top_customers": SQL_TOP_CUSTOMERS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ann_topk_lsh": SQL_ANN_TOPK_LSH,
+    "ann_topk_ivf": SQL_ANN_TOPK_IVF,
+    "hybrid_source": SQL_HYBRID_SOURCE,
     "extraction_identity": SQL_EXTRACTION_IDENTITY,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

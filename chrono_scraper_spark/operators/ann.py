@@ -76,6 +76,81 @@ def _hamming1_probes(sig: Column, n_planes: int) -> Column:
     return F.array(sig, *flips)
 
 
+def ivf_centroids(corpus: DataFrame, n_centroids: int,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse-quantizer codebook: n_centroids corpus vectors
+    picked by hash-order (the standard IVF seeding strategy — real IVF
+    refines seeds with k-means; seeds alone already give a valid, recall-
+    tunable inverted-file partition and keep the op fully deterministic).
+    Output: (centroid_id, centroid_vec) — tiny, always broadcast.
+
+    The pick is ``orderBy(hash).limit(n)`` — TakeOrderedAndProject, i.e. a
+    per-partition top-n merged on the driver (n rows), NOT a global sort."""
+    seeds = (corpus
+             .select(F.col(id_col).alias("_seed_id"),
+                     F.col(vec_col).cast("array<double>")
+                     .alias("centroid_vec"))
+             .orderBy(F.xxhash64(F.col("_seed_id")), F.col("_seed_id"))
+             .limit(n_centroids))
+    w = Window.orderBy(F.xxhash64(F.col("_seed_id")), F.col("_seed_id"))
+    return (seeds.withColumn("centroid_id", F.row_number().over(w))
+            .select("centroid_id", "centroid_vec"))
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, n_probe: int = 1,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its n_probe nearest centroids (by cosine).
+    centroids is broadcast (≤ a few thousand rows); the per-vector argmin is
+    a window over centroid candidates — no shuffle of the vector side beyond
+    the rank window's hash on id_col. Adds ``centroid_id``."""
+    c = F.broadcast(centroids)
+    scored = df.join(c).withColumn(
+        "_c_cos", cosine(F.col(vec_col).cast("array<double>"),
+                         F.col("centroid_vec")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_c_cos"), F.asc("centroid_id"))
+    return (scored.withColumn("_c_rank", F.row_number().over(w))
+            .filter(F.col("_c_rank") <= n_probe)
+            .drop("_c_cos", "_c_rank", "centroid_vec"))
+
+
+def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    n_centroids: int = 16, n_probe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id") -> DataFrame:
+    """IVF-Flat ANN: corpus vectors are inverted-file-partitioned by nearest
+    centroid (1 list each); each query probes its ``n_probe`` nearest lists;
+    exact cosine ranks the candidates. Complements ``cosine_topk_lsh`` —
+    IVF adapts to the data distribution (centroids are corpus points) where
+    hyperplane LSH is data-oblivious.
+
+    At 10^9 vectors: ``centroid_id`` is the write-time partition key, the
+    codebook is a broadcast table, and a query scans ~n_probe/n_centroids of
+    the corpus. Recall < 1.0 by construction — verify against
+    ``cosine_topk_bruteforce`` (the contract query emits per-query recall).
+    """
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv")),
+        cents, n_probe=1, id_col="neighbor_id", vec_col="cv")
+    q = ivf_assign(
+        queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv")),
+        cents, n_probe=n_probe, id_col="query_id", vec_col="qv")
+    cands = c.join(F.broadcast(q), "centroid_id").select(
+        "query_id", "neighbor_id", "cv", "qv").distinct()
+    scored = cands.withColumn("cosine", cosine(F.col("cv"), F.col("qv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cosine", 6).alias("cosine")))
+
+
 def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     n_planes: int = 8, seed: int = 7,
                     id_col: str = "vec_id", vec_col: str = "embedding",
