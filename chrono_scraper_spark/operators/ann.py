@@ -101,19 +101,30 @@ def ivf_centroids(corpus: DataFrame, n_centroids: int,
 def ivf_assign(df: DataFrame, centroids: DataFrame, n_probe: int = 1,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its n_probe nearest centroids (by cosine).
-    centroids is broadcast (≤ a few thousand rows); the per-vector argmin is
-    a window over centroid candidates — no shuffle of the vector side beyond
-    the rank window's hash on id_col. Adds ``centroid_id``."""
-    c = F.broadcast(centroids)
-    scored = df.join(c).withColumn(
-        "_c_cos", cosine(F.col(vec_col).cast("array<double>"),
-                         F.col("centroid_vec")))
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("_c_cos"), F.asc("centroid_id"))
-    return (scored.withColumn("_c_rank", F.row_number().over(w))
-            .filter(F.col("_c_rank") <= n_probe)
-            .drop("_c_cos", "_c_rank", "centroid_vec"))
+    """Assign each vector to its n_probe nearest centroids (by cosine),
+    adding ``centroid_id`` (n_probe rows per input row).
+
+    ZERO-SHUFFLE: the codebook is folded to a single array<struct> row
+    (broadcast nested-loop join of one row), and the per-vector
+    top-n_probe argmin is `array_sort` + `slice` over that array inside
+    whole-stage codegen — a map-only stage. The naive alternative
+    (explode-join all centroids, window-rank per vector) shuffles
+    n_centroids × N vector rows; this shuffles nothing."""
+    codebook = centroids.agg(
+        F.array_sort(F.collect_list(
+            F.struct("centroid_id", "centroid_vec"))).alias("_codebook"))
+    vec = F.col(vec_col).cast("array<double>")
+    ranked = F.slice(
+        F.array_sort(F.transform(
+            F.col("_codebook"),
+            lambda c: F.struct(
+                (-cosine(vec, c["centroid_vec"])).alias("neg_cos"),
+                c["centroid_id"].alias("centroid_id")),
+        )), 1, n_probe)
+    return (df.join(F.broadcast(codebook))
+            .withColumn("_probe", F.explode(ranked))
+            .withColumn("centroid_id", F.col("_probe.centroid_id"))
+            .drop("_codebook", "_probe"))
 
 
 def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -140,8 +151,12 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
         queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv")),
         cents, n_probe=n_probe, id_col="query_id", vec_col="qv")
+    # no distinct needed: each corpus vector is in exactly ONE list and a
+    # query's probed lists are distinct, so (query_id, neighbor_id) pairs
+    # are unique by construction — a distinct here would shuffle full
+    # vectors for nothing
     cands = c.join(F.broadcast(q), "centroid_id").select(
-        "query_id", "neighbor_id", "cv", "qv").distinct()
+        "query_id", "neighbor_id", "cv", "qv")
     scored = cands.withColumn("cosine", cosine(F.col("cv"), F.col("qv")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
@@ -175,8 +190,12 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.explode(_hamming1_probes(
             lsh_signature(F.col("qv"), n_planes, seed), n_planes)),
     )
+    # no distinct needed: a corpus vector has exactly ONE bucket and the
+    # probe array's entries (signature + hamming-1 flips) are pairwise
+    # distinct strings, so the bucket==probe join yields each
+    # (query_id, neighbor_id) pair at most once by construction
     cands = c.join(F.broadcast(q), c["bucket"] == q["probe"]).select(
-        "query_id", "neighbor_id", "cv", "qv").distinct()
+        "query_id", "neighbor_id", "cv", "qv")
     scored = cands.withColumn("cosine", cosine(F.col("cv"), F.col("qv")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
