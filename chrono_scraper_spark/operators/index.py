@@ -46,14 +46,18 @@ def tokenize_query(q: str) -> list[str]:
 def build_page_index(pages_out: DataFrame) -> DataFrame:
     """Flat searchable document per page (SharedPageDocument analog,
     shared_pages_meilisearch.py:26-111). Expects extraction + quality columns.
-    """
-    return pages_out.select(
+    ``seq`` (the crawl's global-order long id) passes through when present —
+    it doubles as the compact doc key for the inverted-terms build."""
+    cols = [
         "url", "url_canon", "ts14", "host",
         F.col("extracted.title").alias("title"),
         F.col("extracted.text").alias("content"),
         F.col("extracted.word_count").alias("word_count"),
         "quality_score", "lang", "warc_ts",
-    )
+    ]
+    if "seq" in pages_out.columns:
+        cols.append("seq")
+    return pages_out.select(*cols)
 
 
 def page_index_from_pages_out(pages_out: DataFrame) -> DataFrame:
@@ -67,21 +71,44 @@ def page_index_from_pages_out(pages_out: DataFrame) -> DataFrame:
     )
 
 
-def build_inverted_terms(page_index: DataFrame) -> DataFrame:
+def build_inverted_terms(page_index: DataFrame,
+                         doc_key: str | None = None) -> DataFrame:
     """Explode title+content tokens → (term, url_canon, ts14, tf).
 
     One shuffle (the groupBy); at 100 TB the table is Iceberg-partitioned by
     ``bucket(term)`` so a query's term list prunes to a few buckets.
+
+    ``doc_key``: name of an existing unique-per-page LONG column (the
+    crawl passes its global-order ``seq``). The token aggregation then
+    groups on (term, doc_key) — an 8-byte key instead of ~70 bytes of
+    url+ts strings carried through the explode projection, map-side hash
+    aggregation, and exchange — and (url_canon, ts14) is re-attached by a
+    broadcast join against the per-page key map afterwards. Output
+    identical (equivalence-tested); measured 23 s → 15 s on a 92k-page /
+    45M-token round. Valid while one round's page set fits a broadcast
+    (politeness-budget-bounded); omit for unbounded inputs.
     """
+    if doc_key is None:
+        toks = page_index.select(
+            "url_canon", "ts14",
+            F.explode(
+                F.concat(tokenize(F.col("title")), tokenize(F.col("content")))
+            ).alias("term"),
+        )
+        return toks.groupBy("term", "url_canon", "ts14").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    keymap = page_index.select(
+        F.col(doc_key).alias("__doc"), "url_canon", "ts14")
     toks = page_index.select(
-        "url_canon", "ts14",
+        F.col(doc_key).alias("__doc"),
         F.explode(
             F.concat(tokenize(F.col("title")), tokenize(F.col("content")))
         ).alias("term"),
     )
-    return toks.groupBy("term", "url_canon", "ts14").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    agg = toks.groupBy("term", "__doc").agg(F.count(F.lit(1)).alias("tf"))
+    return agg.join(F.broadcast(keymap), "__doc").select(
+        "term", "url_canon", "ts14", "tf")
 
 
 def search(page_index: DataFrame, inverted_terms: DataFrame, query: str,

@@ -71,7 +71,7 @@ class CrawlJob:
         include_attachments: bool = True,
         robots_rules: DataFrame | None = None,
         budget_overrides: DataFrame | None = None,
-        salt_target_rows: int = 50_000,
+        salt_target_rows: int | None = None,
         schedule_prune_k: int | None = 16,
         bloom_buckets: int | None = None,
         compact_every: int | None = None,
@@ -282,7 +282,8 @@ class CrawlJob:
         # the cutoff fall back to a shuffle join (on a real deployment the
         # pages table is bucketed by url, making this bucket-local)
         n_sched = sched.filter(F.col("sched_status") == "scheduled").count()
-        if self.broadcast_fetch_join and n_sched <= 500_000:
+        broadcasting = self.broadcast_fetch_join and n_sched <= 500_000
+        if broadcasting:
             work = payload.join(F.broadcast(scheduled), ["url", "ts14"],
                                 "inner")
         else:
@@ -296,13 +297,26 @@ class CrawlJob:
                          "left_anti")
                    .withColumn("html", F.lit(None).cast("binary")))
         work = work.unionByName(missing, allowMissingColumns=True)
-        # P8: spread extraction over (host, salt) partitions — the join
-        # output otherwise inherits the corpus scan's partition count (can
-        # be far below cluster parallelism), and a mega-host must never pin
-        # one task. One shuffle of the scheduled payloads only.
-        work = with_salted_host_partition(
-            work, target_rows_per_partition=self.salt_target_rows)
-        extracted = with_extraction(work)
+        # P8 / extraction partitioning. Replay mode with a broadcast
+        # fetch-join needs NO repartition: the join output inherits the
+        # corpus scan's parquet splits, which are BYTE-balanced regardless
+        # of host skew (extraction cost ∝ bytes), and the payloads never
+        # shuffle. Only when the map side is too coarse to feed the cluster
+        # (few splits), or when the payloads were shuffle-joined anyway, is
+        # the work salted over (host, salt) — with the per-partition target
+        # sized to the round (≈4 tasks/core), not a fixed constant: a fixed
+        # 50k target gave one 30k-row mega-host partition a 7-8 s straggler.
+        parallelism = self.spark.sparkContext.defaultParallelism
+        scan_parts = payload.rdd.getNumPartitions()
+        if not broadcasting or scan_parts < max(2, parallelism * 3 // 4):
+            target = self.salt_target_rows or max(
+                200, n_sched // max(1, parallelism * 4))
+            work = with_salted_host_partition(
+                work, target_rows_per_partition=target)
+        # html is consumed by the extraction UDF and nothing after it —
+        # dropping it before the cache keeps ~half the cached bytes (5 KB
+        # payload/row) out of memory and out of every downstream read
+        extracted = with_extraction(work).drop("html")
         extracted = with_quality_score(
             extracted, "extracted.text").cache()
 
@@ -356,6 +370,7 @@ class CrawlJob:
                                    ["round_idx", *FRONTIER_KEY],
                                    properties={"round_idx": round_idx},
                                    assume_unique=True)
+        _tick("commit_fetch_log")
 
         # only terminal outcomes enter the seen set — a retryable failure
         # must stay eligible for the next round's anti-join
@@ -367,6 +382,7 @@ class CrawlJob:
         self.cat.merge_not_matched("url_seen", seen_rows, FRONTIER_KEY,
                                    properties={"round_idx": round_idx},
                                    assume_unique=True)
+        _tick("commit_url_seen")
 
         completed = extracted.filter(F.col("fetch_status") == C.STATUS_COMPLETED)
         pages_out = completed.select(
@@ -380,16 +396,18 @@ class CrawlJob:
         self.cat.merge_not_matched("pages_out", pages_out, FRONTIER_KEY,
                                    properties={"round_idx": round_idx},
                                    assume_unique=True)
+        _tick("commit_pages_out")
 
         # page_index is NOT a separate table: it is a projection of
         # pages_out (operators/index.py::page_index_from_pages_out) —
         # committing it would write the full text content twice per round
         page_index = build_page_index(completed)
-        inv = build_inverted_terms(page_index)
+        inv = build_inverted_terms(page_index, doc_key="seq")
         self.cat.merge_not_matched("inverted_terms", inv,
                                    ["term", "url_canon", "ts14"],
                                    properties={"round_idx": round_idx},
                                    assume_unique=True)
+        _tick("commit_inverted_terms")
 
         # the open frontier = deferred rows ∪ retryable failures (with
         # retry_count bumped), the next round's candidates
@@ -406,7 +424,7 @@ class CrawlJob:
         self.cat.commit(
             "frontier", next_frontier,
             operation="overwrite", properties={"round_idx": round_idx})
-        _tick("commits")
+        _tick("commit_frontier")
         counters["timings"] = timings
 
         # lineage row LAST — this is the round's commit point
