@@ -150,12 +150,18 @@ Spark in either probe):
   threads; no software can exceed this on one box.
 - **Workload-matched kernel ceiling {kern}×** — the engine's OWN
   single-threaded extraction kernel (`extract_one`) over real corpus
-  pages via bare `multiprocessing.Pool`, 8 → 32 processes: the same
-  work Spark parallelizes with ZERO engine overhead. String/regex work
-  is memory-bandwidth-bound in a way md5 is not, so this ceiling is
-  lower — and it is the correct normalization for the extract stage: a
-  real N→4N executor step multiplies memory bandwidth with nodes; a
-  single box cannot.
+  pages, FIXED-WORK weak scaling via bare `multiprocessing`: the
+  corpus' parquet files split disjointly over 8 vs 32 processes, every
+  page extracted exactly once, barrier-aligned start, throughput =
+  pages/wall — the same work Spark parallelizes with ZERO engine
+  overhead, streaming distinct pages exactly like the real stage.
+  String/regex work is memory-bandwidth-bound in a way md5 is not, so
+  this ceiling is lower — and it is the correct normalization for the
+  extract stage: a real N→4N executor step multiplies memory bandwidth
+  with nodes; a single box cannot. (An earlier probe variant cycled a
+  small resident page set per worker; it fit in L3 at 8 workers but not
+  at 32 and reported a "ceiling" the actual Spark stage beat 2.3× —
+  invalid by contradiction, replaced.)
 - **Fetch+extract stage: {xthr[small]:,.0f} pages/s @8 →
   {xthr[big]:,.0f} pages/s @32; raw efficiency
   {summary['extract_scaling_efficiency']} =

@@ -9,13 +9,21 @@ multiplies all resources, which a single box cannot emulate.
 Two probes:
 
 - **md5 burn** — cache-resident pure-ALU work; the optimistic ceiling.
-- **extraction kernel** (if ``CSS_PROBE_CORPUS`` points at a pages parquet)
-  — the engine's OWN single-threaded html→text kernel over real corpus
-  pages via ``multiprocessing.Pool``, i.e. the same work Spark
-  parallelizes but with zero engine overhead. String/regex work is
-  memory-bandwidth-heavier than md5, so this ceiling is LOWER — and it is
-  the honest normalization for the extract stage: no software on this box
-  can scale the workload past what the bare kernel achieves.
+- **extraction kernel** (if ``CSS_PROBE_CORPUS`` points at a pages parquet
+  DIRECTORY) — the engine's OWN single-threaded html→text kernel over real
+  corpus pages via ``multiprocessing``, i.e. the same work Spark
+  parallelizes but with zero engine overhead.
+
+The kernel probe is FIXED-WORK weak scaling: the corpus' parquet files are
+split disjointly across k workers, every page is extracted exactly ONCE,
+and throughput = total pages / wall (a shared Barrier aligns the start;
+each worker pre-loads its slice before the barrier so IO is untimed).
+Streaming distinct pages matches the real workload's memory behavior — an
+earlier variant had each worker CYCLE a small resident page set, which fits
+in L3 at 8 workers but not at 32 and reported a "ceiling" 2.7× below what
+the actual Spark stage achieves. A ceiling the system exceeds is not a
+ceiling; this one is exceedance-proof by construction (same kernel, same
+page mix, zero overhead).
 
 Prints one JSON line: {"hw_scaling_8_to_32": <md5 ratio>,
 "hw_efficiency": ..., "kernel_scaling_8_to_32": ..., "kernel_efficiency":
@@ -24,6 +32,7 @@ Prints one JSON line: {"hw_scaling_8_to_32": <md5 ratio>,
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import multiprocessing as mp
@@ -31,7 +40,6 @@ import os
 import time
 
 _BURN_SECONDS = 6.0
-_KERNEL_PAGES: list = []  # populated in each worker via initializer
 
 
 def _burn(_: int) -> int:
@@ -49,32 +57,46 @@ def aggregate(workers: int) -> int:
         return sum(p.map(_burn, range(workers)))
 
 
-def _kernel_init(corpus: str) -> None:
+def _kernel_worker(files: list[str], barrier, out_q) -> None:
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(corpus, columns=["html"])
-    _KERNEL_PAGES.extend(h.as_py() for h in tbl["html"][:2000])
-
-
-def _kernel_burn(_: int) -> int:
     from chrono_scraper_spark.operators.extraction import extract_one
 
+    pages = []
+    for f in files:
+        pages.extend(h.as_py() for h in
+                     pq.read_table(f, columns=["html"])["html"])
+    barrier.wait()          # all slices loaded — start together
     t0 = time.time()
-    c = 0
-    while time.time() - t0 < _BURN_SECONDS:
-        extract_one(_KERNEL_PAGES[c % len(_KERNEL_PAGES)])
-        c += 1
-    return c
+    for p in pages:
+        extract_one(p)
+    out_q.put((len(pages), time.time() - t0))
 
 
-def kernel_aggregate(workers: int, corpus: str) -> int:
-    with mp.Pool(workers, initializer=_kernel_init,
-                 initargs=(corpus,)) as p:
-        return sum(p.map(_kernel_burn, range(workers)))
+def kernel_aggregate(workers: int, corpus: str,
+                     max_files: int = 32) -> tuple[int, float]:
+    """(pages, wall_seconds) for one fixed-work run: ``max_files`` corpus
+    files split round-robin over ``workers`` processes, each page extracted
+    once. Same file set at every worker count ⇒ identical total work."""
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))[:max_files]
+    slices = [files[i::workers] for i in range(workers)]
+    slices = [s for s in slices if s]
+    barrier = mp.Barrier(len(slices))
+    out_q: mp.Queue = mp.Queue()
+    procs = [mp.Process(target=_kernel_worker, args=(s, barrier, out_q))
+             for s in slices]
+    for p in procs:
+        p.start()
+    results = [out_q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    pages = sum(r[0] for r in results)
+    wall = max(r[1] for r in results)
+    return pages, wall
 
 
 def main() -> None:
@@ -88,13 +110,18 @@ def main() -> None:
     }
     corpus = os.environ.get("CSS_PROBE_CORPUS")
     if corpus and os.path.exists(corpus):
-        k8 = kernel_aggregate(8, corpus)
-        k32 = kernel_aggregate(32, corpus)
+        rate = {}
+        for workers in (8, 32):
+            best = 0.0
+            for _trial in range(2):          # best-of-2 per level
+                pages, wall = kernel_aggregate(workers, corpus)
+                best = max(best, pages / wall)
+            rate[workers] = best
         out.update({
-            "kernel_scaling_8_to_32": round(k32 / k8, 3),
-            "kernel_efficiency": round(k32 / k8 / 4, 3),
-            "kernel_pages_per_sec_8": round(k8 / _BURN_SECONDS, 1),
-            "kernel_pages_per_sec_32": round(k32 / _BURN_SECONDS, 1),
+            "kernel_scaling_8_to_32": round(rate[32] / rate[8], 3),
+            "kernel_efficiency": round(rate[32] / rate[8] / 4, 3),
+            "kernel_pages_per_sec_8": round(rate[8], 1),
+            "kernel_pages_per_sec_32": round(rate[32], 1),
         })
     print(json.dumps(out))
 
