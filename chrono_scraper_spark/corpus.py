@@ -169,6 +169,17 @@ def _render_html_udf(title: pd.Series, text: pd.Series,
     return pd.Series(out)
 
 
+@pandas_udf(BinaryType())
+def _render_pdf_udf(title: pd.Series, text: pd.Series,
+                    pub_date: pd.Series) -> pd.Series:  # pragma: no cover
+    """Render a co-generated PDF payload from source text — the PDF twin of
+    ``_render_html_udf``: ``extract_pdf_one`` inverts it byte-for-byte."""
+    from chrono_scraper_spark.operators.extraction import encode_pdf
+
+    return pd.Series([encode_pdf(t, x, d)
+                      for t, x, d in zip(title, text, pub_date)])
+
+
 def generate_pages(
     spark: SparkSession,
     n_docs: int,

@@ -1299,6 +1299,43 @@ SELECT vec_id AS query_id, TRUE AS recall_ok
 FROM embeddings WHERE vec_id < 5"""
 
 
+def q_pdf_extraction_identity(spark, sf_dir):
+    """Byte-identity of the dependency-free PDF text parser, value-checked
+    like extraction_identity: the CDX-parity corpus' application/pdf rows
+    get a co-generated PDF payload rendered from their text, the mime
+    router sends them through ``extract_pdf_one``, and the query emits
+    md5(text/markdown) + title/method/pub_date; the oracle hashes the
+    source text directly."""
+    from chrono_scraper_spark.corpus import _render_pdf_udf as render_pdf
+    from chrono_scraper_spark.operators.extraction import with_extraction
+
+    pages = cdx_pages_view(spark, sf_dir).filter(
+        F.col("mime") == "application/pdf")
+    pages = pages.withColumn(
+        "page_title", F.concat(F.lit("doc "), F.col("doc_id").cast("string")))
+    pages = pages.withColumn(
+        "html", render_pdf(F.col("page_title"), F.col("text"),
+                           F.date_format("warc_ts", "yyyy-MM-dd")))
+    out = with_extraction(pages)
+    return out.select(
+        "url", "ts14",
+        F.md5(F.col("extracted.text")).alias("text_md5"),
+        F.col("extracted.title").alias("title"),
+        F.col("extracted.method").alias("method"),
+        F.md5(F.col("extracted.markdown")).alias("markdown_md5"),
+        F.col("extracted.pub_date").alias("pub_date"))
+
+
+SQL_PDF_EXTRACTION_IDENTITY = _PRELUDE + """
+SELECT url, ts14, md5(text) AS text_md5,
+  'doc ' || CAST(doc_id AS VARCHAR) AS title,
+  'pdf' AS method,
+  md5('# doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || text)
+    AS markdown_md5,
+  strftime(warc_ts, '%Y-%m-%d') AS pub_date
+FROM pages_cdx WHERE mime = 'application/pdf'"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1348,6 +1385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "hybrid_source": q_hybrid_source,
     "extraction_identity": q_extraction_identity,
+    "pdf_extraction_identity": q_pdf_extraction_identity,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1396,5 +1434,6 @@ ORACLES: dict[str, str] = {
     "ann_topk_ivf": SQL_ANN_TOPK_IVF,
     "hybrid_source": SQL_HYBRID_SOURCE,
     "extraction_identity": SQL_EXTRACTION_IDENTITY,
+    "pdf_extraction_identity": SQL_PDF_EXTRACTION_IDENTITY,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

@@ -138,23 +138,132 @@ _EXTRACT_CORE_SCHEMA = T.StructType(
 )
 
 
+def _batched_extract(kernel):
+    def run(html: pd.Series) -> pd.DataFrame:
+        # column-wise assembly: pd.DataFrame(list-of-tuples) transposes in
+        # Python — building the six columns directly is measurably cheaper
+        cols: tuple[list, ...] = ([], [], [], [], [], [])
+        for h in html:
+            r = kernel(h)
+            cols[0].append(r[0])
+            cols[1].append(r[1])
+            cols[2].append(r[2])
+            cols[3].append(r[3])
+            cols[4].append(r[5])
+            cols[5].append(r[6])
+        return pd.DataFrame(dict(zip(_EXTRACT_CORE_COLS, cols)))
+    return run
+
+
 @pandas_udf(_EXTRACT_CORE_SCHEMA)
 def extract_text_udf(html: pd.Series) -> pd.DataFrame:  # pragma: no cover
-    # column-wise assembly: pd.DataFrame(list-of-tuples) transposes in
-    # Python — building the six columns directly is measurably cheaper
-    cols: tuple[list, ...] = ([], [], [], [], [], [])
-    for h in html:
-        r = extract_one(h)
-        cols[0].append(r[0])
-        cols[1].append(r[1])
-        cols[2].append(r[2])
-        cols[3].append(r[3])
-        cols[4].append(r[5])
-        cols[5].append(r[6])
-    return pd.DataFrame(dict(zip(_EXTRACT_CORE_COLS, cols)))
+    return _batched_extract(extract_one)(html)
+
+
+@pandas_udf(_EXTRACT_CORE_SCHEMA)
+def extract_pdf_udf(payload: pd.Series) -> pd.DataFrame:  # pragma: no cover
+    return _batched_extract(extract_pdf_one)(payload)
 
 
 _UNSUPPORTED_MIME = "unsupported_mime"
+
+# ---------------------------------------------------------------------------
+# PDF text extraction (E-family; the reference admits application/pdf through
+# the CDX filter and extracts PDF text, wayback_machine.py:741-907). No PDF
+# libs in this container, so — like the BMP/WAV kernels in multimodal.py —
+# this is a REAL dependency-free parser for uncompressed text-object PDFs
+# (the co-generated corpus shape), not a stub: writer + parser round-trip
+# text byte-identically.
+# ---------------------------------------------------------------------------
+
+_PDF_ESC = {ord("\\"): "\\\\", ord("("): "\\(", ord(")"): "\\)",
+            ord("\n"): "\\n", ord("\r"): "\\r", ord("\t"): "\\t"}
+_RE_PDF_STREAM = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
+_RE_PDF_TJ = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+_RE_PDF_TITLE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
+_RE_PDF_DATE = re.compile(rb"/CreationDate\s*\(D:(\d{4})(\d{2})(\d{2})")
+_RE_PDF_UNESC = re.compile(rb"\\([nrtbf()\\]|[0-7]{1,3})")
+
+
+def _pdf_escape(s: str) -> str:
+    return s.translate(_PDF_ESC)
+
+
+def _pdf_unescape(b: bytes) -> str:
+    def sub(m: re.Match) -> bytes:
+        c = m.group(1)
+        mapping = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                   b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
+        if c in mapping:
+            return mapping[c]
+        return bytes([int(c, 8)])
+    return _RE_PDF_UNESC.sub(sub, b).decode("utf-8", errors="replace")
+
+
+def encode_pdf(title: str | None, text: str | None,
+               date_iso: str | None = None) -> bytes:
+    """Minimal single-page uncompressed PDF: one text object per source
+    line (``(line) Tj T*``), /Info Title + CreationDate. The xref table is
+    byte-offset-correct (a standards-level reader can open it); the corpus
+    uses it to co-generate PDF payloads whose extracted text round-trips
+    byte-identically."""
+    lines = (text or "").split("\n")
+    content = "BT /F1 12 Tf 72 720 Td 14 TL\n" + "".join(
+        f"({_pdf_escape(ln)}) Tj T*\n" for ln in lines) + "ET"
+    cb = content.encode("utf-8")
+    info = "<<"
+    if title is not None:
+        info += f" /Title ({_pdf_escape(title)})"
+    if date_iso:
+        info += f" /CreationDate (D:{date_iso.replace('-', '')}120000Z)"
+    info += " >>"
+    objs = [
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        f"<< /Length {len(cb)} >>\nstream\n{content}\nendstream",
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        info,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n{body}\nendobj\n".encode("utf-8")
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R /Info 6 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def extract_pdf_one(
+    payload: bytes,
+) -> tuple[str | None, str | None, str, int, str | None, str | None,
+           str | None]:
+    """(text, title, method, word_count, markdown, og_title, pub_date) for
+    one PDF — the mime-routed sibling of ``extract_one``. Parses
+    uncompressed content streams' ``(…) Tj`` show-text operators in order
+    (one per source line) and the /Info Title/CreationDate. Filtered
+    (compressed) streams yield no text → the row terminalizes as failed
+    rather than passing garbage (same contract as the html strip path)."""
+    if payload is None or not payload.startswith(b"%PDF"):
+        return None, None, "none", 0, None, None, None
+    m_t = _RE_PDF_TITLE.search(payload)
+    title = _pdf_unescape(m_t.group(1)) if m_t else None
+    m_d = _RE_PDF_DATE.search(payload)
+    pub_date = "-".join(m_d.groups()[i].decode() for i in range(3)) \
+        if m_d else None
+    parts: list[str] = []
+    for stream in _RE_PDF_STREAM.findall(payload):
+        parts.extend(_pdf_unescape(t) for t in _RE_PDF_TJ.findall(stream))
+    text = "\n".join(parts) if parts else None
+    wc = len(text.split()) if text else 0
+    return ((text if wc else None), title, "pdf", wc,
+            _markdown(title, text if wc else None), None, pub_date)
 
 
 def with_extraction(pages: DataFrame, html_col: str = "html",
@@ -163,12 +272,15 @@ def with_extraction(pages: DataFrame, html_col: str = "html",
     completed/failed split column per the reference's word_count>50 gate
     (E9, content_extraction_service.py:181-193).
 
-    Non-HTML mimes (PDF etc. — the CDX filter admits application/pdf,
-    wayback_machine.py:741-907) route to a DISTINCT terminal
-    ``unsupported_mime`` method instead of garbage-stripping binary through
-    the HTML path; the rows terminalize as failed, never silently corrupt."""
+    Mime routing (the CDX filter admits application/pdf,
+    wayback_machine.py:741-907): text/html → the html cascade;
+    application/pdf → the real PDF text parser (``extract_pdf_one``);
+    anything else → a DISTINCT terminal ``unsupported_mime`` method instead
+    of garbage-stripping binary through the HTML path — rows terminalize
+    as failed, never silently corrupt."""
     if mime_col in pages.columns:
         is_html = F.col(mime_col) == "text/html"
+        is_pdf = F.col(mime_col) == "application/pdf"
         unsupported = F.struct(
             F.lit(None).cast("string").alias("text"),
             F.lit(None).cast("string").alias("title"),
@@ -178,6 +290,7 @@ def with_extraction(pages: DataFrame, html_col: str = "html",
             F.lit(None).cast("string").alias("pub_date"),
         )
         core = F.when(is_html, extract_text_udf(F.col(html_col))) \
+            .when(is_pdf, extract_pdf_udf(F.col(html_col))) \
             .otherwise(unsupported)
     else:
         core = extract_text_udf(F.col(html_col))

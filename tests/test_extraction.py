@@ -56,16 +56,65 @@ def test_extract_one_metadata_enrichment():
     assert E.extract_one(html2)[6] == "2020-12-25"
 
 
-def test_pdf_mime_routes_to_unsupported(spark):
+def test_mime_routing(spark):
+    pdf = E.encode_pdf("Doc T", "w1 w2 w3\n\nsecond para", "2021-03-05")
     rows = [("u1", "text/html",
              b"<html><body><article><p>w1 w2</p></article></body></html>"),
-            ("u2", "application/pdf", b"%PDF-1.4 garbage")]
+            ("u2", "application/pdf", b"%PDF-1.4 garbage, no streams"),
+            ("u3", "application/pdf", pdf),
+            ("u4", "image/png", b"\x89PNG....")]
     df = spark.createDataFrame(rows, "url string, mime string, html binary")
     out = {r["url"]: r for r in E.with_extraction(df).collect()}
     assert out["u1"]["extracted"]["method"] == "article"
-    assert out["u2"]["extracted"]["method"] == "unsupported_mime"
+    # unparseable pdf terminalizes as failed through the pdf method
+    assert out["u2"]["extracted"]["method"] == "pdf"
     assert out["u2"]["fetch_status"] == "failed"
     assert out["u2"]["extracted"]["text"] is None
+    # parseable pdf round-trips text + metadata
+    assert out["u3"]["extracted"]["method"] == "pdf"
+    assert out["u3"]["extracted"]["text"] == "w1 w2 w3\n\nsecond para"
+    assert out["u3"]["extracted"]["title"] == "Doc T"
+    assert out["u3"]["extracted"]["pub_date"] == "2021-03-05"
+    # everything else stays a distinct terminal method
+    assert out["u4"]["extracted"]["method"] == "unsupported_mime"
+
+
+def test_pdf_roundtrip_byte_identity():
+    cases = [
+        ("plain", "alpha beta gamma"),
+        ("parens (and) more", "line with (parens) and \\backslash\\"),
+        ("multi", "p1 l1\np1 l2\n\np2 l1"),
+        ("empty-lines", "a\n\n\nb"),
+        ("tabs", "col1\tcol2"),
+    ]
+    for title, text in cases:
+        got = E.extract_pdf_one(E.encode_pdf(title, text, "2020-01-02"))
+        assert got[0] == text, (title, got[0])
+        assert got[1] == title
+        assert got[2] == "pdf"
+        assert got[3] == len(text.split())
+        assert got[6] == "2020-01-02"
+
+
+def test_pdf_parser_rejects_non_pdf():
+    assert E.extract_pdf_one(None)[2] == "none"
+    assert E.extract_pdf_one(b"not a pdf")[2] == "none"
+    t, title, method, wc, *_ = E.extract_pdf_one(b"%PDF-1.4\nno streams")
+    assert method == "pdf" and t is None and wc == 0
+
+
+def test_pdf_xref_offsets_are_correct():
+    """The writer emits a standards-correct xref: every offset points at
+    'N 0 obj'."""
+    pdf = E.encode_pdf("T", "some text", None)
+    import re as _re
+
+    xref_at = int(_re.search(rb"startxref\n(\d+)", pdf).group(1))
+    assert pdf[xref_at:xref_at + 4] == b"xref"
+    offsets = [int(m) for m in
+               _re.findall(rb"(\d{10}) 00000 n", pdf[xref_at:])]
+    for i, off in enumerate(offsets, start=1):
+        assert pdf[off:off + len(f"{i} 0 obj")] == f"{i} 0 obj".encode()
 
 
 def test_quality_and_counts(spark):
