@@ -87,3 +87,47 @@ def test_crash_before_pointer_swap_keeps_previous(spark, tmp_path):
     # the next real commit supersedes the torn one
     cat.commit("t", df, operation="a")
     assert cat.read("t").count() == 2
+
+
+def test_multi_round_commits_are_o_delta(spark, tmp_path):
+    """Delta-commit evidence over a real multi-round crawl: every commit to
+    the accumulating tables adds EXACTLY ONE new fragment whose row count
+    equals that round's delta — commit cost tracks the delta, never the
+    accumulated table (the round-1 copy-on-write rewrote everything every
+    round)."""
+    from chrono_scraper_spark.corpus import generate_pages
+    from chrono_scraper_spark.plans.crawl import CrawlJob
+
+    corpus = str(tmp_path / "pages")
+    generate_pages(spark, 60, partitions=4).write.parquet(corpus)
+    seeds = spark.createDataFrame(
+        [(1, r"https://.*", "regex", None, None, None)],
+        "project_id int, domain_name string, match_type string, "
+        "url_path string, from_date date, to_date date")
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    job = CrawlJob(spark, cat, corpus, seeds, rps=0.02, burst=2,
+                   round_seconds=60.0)   # budget 3 in round 0, then 1/host
+    rounds = job.run(max_rounds=4)
+    assert len(rounds) >= 3, "need a multi-round crawl for this evidence"
+
+    for table in ("url_seen", "inverted_terms", "fetch_log"):
+        versions = sorted(s["version"] for s in cat.snapshots(table))
+        frag_counts, frag_rows, totals = [], [], []
+        for i, v in enumerate(versions):
+            frags = set(cat._fragments(table, v))
+            prev = set(cat._fragments(table, versions[i - 1])) if i else set()
+            new = frags - prev
+            assert prev <= frags, f"{table} v{v} dropped fragments (rewrite)"
+            frag_counts.append(len(new))
+            frag_rows.append(
+                sum(spark.read.parquet(f).count() for f in new))
+            totals.append(cat.read(table, v).count())
+        # one new fragment per commit, holding only the delta
+        assert all(c == 1 for c in frag_counts), (table, frag_counts)
+        deltas = [totals[0]] + [totals[i] - totals[i - 1]
+                                for i in range(1, len(totals))]
+        assert frag_rows == deltas, (table, frag_rows, deltas)
+        # the later commits must NOT rewrite the accumulated table: every
+        # post-first fragment is strictly smaller than the table it joined
+        for i in range(1, len(versions)):
+            assert frag_rows[i] < totals[i], (table, i)
