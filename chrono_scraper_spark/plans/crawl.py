@@ -355,6 +355,11 @@ class CrawlJob:
         _tick("counters")
 
         # ---- commits (all idempotent MERGEs; lineage row last) ----
+        # The four table commits are independent (different tables, all
+        # projections of the materialized extraction cache), so they run as
+        # CONCURRENT Spark jobs from a small thread pool — write stalls of
+        # one commit fill with compute/IO of another; ordering only matters
+        # for the lineage row, which still commits strictly last.
         # fetch_log records every ATTEMPT: keyed per round so retried rows
         # appear once per attempt, and a replayed round converges
         fetch_rows = extracted.select(
@@ -366,12 +371,6 @@ class CrawlJob:
             F.col("extracted.word_count").alias("word_count"),
             F.col("extracted.method").alias("extract_method"),
         )
-        self.cat.merge_not_matched("fetch_log", fetch_rows,
-                                   ["round_idx", *FRONTIER_KEY],
-                                   properties={"round_idx": round_idx},
-                                   assume_unique=True)
-        _tick("commit_fetch_log")
-
         # only terminal outcomes enter the seen set — a retryable failure
         # must stay eligible for the next round's anti-join
         seen_rows = terminal.select(
@@ -379,11 +378,6 @@ class CrawlJob:
             F.col("fetch_status").alias("status"),
             F.lit(round_idx).alias("first_seen_round"),
         )
-        self.cat.merge_not_matched("url_seen", seen_rows, FRONTIER_KEY,
-                                   properties={"round_idx": round_idx},
-                                   assume_unique=True)
-        _tick("commit_url_seen")
-
         completed = extracted.filter(F.col("fetch_status") == C.STATUS_COMPLETED)
         pages_out = completed.select(
             "url", "url_canon", "ts14", "host", "warc_ts", "lang", "digest",
@@ -393,21 +387,30 @@ class CrawlJob:
             "quality_score",
             F.lit(round_idx).alias("round_idx"), "seq",
         )
-        self.cat.merge_not_matched("pages_out", pages_out, FRONTIER_KEY,
-                                   properties={"round_idx": round_idx},
-                                   assume_unique=True)
-        _tick("commit_pages_out")
-
         # page_index is NOT a separate table: it is a projection of
         # pages_out (operators/index.py::page_index_from_pages_out) —
         # committing it would write the full text content twice per round
         page_index = build_page_index(completed)
         inv = build_inverted_terms(page_index, doc_key="seq")
-        self.cat.merge_not_matched("inverted_terms", inv,
-                                   ["term", "url_canon", "ts14"],
-                                   properties={"round_idx": round_idx},
-                                   assume_unique=True)
-        _tick("commit_inverted_terms")
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        commit_jobs = [
+            ("fetch_log", fetch_rows, ["round_idx", *FRONTIER_KEY]),
+            ("url_seen", seen_rows, FRONTIER_KEY),
+            ("pages_out", pages_out, FRONTIER_KEY),
+            ("inverted_terms", inv, ["term", "url_canon", "ts14"]),
+        ]
+        with ThreadPoolExecutor(max_workers=len(commit_jobs)) as pool:
+            futs = [
+                pool.submit(self.cat.merge_not_matched, table, df, keys,
+                            properties={"round_idx": round_idx},
+                            assume_unique=True)
+                for table, df, keys in commit_jobs
+            ]
+            for f in futs:
+                f.result()
+        _tick("commit_tables")
 
         # the open frontier = deferred rows ∪ retryable failures (with
         # retry_count bumped), the next round's candidates
