@@ -187,6 +187,7 @@ def generate_pages(
     captures_per_url: int = 3,
     partitions: int | None = None,
     words_scale: int = 1,
+    pdf_every: int | None = None,
 ) -> DataFrame:
     """Deterministic corpus: ``n_docs`` distinct urls × 1-3 captures each.
 
@@ -262,12 +263,23 @@ def generate_pages(
     df = df.withColumn("lang", F.when(F.col("id") % 10 < 8, F.lit("en"))
                        .when(F.col("id") % 10 == 8, F.lit("de"))
                        .otherwise(F.lit("fr")))
+    # pdf_every: docs with id % pdf_every == 7 carry a co-generated PDF
+    # payload + application/pdf mime (the CDX filter admits PDFs; the
+    # extractor routes them through the PDF parser)
+    is_pdf = (F.col("id") % pdf_every == 7) if pdf_every else F.lit(False)
     df = df.withColumn(
         "html",
-        _render_html_udf(F.col("title"), F.col("text"),
-                         F.date_format("warc_ts", "yyyy-MM-dd")))
+        F.when(is_pdf, _render_pdf_udf(
+            F.col("title"), F.col("text"),
+            F.date_format("warc_ts", "yyyy-MM-dd")))
+        .otherwise(_render_html_udf(
+            F.col("title"), F.col("text"),
+            F.date_format("warc_ts", "yyyy-MM-dd"))))
     df = df.withColumn("digest", F.md5(F.col("text")))
-    df = df.withColumn("mime", F.lit("text/html"))
+    df = df.withColumn(
+        "mime",
+        F.when(is_pdf, F.lit("application/pdf"))
+        .otherwise(F.lit("text/html")))
     df = df.withColumn("status", F.lit(200))
     df = df.withColumn("length", F.length(F.col("html")).cast("long"))
     return df.select(

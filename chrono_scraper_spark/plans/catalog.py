@@ -255,5 +255,34 @@ class SnapshotCatalog:
         return self.commit(table, df, operation="compact",
                            properties=properties)
 
+    def expire_snapshots(self, table: str, *, keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots`` analog: drop all but the newest
+        ``keep_last`` manifests and DELETE fragment directories no retained
+        manifest references (after a ``compact`` the whole pre-compaction
+        chain becomes unreferenced — this is what actually reclaims disk).
+        Time travel to an expired version raises, exactly like Iceberg.
+        Safe ordering: manifests are removed first, data files second, so a
+        crash mid-expire can strand unreferenced files (re-run to finish)
+        but can never leave a manifest pointing at deleted data."""
+        import shutil
+
+        versions = sorted(s["version"] for s in self.snapshots(table))
+        drop, keep = versions[:-keep_last], versions[-keep_last:]
+        if not drop:
+            return {"expired_versions": [], "deleted_fragments": []}
+        keep_frags = set()
+        for v in keep:
+            keep_frags.update(self._fragments(table, v))
+        doomed = set()
+        for v in drop:
+            doomed.update(f for f in self._fragments(table, v)
+                          if f not in keep_frags)
+        for v in drop:
+            os.remove(self._manifest_path(table, v))
+        for frag in doomed:
+            shutil.rmtree(frag, ignore_errors=True)
+        return {"expired_versions": drop,
+                "deleted_fragments": sorted(doomed)}
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)

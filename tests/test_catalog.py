@@ -131,3 +131,43 @@ def test_multi_round_commits_are_o_delta(spark, tmp_path):
         # post-first fragment is strictly smaller than the table it joined
         for i in range(1, len(versions)):
             assert frag_rows[i] < totals[i], (table, i)
+
+
+def test_expire_snapshots_reclaims_unreferenced_fragments(spark, tmp_path):
+    import os
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    for i in range(4):
+        cat.append("t", spark.range(i * 10, i * 10 + 10).toDF("v"),
+                   properties={"i": i})
+    cat.compact("t")                       # v5: one folded fragment
+    pre = set()
+    for s in cat.snapshots("t"):
+        pre.update(cat._fragments("t", s["version"]))
+    out = cat.expire_snapshots("t", keep_last=1)
+    assert out["expired_versions"] == [1, 2, 3, 4]
+    # the four pre-compaction fragments are gone from disk
+    assert out["deleted_fragments"]
+    for frag in out["deleted_fragments"]:
+        assert not os.path.exists(frag)
+    # current read still complete
+    assert cat.read("t").count() == 40
+    # time travel to an expired version raises (Iceberg semantics)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        cat.read("t", version=2).count()
+    # idempotent / no-op when nothing to drop
+    assert cat.expire_snapshots("t", keep_last=5)["expired_versions"] == []
+
+
+def test_expire_keeps_fragments_still_referenced(spark, tmp_path):
+    """Delta chains share fragments: expiring old versions must keep every
+    fragment a retained manifest still lists."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh2"))
+    for i in range(3):
+        cat.append("t", spark.range(i * 5, i * 5 + 5).toDF("v"))
+    out = cat.expire_snapshots("t", keep_last=1)   # v3 references ALL frags
+    assert out["expired_versions"] == [1, 2]
+    assert out["deleted_fragments"] == []          # all still referenced
+    assert cat.read("t").count() == 15

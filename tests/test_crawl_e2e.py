@@ -119,3 +119,35 @@ def test_torn_round_replay(spark, tmp_path, corpus_path, seeds):
     assert replay.next_round() == 1  # the torn round is not "done"
     replay.run(max_rounds=50)
     assert _engine_state(ref.cat) == _engine_state(replay.cat)
+
+
+def test_mixed_html_pdf_corpus_end_to_end(spark, tmp_path, seeds):
+    """PDF rows flow through the WHOLE pipeline: admitted by the CDX mime
+    filter, scheduled, routed through the PDF parser, byte-identical text
+    in pages_out, searchable in the index."""
+    corpus = str(tmp_path / "pages_pdf")
+    generate_pages(spark, 60, partitions=4, pdf_every=8).write.parquet(corpus)
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh_pdf"))
+    job = CrawlJob(spark, cat, corpus, seeds, rps=10_000.0, burst=0,
+                   round_seconds=60.0)
+    job.run(max_rounds=3)
+
+    log = cat.read("fetch_log")
+    methods = {r["extract_method"] for r in
+               log.select("extract_method").distinct().collect()}
+    assert "pdf" in methods and "article" in methods
+    # every completed pdf row's extracted text is byte-identical to source
+    src = {(r["url"], r["ts14"]): r["text"] for r in
+           spark.read.parquet(corpus).selectExpr(
+               "url", "date_format(warc_ts,'yyyyMMddHHmmss') ts14",
+               "text", "mime").collect()
+           if r["mime"] == "application/pdf"}
+    assert src, "corpus must contain pdf captures"
+    got = {(r["url"], r["ts14"]): r["extracted_text"] for r in
+           cat.read("pages_out").filter("round_idx >= 0").collect()}
+    checked = 0
+    for k, text in src.items():
+        if k in got:           # short pdfs fail the word-count gate
+            assert got[k] == text, k
+            checked += 1
+    assert checked > 0
