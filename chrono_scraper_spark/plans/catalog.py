@@ -263,7 +263,12 @@ class SnapshotCatalog:
         Time travel to an expired version raises, exactly like Iceberg.
         Safe ordering: manifests are removed first, data files second, so a
         crash mid-expire can strand unreferenced files (re-run to finish)
-        but can never leave a manifest pointing at deleted data."""
+        but can never leave a manifest pointing at deleted data.
+
+        Run OFFLINE, between crawl runs: a crawl round's lineage row pins
+        the previous round's versions for torn-round replay, so expiring
+        versions a potential replay still needs would break resume — the
+        same writer/maintenance separation Iceberg prescribes."""
         import shutil
 
         versions = sorted(s["version"] for s in self.snapshots(table))

@@ -450,6 +450,13 @@ class CrawlJob:
                       "pages_out", "filtered_log"):
                 if self.cat.exists(t):
                     self.cat.compact(t, properties={"round_idx": round_idx})
+                    # NOTE: disk reclaim (cat.expire_snapshots, keep_last=1)
+                    # must run as an OFFLINE maintenance step between crawl
+                    # runs, not here: this round's lineage row pins the
+                    # PRE-compaction versions for torn-round replay, and
+                    # expiring them would break a replay after a crash —
+                    # the same reason Iceberg separates expire_snapshots
+                    # from writers.
         decided.unpersist()
         sched.unpersist()
         extracted.unpersist()
