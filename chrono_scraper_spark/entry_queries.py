@@ -1326,6 +1326,36 @@ def q_pdf_extraction_identity(spark, sf_dir):
         F.col("extracted.pub_date").alias("pub_date"))
 
 
+def q_robots_rules(spark, sf_dir):
+    """P10 robots.txt parsing, value-checked: every distinct host in the
+    CDX corpus gets a templated robots body (a '*' group with one
+    Disallow + one Allow, plus a 'cc-bot' group that must NOT leak into
+    the '*' view per RFC 9309 most-specific-group semantics); the engine
+    parses the bodies with ``parse_robots``; the oracle derives the
+    expected rule rows from the same template in closed form."""
+    from chrono_scraper_spark.operators.politeness import parse_robots
+
+    hosts = _cand(spark, sf_dir).select("host").distinct()
+    h = F.col("host")
+    tag = F.substring(F.md5(h), 1, 4)   # md5: portable to the oracle
+    body = F.concat(
+        F.lit("# generated\nUser-agent: *\nDisallow: /private-"), tag,
+        F.lit("/\nAllow: /private-"), tag,
+        F.lit("/ok/\n\nUser-agent: cc-bot\nDisallow: /cc-only/\n"))
+    robots = hosts.select("host", body.alias("body"))
+    return parse_robots(robots).select("host", "path_prefix", "allowed")
+
+
+SQL_ROBOTS_RULES = _PRELUDE + """
+, hosts AS (SELECT DISTINCT host FROM cand),
+tagged AS (SELECT host, substr(md5(host), 1, 4) AS tag FROM hosts)
+SELECT host, '/private-' || tag || '/' AS path_prefix, FALSE AS allowed
+FROM tagged
+UNION ALL
+SELECT host, '/private-' || tag || '/ok/' AS path_prefix, TRUE AS allowed
+FROM tagged"""
+
+
 SQL_PDF_EXTRACTION_IDENTITY = _PRELUDE + """
 SELECT url, ts14, md5(text) AS text_md5,
   'doc ' || CAST(doc_id AS VARCHAR) AS title,
@@ -1386,6 +1416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_source": q_hybrid_source,
     "extraction_identity": q_extraction_identity,
     "pdf_extraction_identity": q_pdf_extraction_identity,
+    "robots_rules": q_robots_rules,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1435,5 +1466,6 @@ ORACLES: dict[str, str] = {
     "hybrid_source": SQL_HYBRID_SOURCE,
     "extraction_identity": SQL_EXTRACTION_IDENTITY,
     "pdf_extraction_identity": SQL_PDF_EXTRACTION_IDENTITY,
+    "robots_rules": SQL_ROBOTS_RULES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }

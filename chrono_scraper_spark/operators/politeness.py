@@ -198,6 +198,56 @@ def with_salted_host_partition(frontier: DataFrame,
     return df.repartition(F.col("host"), F.col("host_salt"))
 
 
+def parse_robots(robots: DataFrame, *, user_agent: str = "*") -> DataFrame:
+    """P10: vectorized robots.txt parser → the ``robots_rules(host,
+    path_prefix, allowed)`` table ``robots_filter`` consumes.
+
+    Input: one row per fetched robots.txt — ``(host, body string)``. Pure
+    column expressions: split body into lines, track the active
+    ``User-agent`` group with a running window (last UA line at or above
+    each rule line), keep only the MOST SPECIFIC matching group per host
+    (the named group when present, else the ``*`` group — RFC 9309
+    §2.2.1), and emit one rule row per Allow/Disallow with a non-empty
+    path. An
+    empty ``Disallow:`` means allow-all and yields no restricting row —
+    per the robots exclusion protocol (RFC 9309 §2.2.2).
+
+    One shuffle (the UA-group window, partitioned by host — robots files
+    are small, a few hundred lines, so per-host windows are trivial)."""
+    lines = (robots
+             .select("host", F.posexplode(F.split(F.col("body"), "\n"))
+                     .alias("line_no", "raw"))
+             .withColumn("line", F.trim(F.regexp_replace("raw", "#.*$", ""))))
+    lines = lines.withColumn(
+        "ua",
+        F.when(F.lower("line").startswith("user-agent:"),
+               F.lower(F.trim(F.expr("substring(line, 12)")))))
+    w = (Window.partitionBy("host").orderBy("line_no")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lines = lines.withColumn("group_ua", F.last("ua", ignorenulls=True).over(w))
+    is_allow = F.lower("line").startswith("allow:")
+    is_disallow = F.lower("line").startswith("disallow:")
+    candidates = (lines
+                  .filter((is_allow | is_disallow)
+                          & F.col("group_ua")
+                          .isin(user_agent.lower(), "*")))
+    # RFC 9309 §2.2.1: a crawler obeys the MOST SPECIFIC matching group
+    # only — '*' groups apply solely to hosts with no group naming this UA
+    wh = Window.partitionBy("host")
+    candidates = candidates.withColumn(
+        "has_specific",
+        F.max((F.col("group_ua") == user_agent.lower()).cast("int")).over(wh))
+    rules = (candidates
+             .filter((F.col("group_ua") == user_agent.lower())
+                     | (F.col("has_specific") == 0))
+             .withColumn("path_prefix",
+                         F.trim(F.expr("substring(line, instr(line, ':') + 1)")))
+             .filter(F.col("path_prefix") != "")
+             .select("host", "path_prefix",
+                     is_allow.alias("allowed")))
+    return rules.distinct()
+
+
 def robots_filter(frontier: DataFrame, robots_rules: DataFrame | None) -> DataFrame:
     """P10 hook (absent in the reference — engine addition per north_rule):
     ``robots_rules(host, path_prefix, allowed)``. Default allow-all preserves

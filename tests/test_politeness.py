@@ -148,3 +148,48 @@ def test_schedule_round_pruned_with_overrides(spark):
                 base.filter("sched_status = 'scheduled'").collect())
             == set(r["url"] for r in
                    pruned.filter("sched_status = 'scheduled'").collect()))
+
+
+def test_parse_robots(spark):
+    from chrono_scraper_spark.operators.politeness import (
+        parse_robots,
+        robots_filter,
+    )
+
+    body_a = """# comment line
+User-agent: *
+Disallow: /private/
+Allow: /private/ok/
+Disallow:
+
+User-agent: evilbot
+Disallow: /
+"""
+    body_b = """User-agent: otherbot
+Disallow: /all/
+"""
+    robots = spark.createDataFrame(
+        [("a.com", body_a), ("b.com", body_b)], "host string, body string")
+    rules = {(r["host"], r["path_prefix"], r["allowed"])
+             for r in parse_robots(robots).collect()}
+    # '*' group rules kept; evilbot/otherbot groups dropped for UA '*';
+    # empty Disallow yields nothing
+    assert rules == {("a.com", "/private/", False),
+                     ("a.com", "/private/ok/", True)}
+    # RFC 9309: the most specific group wins — a named group suppresses
+    # the host's '*' group entirely; hosts without a matching group yield
+    # no rules (allow-all)
+    evil = {(r["host"], r["path_prefix"], r["allowed"])
+            for r in parse_robots(robots, user_agent="evilbot").collect()}
+    assert evil == {("a.com", "/", False)}
+
+    # end-to-end with robots_filter: longest prefix wins
+    frontier = spark.createDataFrame(
+        [("a.com", "/private/secret", "u1", "t1"),
+         ("a.com", "/private/ok/page", "u2", "t2"),
+         ("a.com", "/public/page", "u3", "t3"),
+         ("b.com", "/anything", "u4", "t4")],
+        "host string, path string, url string, ts14 string")
+    kept = {r["url"] for r in
+            robots_filter(frontier, parse_robots(robots)).collect()}
+    assert kept == {"u2", "u3", "u4"}
