@@ -187,6 +187,35 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in sf_dir else 0.1
 
+    # Phase isolation: the query suite leaves a damaged JVM behind
+    # (lingering broadcasts, old-gen pressure — measured 2× on the crawl
+    # even after clearCache), so the crawl+extract measurement runs in its
+    # OWN subprocess JVM first, then the queries run here; results merge
+    # into the single output line. bench_scaling's entry points
+    # (CSS_BENCH_SKIP_QUERIES / CSS_BENCH_STAGE_ONLY) keep the
+    # single-process path.
+    if (not os.environ.get("CSS_BENCH_SKIP_QUERIES")
+            and not os.environ.get("CSS_BENCH_STAGE_ONLY")):
+        import subprocess
+
+        env = dict(os.environ, CSS_BENCH_SKIP_QUERIES="1")
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=3600, check=True)
+        line = [ln for ln in child.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        merged = json.loads(line)
+        spark = get_spark(app_name="css-bench-queries",
+                          master=f"local[{cpus}]",
+                          shuffle_partitions=int(
+                              os.environ.get("CSS_BENCH_SHUFFLE", "64")))
+        spark.range(1).count()
+        warm, cold = bench_queries(spark, sf_dir)
+        merged["queries"], merged["queries_cold"] = warm, cold
+        print(json.dumps(merged))
+        spark.stop()
+        return
+
     # shuffle partitioning and heap are held CONSTANT across parallelism
     # levels: the scaling comparison varies cores only (a real cluster
     # comparison keeps the partitioning scheme fixed while executors vary)
@@ -209,6 +238,11 @@ def main() -> None:
         queries, queries_cold = ({}, {}) \
             if os.environ.get("CSS_BENCH_SKIP_QUERIES") \
             else bench_queries(spark, sf_dir)
+        # phase isolation: the query workload leaves cached frames behind
+        # (with_global_order's range-partitioned cache per invocation);
+        # letting them squat on storage memory makes the crawl's own
+        # caches evict/recompute and corrupts its measurement
+        spark.catalog.clearCache()
         crawl = bench_crawl(spark, n_docs, workdir)
         extract_stage = bench_extract_stage(
             spark, stage_corpus or os.path.join(workdir, "pages"))
