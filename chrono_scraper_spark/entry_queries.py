@@ -704,6 +704,47 @@ FROM tf JOIN q ON tf.term = q.term
 GROUP BY doc_id"""
 
 
+def q_fulltext_positional(spark, sf_dir):
+    """Position/attribute ranking rule (Meilisearch ``attribute``,
+    meilisearch_service.py:454-470): the index stores each term's first
+    token position; the query emits per-document best (earliest) matching
+    position alongside the match stats — a value check of the whole
+    positional-index path."""
+    d = _t(spark, sf_dir, "documents")
+    pi = d.select(F.col("doc_id").cast("string").alias("url_canon"),
+                  F.lit("0").alias("ts14"), F.lit("").alias("title"),
+                  F.col("text").alias("content"))
+    inv = build_inverted_terms(pi, positions=True)
+    qdf = spark.createDataFrame([(t,) for t in _FTS_QUERY], "term string")
+    hits = inv.join(F.broadcast(qdf), "term")
+    return (hits.groupBy("url_canon")
+            .agg(F.countDistinct("term").alias("matched_terms"),
+                 F.sum("tf").alias("tf_sum"),
+                 F.min("first_pos").alias("best_pos"))
+            .select(F.col("url_canon").cast("long").alias("doc_id"),
+                    "matched_terms", "tf_sum", "best_pos"))
+
+
+SQL_FULLTEXT_POSITIONAL = f"""
+WITH docs AS (
+  SELECT doc_id, {OG.tokens_sql('text')} AS toks FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM docs
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, CAST(min(pos) AS INT) AS first_pos
+  FROM toks GROUP BY 1, 2
+),
+q AS (SELECT unnest(['{"','".join(_FTS_QUERY)}']) AS term)
+SELECT doc_id, count(DISTINCT tf.term) AS matched_terms,
+  CAST(sum(tf) AS BIGINT) AS tf_sum, min(first_pos) AS best_pos
+FROM tf JOIN q ON tf.term = q.term
+GROUP BY doc_id"""
+
+
 # --------------------------------------------------------------------------
 # faceted + typo-tolerant search (Meilisearch analogs)
 # --------------------------------------------------------------------------
@@ -1399,6 +1440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_planted": q_ngram_jaccard_planted,
     "minhash_pairs": q_minhash_pairs,
     "fulltext_match": q_fulltext_match,
+    "fulltext_positional": q_fulltext_positional,
     "facet_counts": q_facet_counts,
     "fulltext_typo": q_fulltext_typo,
     "pagination": q_pagination,
@@ -1449,6 +1491,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "fulltext_match": SQL_FULLTEXT_MATCH,
+    "fulltext_positional": SQL_FULLTEXT_POSITIONAL,
     "facet_counts": SQL_FACET_COUNTS,
     "fulltext_typo": SQL_FULLTEXT_TYPO,
     "pagination": SQL_PAGINATION,

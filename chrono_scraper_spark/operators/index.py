@@ -72,7 +72,8 @@ def page_index_from_pages_out(pages_out: DataFrame) -> DataFrame:
 
 
 def build_inverted_terms(page_index: DataFrame,
-                         doc_key: str | None = None) -> DataFrame:
+                         doc_key: str | None = None,
+                         positions: bool = False) -> DataFrame:
     """Explode title+content tokens → (term, url_canon, ts14, tf).
 
     One shuffle (the groupBy); at 100 TB the table is Iceberg-partitioned by
@@ -87,28 +88,35 @@ def build_inverted_terms(page_index: DataFrame,
     identical (equivalence-tested); measured 23 s → 15 s on a 92k-page /
     45M-token round. Valid while one round's page set fits a broadcast
     (politeness-budget-bounded); omit for unbounded inputs.
+
+    ``positions=True`` additionally stores ``first_pos`` — the 0-based
+    token position of the term's first occurrence (title tokens precede
+    content tokens) — feeding the position/attribute ranking rule
+    (``search_positional``; Meilisearch ``attribute`` rule analog,
+    meilisearch_service.py:454-470). posexplode instead of explode; same
+    single shuffle.
     """
+    all_toks = F.concat(tokenize(F.col("title")), tokenize(F.col("content")))
+    aggs = [F.count(F.lit(1)).alias("tf")]
+    if positions:
+        aggs.append(F.min("pos").cast("int").alias("first_pos"))
+    out_cols = ["term", "url_canon", "ts14", "tf"] + (
+        ["first_pos"] if positions else [])
     if doc_key is None:
         toks = page_index.select(
             "url_canon", "ts14",
-            F.explode(
-                F.concat(tokenize(F.col("title")), tokenize(F.col("content")))
-            ).alias("term"),
+            F.posexplode(all_toks).alias("pos", "term"),
         )
-        return toks.groupBy("term", "url_canon", "ts14").agg(
-            F.count(F.lit(1)).alias("tf")
-        )
+        return toks.groupBy("term", "url_canon", "ts14").agg(*aggs) \
+            .select(*out_cols)
     keymap = page_index.select(
         F.col(doc_key).alias("__doc"), "url_canon", "ts14")
     toks = page_index.select(
         F.col(doc_key).alias("__doc"),
-        F.explode(
-            F.concat(tokenize(F.col("title")), tokenize(F.col("content")))
-        ).alias("term"),
+        F.posexplode(all_toks).alias("pos", "term"),
     )
-    agg = toks.groupBy("term", "__doc").agg(F.count(F.lit(1)).alias("tf"))
-    return agg.join(F.broadcast(keymap), "__doc").select(
-        "term", "url_canon", "ts14", "tf")
+    agg = toks.groupBy("term", "__doc").agg(*aggs)
+    return agg.join(F.broadcast(keymap), "__doc").select(*out_cols)
 
 
 def search(page_index: DataFrame, inverted_terms: DataFrame, query: str,
@@ -140,6 +148,34 @@ def search(page_index: DataFrame, inverted_terms: DataFrame, query: str,
     if offset:
         ranked = ranked.offset(offset)
     return ranked.limit(limit)
+
+
+def search_positional(page_index: DataFrame, inverted_terms: DataFrame,
+                      query: str, limit: int = 20) -> DataFrame:
+    """Ranked search with the position/attribute rule: after matched-terms
+    and tf, documents whose EARLIEST matching token sits closer to the
+    start rank higher (Meilisearch ``attribute``/``position`` ranking,
+    meilisearch_service.py:454-470 — a title/lead-paragraph hit beats a
+    footer hit). Requires an index built with ``positions=True``."""
+    terms = tokenize_query(query)
+    spark = page_index.sparkSession
+    if not terms:
+        return page_index.limit(0).withColumns(
+            {"matched_terms": F.lit(0).cast("long"),
+             "tf_sum": F.lit(0).cast("long"),
+             "best_pos": F.lit(0).cast("int")})
+    qdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    hits = inverted_terms.join(F.broadcast(qdf), "term", "inner")
+    scored = hits.groupBy("url_canon", "ts14").agg(
+        F.countDistinct("term").alias("matched_terms"),
+        F.sum("tf").alias("tf_sum"),
+        F.min("first_pos").alias("best_pos"),
+    )
+    out = scored.join(page_index, ["url_canon", "ts14"], "inner")
+    return (out.orderBy(
+        F.desc("matched_terms"), F.asc("best_pos"), F.desc("tf_sum"),
+        F.asc("url_canon"), F.asc("ts14"))
+        .limit(limit))
 
 
 def match_set(inverted_terms: DataFrame, terms: list[str]) -> DataFrame:

@@ -95,3 +95,30 @@ def test_search_typo_exact_ranks_first(spark):
     # a pure-typo query still matches
     out2 = search_typo(pi, inv, "bta", limit=10).collect()
     assert {r["url_canon"] for r in out2} == {"u1", "u2"}
+
+
+def test_positional_index_and_search(spark):
+    from chrono_scraper_spark.operators.index import (
+        build_inverted_terms,
+        search_positional,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # 'query' is the FIRST word here…
+        ("a", "0", "query title", "query early in this document body"),
+        # …and deep in the body here
+        ("b", "0", "other title", "w1 w2 w3 w4 w5 w6 w7 query at the end"),
+    ]
+    pi = spark.createDataFrame(
+        rows, "url_canon string, ts14 string, title string, content string")
+    pi = pi.withColumn("quality_score", F.lit(0.5)) \
+           .withColumn("word_count", F.lit(10))
+    inv = build_inverted_terms(pi, positions=True)
+    got = {(r["term"], r["url_canon"]): r["first_pos"]
+           for r in inv.collect()}
+    assert got[("query", "a")] == 0      # title token position 0
+    assert got[("query", "b")] == 9      # 2 title + 7 body tokens before it
+    ranked = search_positional(pi, inv, "query", limit=10).collect()
+    assert [r["url_canon"] for r in ranked] == ["a", "b"]
+    assert ranked[0]["best_pos"] == 0 and ranked[1]["best_pos"] == 9
