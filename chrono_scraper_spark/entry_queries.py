@@ -1407,6 +1407,133 @@ SELECT url, ts14, md5(text) AS text_md5,
 FROM pages_cdx WHERE mime = 'application/pdf'"""
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText quality+repetition rules over ``documents`` —
+    per-row projection, zero exchanges (operators/quality.py). The oracle is
+    an *independent relational implementation*: it computes the n-gram
+    repetition stats by unnest + GROUP BY instead of the engine's sorted
+    one-pass array aggregate, so agreement checks the semantics, not the
+    code shape."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return Q.gopher_signals(d).drop("text")
+
+
+_WS_TOKS_SQL = ("list_filter(string_split_regex(trim(coalesce(text, '')), "
+                "'\\s+'), w -> w != '')")
+
+SQL_GOPHER_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, coalesce(text, '') AS t, {_WS_TOKS_SQL} AS tk
+  FROM documents
+),
+base AS (
+  SELECT doc_id, t, tk,
+    len(tk) AS n_words,
+    greatest(len(tk), 1) AS nw,
+    greatest(length(t), 1) AS n_chars,
+    length(regexp_replace(t, '\\s', '', 'g')) AS chars_nospace,
+    list_filter(string_split(t, chr(10)), l -> trim(l) != '') AS lines
+  FROM toks
+),
+g2 AS (SELECT doc_id, unnest({OG.kgrams_sql('tk', 2)}) AS gram FROM toks),
+top2 AS (
+  SELECT doc_id, max(cnt * length(gram)) AS topchars
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram)
+  GROUP BY doc_id
+),
+g5 AS (SELECT doc_id, unnest({OG.kgrams_sql('tk', 5)}) AS gram FROM toks),
+dup5 AS (
+  SELECT doc_id, sum(cnt * length(gram)) AS dupchars
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY doc_id, gram
+        HAVING count(*) > 1)
+  GROUP BY doc_id
+),
+sig AS (
+  SELECT b.doc_id,
+    CAST(b.n_words AS BIGINT) AS n_words,
+    round(b.chars_nospace / b.nw, 6) AS mean_word_len,
+    round(len(list_filter(b.tk, w -> regexp_matches(w, '\\p{{L}}'))) / b.nw,
+          6) AS alpha_word_frac,
+    round(len(regexp_extract_all(b.t, '#|\\.\\.\\.')) / b.nw, 6)
+      AS symbol_word_ratio,
+    CAST({OG.stopword_hits_sql('b.t', 'en')} AS BIGINT) AS stop_hits,
+    round(len(list_filter(b.lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+          / greatest(len(b.lines), 1), 6) AS bullet_line_frac,
+    round(len(list_filter(b.lines,
+                          l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+          / greatest(len(b.lines), 1), 6) AS ellipsis_line_frac,
+    round((len(b.lines) - len(list_distinct(b.lines)))
+          / greatest(len(b.lines), 1), 6) AS dup_line_frac,
+    round(coalesce(t2.topchars, 0) / b.n_chars, 6) AS top2gram_char_frac,
+    round(coalesce(d5.dupchars, 0) / b.n_chars, 6) AS dup5gram_char_frac
+  FROM base b
+  LEFT JOIN top2 t2 USING (doc_id)
+  LEFT JOIN dup5 d5 USING (doc_id)
+)
+SELECT *,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_word_ratio <= 0.1 AND alpha_word_frac >= 0.8
+   AND stop_hits >= 2 AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3 AND dup_line_frac <= 0.3
+   AND top2gram_char_frac <= 0.20 AND dup5gram_char_frac <= 0.15)
+  AS passes_gopher
+FROM sig"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over the planted-clone corpus: benchmark =
+    the %25 originals, corpus = their tail-mutated clones + %40 exact
+    copies + the remaining originals. Clones share nearly all 8-grams with
+    their benchmark source → high hit counts; untouched docs appear only on
+    random shingle collisions. Plan: explode ⋈ broadcast(benchmark grams) →
+    map-side-combined count (operators/quality.py:decontaminate)."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    docs2 = _docs_with_clones(spark, sf_dir)
+    bench = docs2.filter((F.col("doc_id") % 25 == 0)
+                         & (F.col("doc_id") < 1000000))
+    corpus = docs2.filter((F.col("doc_id") >= 1000000)
+                          | (F.col("doc_id") % 25 != 0))
+    return Q.decontaminate(corpus, bench, k=8)
+
+
+SQL_DECONTAMINATE = f"""WITH {_SQL_DOCS_CLONES},
+tk AS (SELECT doc_id, {OG.tokens_sql('text')} AS tk FROM docs2),
+bt AS (SELECT DISTINCT unnest({OG.kgrams_sql('tk', 8)}) AS gram
+       FROM tk WHERE doc_id % 25 = 0 AND doc_id < 1000000),
+cg AS (SELECT doc_id, unnest({OG.kgrams_sql('tk', 8)}) AS gram
+       FROM tk WHERE doc_id >= 1000000 OR doc_id % 25 <> 0)
+SELECT cg.doc_id, count(DISTINCT cg.gram) AS n_hit_grams,
+       count(*) AS n_hit_occurrences, TRUE AS contaminated
+FROM cg JOIN bt ON cg.gram = bt.gram
+GROUP BY cg.doc_id"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: the 10 smallest-md5(doc_id) docs
+    per source, ranked — the data-mixing per-domain cap sample. Runs the
+    two-phase mega-stratum path (salt_k=4); the oracle computes the sample
+    with a single direct window, so a green row also proves the pre-prune
+    is result-invariant."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return Q.stratified_sample(d, "source", cap=10, key_col="doc_id",
+                               salt_k=4)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (
+  SELECT doc_id, source,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 10"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1460,6 +1587,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pdf_extraction_identity": q_pdf_extraction_identity,
     "robots_rules": q_robots_rules,
     "multimodal_features": q_multimodal_features,
+    "gopher_quality": q_gopher_quality,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1511,4 +1641,7 @@ ORACLES: dict[str, str] = {
     "pdf_extraction_identity": SQL_PDF_EXTRACTION_IDENTITY,
     "robots_rules": SQL_ROBOTS_RULES,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "decontaminate": SQL_DECONTAMINATE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }

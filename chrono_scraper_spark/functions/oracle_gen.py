@@ -191,6 +191,15 @@ def shingles_sql(toks: str, k: int = 3) -> str:
             f"ELSE [] END")
 
 
+def kgrams_sql(toks: str, k: int) -> str:
+    """Strict word k-grams (empty list when < k words) — twin of
+    operators.quality.kgrams."""
+    return (f"CASE WHEN len({toks}) >= {k} THEN "
+            f"list_transform(range(1, len({toks}) - {k - 2}), "
+            f"j -> array_to_string(list_slice({toks}, j, j + {k - 1}), ' ')) "
+            f"ELSE [] END")
+
+
 def minhash_signature_sql(sh: str, n_hashes: int = 12) -> str:
     """array<string> minhash signature over shingle list ``sh``."""
     return (f"[list_min(list_transform({sh}, x -> md5(i || ':' || x))) "

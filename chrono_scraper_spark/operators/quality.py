@@ -1,0 +1,234 @@
+"""Training-data quality / curation operators: Gopher-style repetition and
+quality signals, benchmark decontamination, deterministic stratified
+sampling.
+
+These extend the reference's per-page quality scoring
+(robust_content_extractor.py:113-159, shared_pages_scraping.py:195-196) to
+the corpus-curation ops an LLM training-data pipeline runs at 100 TB:
+
+* ``gopher_signals`` — the MassiveText/Gopher repetition + quality rules
+  (Rae et al. 2021, §A1.1) as pure column expressions. Every signal is a
+  per-row projection: NO shuffle, fully whole-stage-codegen. The n-gram
+  repetition stats (top-2-gram char fraction, duplicated-5-gram char
+  fraction) use a sort + one-pass lambda ``aggregate`` over the row's gram
+  array — O(w log w) per doc, not the naive O(w²) distinct×count scan — so a
+  pathological 100 KB doc costs ~20k·log ops, not 4×10⁸.
+* ``decontaminate`` — flags corpus docs sharing word k-grams with a
+  benchmark/eval set. The benchmark gram set is tiny relative to the corpus
+  (eval suites are MBs; the corpus is TBs), so the plan is explode →
+  **broadcast** inner join → per-doc count: the corpus is never shuffled,
+  only its matching grams are aggregated (partial map-side combine).
+* ``stratified_sample`` — deterministic per-stratum top-``cap`` sample
+  ordered by md5(key): reproducible across runs/engines (md5 is portable to
+  the DuckDB oracle), with the same two-phase mega-stratum guard as
+  ``politeness.schedule_round`` (rank within (stratum, salt) first, keep
+  ``cap`` per salt, then the exact window over the ≤ salt_k·cap survivors) —
+  a 10⁹-row stratum never lands in one window partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import textops as T
+
+# Gopher (Rae et al. 2021, table A1) thresholds
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MAX_DUP_LINE_FRAC = 0.3
+GOPHER_MAX_TOP2GRAM_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP5GRAM_CHAR_FRAC = 0.15
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens (case/punctuation preserved — Gopher's word unit)."""
+    return F.filter(F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"),
+                    lambda t: t != F.lit(""))
+
+
+def kgrams(toks: Column, k: int) -> Column:
+    """Strict word k-grams: empty array when the doc has < k words (unlike
+    ``textops.shingles``, no whole-doc fallback — repetition stats over a
+    doc shorter than the window are defined as 0)."""
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def _top_gram_chars(grams: Column) -> Column:
+    """max over distinct grams of (occurrences × gram length) — one sorted
+    pass with a struct accumulator (run-length encode), O(n log n)/row."""
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"],
+                                   run * F.length(x)).alias("best"))
+
+    return F.aggregate(F.array_sort(grams), zero, step,
+                       lambda acc: acc["best"])
+
+
+def _dup_gram_chars(grams: Column) -> Column:
+    """sum over grams occurring >1 time of (occurrences × gram length).
+    Sorted single pass: on the 2nd occurrence of a run add 2·len (the first
+    occurrence retroactively + this one), on later occurrences add len."""
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("tot"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        tot = (F.when(run == 2, acc["tot"] + 2 * F.length(x))
+               .when(run > 2, acc["tot"] + F.length(x))
+               .otherwise(acc["tot"]))
+        return F.struct(x.alias("prev"), run.alias("run"), tot.alias("tot"))
+
+    return F.aggregate(F.array_sort(grams), zero, step,
+                       lambda acc: acc["tot"])
+
+
+def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher/MassiveText quality-rule signal columns + the
+    ``passes_gopher`` verdict. Pure per-row projection — zero exchanges, the
+    whole signal block is one WholeStageCodegen span."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = ws_tokens(t)
+    n_words = F.size(toks)
+    nw = F.greatest(n_words, F.lit(1))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    chars_nospace = F.length(F.regexp_replace(t, r"\s", ""))
+    lines = F.filter(F.split(t, r"\n"),
+                     lambda line: F.trim(line) != F.lit(""))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    g2 = kgrams(toks, 2)
+    g5 = kgrams(toks, 5)
+
+    mean_word_len = F.round(chars_nospace / nw, 6)
+    alpha_word_frac = F.round(
+        F.size(F.filter(toks, lambda w: w.rlike(r"\p{L}"))) / nw, 6)
+    symbol_word_ratio = F.round(
+        F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), F.lit(0))) / nw, 6)
+    stop_hits = T.stopword_hits(t, "en")
+    bullet_line_frac = F.round(
+        F.size(F.filter(lines, lambda line: line.rlike(r"^\s*[-*•]")))
+        / n_lines, 6)
+    ellipsis_line_frac = F.round(
+        F.size(F.filter(lines,
+                        lambda line: line.rlike(r"(\.\.\.|…)\s*$")))
+        / n_lines, 6)
+    dup_line_frac = F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines, 6)
+    top2 = F.round(_top_gram_chars(g2) / n_chars, 6)
+    dup5 = F.round(_dup_gram_chars(g5) / n_chars, 6)
+
+    out = (df
+           .withColumn("n_words", n_words.cast("long"))
+           .withColumn("mean_word_len", mean_word_len)
+           .withColumn("alpha_word_frac", alpha_word_frac)
+           .withColumn("symbol_word_ratio", symbol_word_ratio)
+           .withColumn("stop_hits", stop_hits.cast("long"))
+           .withColumn("bullet_line_frac", bullet_line_frac)
+           .withColumn("ellipsis_line_frac", ellipsis_line_frac)
+           .withColumn("dup_line_frac", dup_line_frac)
+           .withColumn("top2gram_char_frac", top2)
+           .withColumn("dup5gram_char_frac", dup5))
+    passes = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_WORD_RATIO)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("top2gram_char_frac") <= GOPHER_MAX_TOP2GRAM_CHAR_FRAC)
+        & (F.col("dup5gram_char_frac") <= GOPHER_MAX_DUP5GRAM_CHAR_FRAC)
+    )
+    return out.withColumn("passes_gopher", passes)
+
+
+def benchmark_grams(benchmark: DataFrame, k: int = 8,
+                    text_col: str = "text") -> DataFrame:
+    """Distinct normalized word k-grams of the benchmark set (the
+    broadcast side of ``decontaminate``). Normalization = ``textops.tokens``
+    (lowercase, punctuation-split), the standard decontamination canon."""
+    return (benchmark
+            .select(F.explode(kgrams(T.tokens(F.col(text_col)), k))
+                    .alias("gram"))
+            .distinct())
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 8,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc benchmark-overlap counts: docs sharing ≥1 normalized word
+    k-gram with the benchmark set, with distinct-gram and occurrence counts.
+
+    Plan: corpus explode(grams) ⋈ **broadcast**(distinct benchmark grams) →
+    groupBy(doc). The corpus side never shuffles (broadcast hash join), and
+    the per-doc count aggregates with map-side partials over the join
+    output, which is proportional to actual contamination, not corpus size.
+    Docs with zero overlap are absent (inner-join semantics) — at 100 TB you
+    anti-join this result against the corpus, you don't materialize zeros.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(kgrams(T.tokens(F.col(text_col)), k)).alias("gram"))
+    hits = grams.join(F.broadcast(benchmark_grams(benchmark, k, text_col)),
+                      "gram")
+    return (hits.groupBy(id_col)
+            .agg(F.count_distinct("gram").alias("n_hit_grams"),
+                 F.count("*").alias("n_hit_occurrences"))
+            .withColumn("contaminated", F.lit(True)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, cap: int,
+                      key_col: str, salt_k: int | None = None) -> DataFrame:
+    """Deterministic per-stratum sample: the ``cap`` rows with the smallest
+    ``md5(key)`` per stratum, ranked. md5 ordering makes the sample
+    reproducible across runs, partitionings, and engines (the DuckDB oracle
+    computes the identical sample).
+
+    ``salt_k`` enables the mega-stratum-safe two-phase ranking (same guard
+    as ``politeness.schedule_round``): first keep the top-``cap`` per
+    (stratum, salt) — salt = md5-derived, ``salt_k`` buckets — then run the
+    exact per-stratum window over ≤ ``salt_k · cap`` survivors. The
+    per-stratum top-cap is invariant under the pre-prune (each survivor set
+    contains its stratum-global top-cap), so results are identical; no
+    single task ever sorts a 10⁹-row stratum.
+
+    Note: on Spark ≥3.5 the exact path's ``row_number() ≤ cap`` filter
+    already triggers the WindowGroupLimit rewrite (a *partial* per-map-task
+    top-``cap`` before the exchange — visible in the physical plan), so the
+    reduce-side window sees ≤ cap rows per upstream task even without
+    salting. ``salt_k`` stays for plans where the rank filter is not
+    directly above the window (e.g. a CASE label instead of a filter, as in
+    ``schedule_round``) and the rewrite cannot fire; default None.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    work = df.withColumn("_h", h)
+    if salt_k:
+        salt = (F.conv(F.substring(F.col("_h"), 1, 4), 16, 10)
+                .cast("long") % salt_k)
+        wp = (Window.partitionBy(F.col(strata_col), salt)
+              .orderBy(F.col("_h"), F.col(key_col)))
+        work = (work.withColumn("_pr", F.row_number().over(wp))
+                .filter(F.col("_pr") <= cap).drop("_pr"))
+    w = Window.partitionBy(strata_col).orderBy(F.col("_h"), F.col(key_col))
+    return (work.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= cap)
+            .drop("_h"))

@@ -1,0 +1,179 @@
+"""Gopher quality signals, decontamination, stratified sampling
+(operators/quality.py) — checked against a pure-Python reference on crafted
+docs that exercise the line-based and repetition rules the driver's
+single-line documents cannot (bullets, ellipses, duplicate lines, heavy
+n-gram repetition)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from chrono_scraper_spark.operators import quality as Q
+
+DOCS = [
+    # clean prose: passes everything except the 50-word minimum
+    (0, "the quick brown fox jumps over the lazy dog and runs on to the "
+        "hills in the morning light with a steady pace for hours"),
+    # bullet list + duplicate lines
+    (1, "intro line\n- first bullet\n- second bullet\n* third\nintro line\n"
+        "• fourth bullet"),
+    # ellipsis endings
+    (2, "this trails off...\nand this one too…\nbut this line does not\n"
+        "nor this one"),
+    # heavy 2-gram repetition: "spam ham" repeated
+    (3, "spam ham " * 30),
+    # 5-gram repetition: a 6-word sentence repeated
+    (4, "alpha beta gamma delta epsilon zeta " * 10),
+    # symbols
+    (5, "price # one # two # three tags ## more #"),
+    # short + empty edge cases
+    (6, "word"),
+    (7, ""),
+    (8, "two words"),
+    # long passing doc: 60 distinct-ish words of prose with stopwords
+    (9, " ".join(f"word{i} the cat and dog of it" for i in range(10))),
+]
+
+
+def py_signals(text: str) -> dict:
+    t = text or ""
+    toks = [w for w in re.split(r"\s+", t.strip()) if w]
+    nw = max(len(toks), 1)
+    n_chars = max(len(t), 1)
+    chars_nospace = len(re.sub(r"\s", "", t))
+    lines = [ln for ln in t.split("\n") if ln.strip()]
+    nl = max(len(lines), 1)
+
+    def grams(k):
+        if len(toks) < k:
+            return []
+        return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+    c2, c5 = Counter(grams(2)), Counter(grams(5))
+    top2 = max((n * len(g) for g, n in c2.items()), default=0)
+    dup5 = sum(n * len(g) for g, n in c5.items() if n > 1)
+    stop = {"the", "and", "of", "to", "in", "is", "that", "for", "with",
+            "as", "on", "by", "at", "from", "this", "are", "was", "be",
+            "or", "an"}
+    # engine tokenization splits on non-letter/digit (docs here are ASCII)
+    wtoks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+    return {
+        "n_words": len(toks),
+        "mean_word_len": round(chars_nospace / nw, 6),
+        "alpha_word_frac": round(
+            sum(1 for w in toks if re.search(r"[^\W\d_]", w)) / nw, 6),
+        "symbol_word_ratio": round(
+            len(re.findall(r"#|\.\.\.", t)) / nw, 6),
+        "stop_hits": sum(1 for w in wtoks if w in stop),
+        "bullet_line_frac": round(
+            sum(1 for ln in lines if re.match(r"^\s*[-*•]", ln)) / nl, 6),
+        "ellipsis_line_frac": round(
+            sum(1 for ln in lines if re.search(r"(\.\.\.|…)\s*$", ln)) / nl,
+            6),
+        "dup_line_frac": round((len(lines) - len(set(lines))) / nl, 6),
+        "top2gram_char_frac": round(top2 / n_chars, 6),
+        "dup5gram_char_frac": round(dup5 / n_chars, 6),
+    }
+
+
+@pytest.fixture(scope="module")
+def signals(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    rows = Q.gopher_signals(df).orderBy("doc_id").collect()
+    return {r["doc_id"]: r.asDict() for r in rows}
+
+
+def test_signals_match_python_reference(signals):
+    for doc_id, text in DOCS:
+        exp = py_signals(text)
+        got = signals[doc_id]
+        for k, v in exp.items():
+            assert got[k] == pytest.approx(v, abs=1e-9), (doc_id, k, text)
+
+
+def test_gopher_verdicts(signals):
+    # heavy 2-gram repetition and bullet spam must fail; the only
+    # 50+-word doc with sane stats is doc 9 — but its 2-gram repetition
+    # ("the cat and dog of it" template) pushes top2 over 0.20? verify from
+    # the signal rather than hard-coding
+    assert signals[3]["passes_gopher"] is False        # top2gram
+    assert signals[4]["passes_gopher"] is False        # dup5gram
+    assert signals[7]["passes_gopher"] is False        # empty
+    assert signals[0]["passes_gopher"] is False        # < 50 words
+    s9 = signals[9]
+    expected9 = (50 <= s9["n_words"] <= 100000
+                 and 3.0 <= s9["mean_word_len"] <= 10.0
+                 and s9["symbol_word_ratio"] <= 0.1
+                 and s9["alpha_word_frac"] >= 0.8 and s9["stop_hits"] >= 2
+                 and s9["bullet_line_frac"] <= 0.9
+                 and s9["ellipsis_line_frac"] <= 0.3
+                 and s9["dup_line_frac"] <= 0.3
+                 and s9["top2gram_char_frac"] <= 0.20
+                 and s9["dup5gram_char_frac"] <= 0.15)
+    assert s9["passes_gopher"] is expected9
+
+
+def test_gopher_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    plan = Q.gopher_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_decontaminate_planted_overlap(spark):
+    base = " ".join(f"tok{i}" for i in range(20))          # 20 words
+    bench = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, base + " tail one two"),    # shares all 13 8-grams of base
+         (2, "totally different words " * 5),
+         (3, " ".join(f"tok{i}" for i in range(8)))],  # one exact 8-gram
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in Q.decontaminate(corpus, bench, k=8).collect()}
+    assert 2 not in out
+    assert out[1]["n_hit_grams"] == 13      # 20-8+1 grams, all shared
+    assert out[3]["n_hit_grams"] == 1
+    assert out[1]["contaminated"] and out[3]["contaminated"]
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    bench = spark.createDataFrame([(0, "a b c d e f g h i")],
+                                  ["doc_id", "text"])
+    corpus = spark.createDataFrame([(1, "a b c d e f g h i j")],
+                                   ["doc_id", "text"])
+    plan = (Q.decontaminate(corpus, bench)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_deterministic_and_capped(spark):
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = Q.stratified_sample(df, "source", cap=5, key_col="doc_id")
+    got = sorted((r["source"], r["sample_rank"], r["doc_id"])
+                 for r in out.collect())
+    # python reference: 5 smallest md5(doc_id) per source
+    exp = []
+    by_src: dict[str, list] = {}
+    for i, src in rows:
+        by_src.setdefault(src, []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), i))
+    for src, lst in by_src.items():
+        for rank, (_, i) in enumerate(sorted(lst)[:5], 1):
+            exp.append((src, rank, i))
+    assert got == sorted(exp)
+
+
+def test_stratified_sample_salted_equals_exact(spark):
+    rows = [(i, f"s{i % 2}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    exact = set(map(tuple, Q.stratified_sample(
+        df, "source", cap=7, key_col="doc_id").collect()))
+    salted = set(map(tuple, Q.stratified_sample(
+        df, "source", cap=7, key_col="doc_id", salt_k=5).collect()))
+    assert exact == salted
