@@ -1512,6 +1512,114 @@ FROM cg JOIN bt ON cg.gram = bt.gram
 GROUP BY cg.doc_id"""
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """C4/CCNet boilerplate-line removal, value-checked on a corpus with
+    planted chrome: every even doc gets a cookie-banner header line, every
+    %3 doc a copyright footer. Lines in ≥50 distinct docs are boilerplate
+    (the banner: ~250 docs, the footer: ~167; real content lines repeat
+    only for natural exact-dup docs, far below 50). Output = md5 of the
+    cleaned text + removal count per doc; the oracle recomputes the whole
+    algorithm relationally (line DF via unnest+GROUP BY, rebuild via
+    order-preserving list_filter)."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    banner = F.concat(F.lit("please accept our cookies\n"), F.col("text"))
+    footer = F.concat(F.col("text"), F.lit("\ncopyright example footer"))
+    d2 = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, banner).otherwise(F.col("text")))
+    d2 = d2.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, footer).otherwise(F.col("text")))
+    out = Q.strip_boilerplate_lines(d2, min_doc_freq=50)
+    return out.select("doc_id", F.md5("clean_text").alias("clean_md5"),
+                      "n_lines_removed")
+
+
+_NORM_LINE = "md5(regexp_replace(trim(lower({l})), '\\s+', ' ', 'g'))"
+
+SQL_BOILERPLATE_STRIP = f"""
+WITH d2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN base || chr(10) || 'copyright example footer'
+         ELSE base END AS text
+  FROM (SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0
+               THEN 'please accept our cookies' || chr(10) || text
+               ELSE text END AS base
+        FROM documents)
+),
+lx AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split(coalesce(text, ''), chr(10)),
+                       l -> length(trim(l)) >= 1)) AS line
+  FROM d2
+),
+freq AS (
+  SELECT {_NORM_LINE.format(l='line')} AS line_hash,
+         count(DISTINCT doc_id) AS nd
+  FROM lx GROUP BY 1 HAVING count(DISTINCT doc_id) >= 50
+),
+bad AS (SELECT coalesce(list_sort(list(line_hash)), []) AS bad FROM freq)
+SELECT doc_id,
+  md5(array_to_string(
+    list_filter(
+      list_filter(string_split(coalesce(text, ''), chr(10)),
+                  l -> length(trim(l)) > 0),
+      l -> NOT list_contains(bad, {_NORM_LINE.format(l='l')})),
+    chr(10))) AS clean_md5,
+  CAST(len(list_filter(string_split(coalesce(text, ''), chr(10)),
+                       l -> length(trim(l)) > 0))
+       - len(list_filter(
+           list_filter(string_split(coalesce(text, ''), chr(10)),
+                       l -> length(trim(l)) > 0),
+           l -> NOT list_contains(bad, {_NORM_LINE.format(l='l')})))
+       AS BIGINT) AS n_lines_removed
+FROM d2, bad"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet perplexity-bucket analog: unigram LM built on the even docs,
+    the odd docs scored (mean add-one-smoothed log10 prob + OOV counts).
+    Model side is broadcast; the mean sums nano-quantized longs so the
+    value is bit-identical across partitionings and engines."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    model = (train.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+             .groupBy("tok").agg(F.count("*").alias("cnt")))
+    return Q.unigram_logprob(test, model=model)
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH tr AS (
+  SELECT unnest({OG.tokens_sql('text')}) AS tok
+  FROM documents WHERE doc_id % 2 = 0
+),
+model AS (SELECT tok, count(*) AS cnt FROM tr GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM model),
+te AS (
+  SELECT doc_id, unnest({OG.tokens_sql('text')}) AS tok
+  FROM documents WHERE doc_id % 2 = 1
+),
+s AS (
+  SELECT te.doc_id, m.cnt,
+    CAST(floor(log10((coalesce(m.cnt, 0) + 1)
+                     / (tot.total + tot.vocab)) * 1e9) AS BIGINT)
+      AS logp_nano
+  FROM te LEFT JOIN model m USING (tok), tot
+)
+SELECT doc_id,
+  round(CAST(sum(logp_nano) AS DOUBLE) / count(*) / 1e9, 6)
+    AS mean_logprob,
+  count(*) AS n_tokens,
+  CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM s GROUP BY doc_id"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: the 10 smallest-md5(doc_id) docs
     per source, ranked — the data-mixing per-domain cap sample. Runs the
@@ -1590,6 +1698,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
+    "boilerplate_strip": q_boilerplate_strip,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 ORACLES: dict[str, str] = {
@@ -1644,4 +1754,6 @@ ORACLES: dict[str, str] = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "decontaminate": SQL_DECONTAMINATE,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "boilerplate_strip": SQL_BOILERPLATE_STRIP,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
 }

@@ -196,6 +196,109 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 8,
             .withColumn("contaminated", F.lit(True)))
 
 
+def line_frequencies(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_len: int = 1) -> DataFrame:
+    """Corpus-wide line document-frequency: (line_hash, n_docs). The
+    boilerplate-detection aggregate of C4/CCNet — a line appearing in many
+    documents is chrome (nav bars, cookie banners), not content.
+
+    Lines are normalized (trim + lowercase + whitespace-collapse) and
+    md5-hashed BEFORE the shuffle, so the exchange carries 32-byte hashes,
+    never line text; `count_distinct(doc)` aggregates with map-side
+    partials. md5 keeps the hash portable to the DuckDB oracle."""
+    lines = (docs.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                   r"\n"),
+                           lambda ln: F.length(F.trim(ln)) >= min_len))
+        .alias("line"))
+        .select(id_col,
+                F.md5(F.regexp_replace(F.trim(F.lower(F.col("line"))),
+                                       r"\s+", " ")).alias("line_hash")))
+    return (lines.groupBy("line_hash")
+            .agg(F.count_distinct(id_col).alias("n_docs")))
+
+
+def strip_boilerplate_lines(docs: DataFrame, min_doc_freq: int,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            freqs: DataFrame | None = None) -> DataFrame:
+    """Remove lines appearing in ≥ ``min_doc_freq`` distinct documents
+    (C4's boilerplate rule), preserving line order of the survivors.
+
+    The frequent-line set is tiny (boilerplate is by definition a small set
+    of very common lines), so it is **broadcast**; each doc is then cleaned
+    in a single per-row projection — explode-free: the doc's line array is
+    filtered against the broadcast set via an array_contains lambda after a
+    collect_list-free local join shape. Implementation: per-row filter
+    against the broadcast frequent-hash array (array membership on a sorted
+    broadcast list), then re-join lines with '\\n'. No shuffle of document
+    text at any point."""
+    if freqs is None:
+        freqs = line_frequencies(docs, id_col, text_col)
+    frequent = (freqs.filter(F.col("n_docs") >= min_doc_freq)
+                .select("line_hash"))
+    # broadcast the frequent set as a one-row array and cross-join it in
+    # (BroadcastNestedLoopJoin of a single row = a plan-level literal)
+    freq_arr = frequent.agg(
+        F.array_sort(F.collect_list("line_hash")).alias("_bad"))
+    lines = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
+                     lambda ln: F.length(F.trim(ln)) > 0)
+    keep = F.filter(
+        lines,
+        lambda ln: ~F.array_contains(
+            F.col("_bad"),
+            F.md5(F.regexp_replace(F.trim(F.lower(ln)), r"\s+", " "))))
+    return (docs.join(F.broadcast(freq_arr))
+            .withColumn("clean_text", F.concat_ws("\n", keep))
+            .withColumn("n_lines_removed",
+                        (F.size(lines) - F.size(keep)).cast("long"))
+            .drop("_bad"))
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    model: DataFrame | None = None) -> DataFrame:
+    """Per-doc mean unigram log₁₀-probability under a corpus-derived
+    unigram LM — the CCNet perplexity-bucket analog without KenLM: fluent,
+    typical text scores high; gibberish and rare-token soup scores low.
+
+    Two stages, both scale-safe:
+    1. model build (or pass ``model``): token → count over the corpus,
+       groupBy with map-side partials; vocab is Zipf-bounded (~10⁶ rows at
+       any corpus size), add-one smoothed.
+    2. scoring: explode doc tokens ⋈ **broadcast**(model) → per-doc
+       mean(log10 p). Unknown tokens get the smoothed floor
+       log10(1 / (total + V)). Docs with no tokens are absent (inner-join
+       semantics over exploded tokens).
+
+    The mean is computed over nano-quantized logprobs
+    (``floor(logp·10⁹)`` summed as longs): long addition is
+    order-independent, so the result is bit-identical across partitionings
+    and engines — double summation order would differ between Spark's
+    partial aggregates and the oracle.
+    """
+    toks = docs.select(F.col(id_col),
+                       F.explode(T.tokens(F.col(text_col))).alias("tok"))
+    if model is None:
+        model = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = model.agg(F.sum("cnt").alias("total"),
+                       F.count("*").alias("vocab"))
+    scored = (toks
+              .join(F.broadcast(model), "tok", "left")
+              .join(F.broadcast(totals))
+              .withColumn("logp_nano", F.floor(F.log10(
+                  (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                  / (F.col("total") + F.col("vocab"))) * 1e9).cast("long")))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.sum("logp_nano") / F.count("*") / 1e9, 6)
+                 .alias("mean_logprob"),
+                 F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_oov")))
+
+
 def stratified_sample(df: DataFrame, strata_col: str, cap: int,
                       key_col: str, salt_k: int | None = None) -> DataFrame:
     """Deterministic per-stratum sample: the ``cap`` rows with the smallest

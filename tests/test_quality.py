@@ -177,3 +177,62 @@ def test_stratified_sample_salted_equals_exact(spark):
     salted = set(map(tuple, Q.stratified_sample(
         df, "source", cap=7, key_col="doc_id", salt_k=5).collect()))
     assert exact == salted
+
+
+def test_strip_boilerplate_lines(spark):
+    docs = [
+        (1, "banner line\ncontent one\nfooter line"),
+        (2, "banner line\ncontent two\nfooter line"),
+        (3, "banner line\ncontent three"),
+        (4, "unique document\nno chrome here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in Q.strip_boilerplate_lines(
+        df, min_doc_freq=2).collect()}
+    assert out[1]["clean_text"] == "content one"
+    assert out[1]["n_lines_removed"] == 2
+    assert out[3]["clean_text"] == "content three"
+    assert out[3]["n_lines_removed"] == 1
+    assert out[4]["clean_text"] == "unique document\nno chrome here"
+    assert out[4]["n_lines_removed"] == 0
+
+
+def test_strip_boilerplate_normalizes_lines(spark):
+    # 'Banner  Line' and 'banner line' are the same normalized line
+    docs = [(1, "Banner  Line\nkeep a"), (2, "banner line\nkeep b"),
+            (3, " BANNER LINE \nkeep c")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"] for r in Q.strip_boilerplate_lines(
+        df, min_doc_freq=3).collect()}
+    assert out == {1: "keep a", 2: "keep b", 3: "keep c"}
+
+
+def test_unigram_logprob_reference(spark):
+    import math
+    train = spark.createDataFrame(
+        [(0, "the cat sat"), (2, "the dog sat")], ["doc_id", "text"])
+    test = spark.createDataFrame(
+        [(1, "the cat"), (3, "the wombat")], ["doc_id", "text"])
+    from pyspark.sql import functions as SF
+    from chrono_scraper_spark.functions import textops as T
+    model = (train.select(SF.explode(T.tokens(SF.col("text"))).alias("tok"))
+             .groupBy("tok").agg(SF.count("*").alias("cnt")))
+    out = {r["doc_id"]: r.asDict()
+           for r in Q.unigram_logprob(test, model=model).collect()}
+    # model: the=2 cat=1 sat=2 dog=1 → total=6, vocab=4
+    def lp(c):
+        return math.floor(math.log10((c + 1) / (6 + 4)) * 1e9)
+    exp1 = round((lp(2) + lp(1)) / 2 / 1e9, 6)
+    exp3 = round((lp(2) + lp(0)) / 2 / 1e9, 6)
+    assert out[1]["mean_logprob"] == pytest.approx(exp1, abs=1e-9)
+    assert out[1]["n_oov"] == 0
+    assert out[3]["mean_logprob"] == pytest.approx(exp3, abs=1e-9)
+    assert out[3]["n_oov"] == 1
+    assert out[3]["n_tokens"] == 2
+
+
+def test_unigram_model_is_broadcast(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (Q.unigram_logprob(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
