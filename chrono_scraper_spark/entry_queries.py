@@ -1642,6 +1642,64 @@ SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (
 WHERE rn <= 10"""
 
 
+def q_host_authority(spark, sf_dir):
+    """Iterative host-authority (integer PageRank, 5 iterations) over a
+    deterministic synthetic link graph: each page links its host to the
+    host the corpus formula assigns to k=(doc_id·7+3)%500. Both engines
+    derive the identical edge list from the pages table, and every rank
+    update is integer floor-division + long sums, so after 5 Pregel-style
+    iterations the nano-scaled ranks are BIT-identical to the oracle's
+    5 chained relational CTEs (operators/graph.py)."""
+    from chrono_scraper_spark.operators import graph as G
+
+    pages = cdx_pages_view(spark, sf_dir)
+    k = (F.col("doc_id") * 7 + 3) % 500
+    dst = (F.when(k % 3 == 0, F.lit("mega.example.com"))
+           .when(k % 20 == 1, F.concat(F.lit("univ"),
+                                       (k % 4).cast("string"),
+                                       F.lit(".edu")))
+           .when(k % 20 == 2, F.concat(F.lit("agency"),
+                                       (k % 3).cast("string"),
+                                       F.lit(".gov")))
+           .otherwise(F.concat(F.lit("site"), (k % 40).cast("string"),
+                               F.lit(".com"))))
+    edges = pages.select(F.col("host").alias("src"),
+                         dst.alias("dst")).distinct()
+    return G.host_authority(edges, iters=5)
+
+
+def _pagerank_iter_cte(i: int) -> str:
+    return f"""r{i + 1} AS (
+  SELECT h.host,
+    CAST((SELECT (1000000000000 * 15) // (100 * count(*)) FROM hosts)
+         + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank_nano
+  FROM hosts h LEFT JOIN (
+    SELECT e.dst AS host, sum(r.rank_nano // o.outdeg) AS s
+    FROM edges e JOIN r{i} r ON e.src = r.host
+    JOIN outdeg o ON e.src = o.src
+    GROUP BY e.dst) s ON h.host = s.host)"""
+
+
+SQL_HOST_AUTHORITY = (f"WITH pages_cdx AS ({PAGES_CTE_DUCK}),\n"
+                      + """
+ek AS (SELECT host AS src, (doc_id * 7 + 3) % 500 AS k FROM pages_cdx),
+edges0 AS (
+  SELECT DISTINCT src,
+    CASE WHEN k % 3 = 0 THEN 'mega.example.com'
+         WHEN k % 20 = 1 THEN 'univ' || CAST(k % 4 AS VARCHAR) || '.edu'
+         WHEN k % 20 = 2 THEN 'agency' || CAST(k % 3 AS VARCHAR) || '.gov'
+         ELSE 'site' || CAST(k % 40 AS VARCHAR) || '.com' END AS dst
+  FROM ek),
+edges AS (SELECT src, dst FROM edges0 WHERE src <> dst),
+hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT host,
+  CAST((SELECT 1000000000000 // count(*) FROM hosts) AS BIGINT) AS rank_nano
+  FROM hosts),
+""" + ",\n".join(_pagerank_iter_cte(i) for i in range(5))
+                      + "\nSELECT host, rank_nano FROM r5")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1700,6 +1758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "boilerplate_strip": q_boilerplate_strip,
     "unigram_logprob": q_unigram_logprob,
+    "host_authority": q_host_authority,
 }
 
 ORACLES: dict[str, str] = {
@@ -1756,4 +1815,5 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "host_authority": SQL_HOST_AUTHORITY,
 }
