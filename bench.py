@@ -40,7 +40,7 @@ HEADLINE_QUERIES = [
     "filter_decisions", "collapse_digest", "seen_antijoin_bloom",
     "politeness_schedule", "crawl_order", "daily_stats",
     "exact_dups", "fulltext_match", "ann_topk", "events_tumbling",
-    "lineitem_rollup",
+    "lineitem_rollup", "gopher_quality", "boilerplate_strip",
 ]
 
 
