@@ -1537,7 +1537,7 @@ def q_boilerplate_strip(spark, sf_dir):
                       "n_lines_removed")
 
 
-_NORM_LINE = "md5(regexp_replace(trim(lower({l})), '\\s+', ' ', 'g'))"
+_NORM_LINE = "md5(trim(regexp_replace(lower({l}), '\\s+', ' ', 'g')))"
 
 SQL_BOILERPLATE_STRIP = f"""
 WITH d2 AS (

@@ -179,8 +179,9 @@ def text_quality_sql(text: str) -> str:
 
 
 def fingerprint_sql(text: str) -> str:
-    return (f"md5(regexp_replace(trim(lower(coalesce({text}, ''))), "
-            f"'\\s+', ' ', 'g'))")
+    # collapse before trim — see textops.fingerprint
+    return (f"md5(trim(regexp_replace(lower(coalesce({text}, '')), "
+            f"'\\s+', ' ', 'g')))")
 
 
 def shingles_sql(toks: str, k: int = 3) -> str:

@@ -117,9 +117,13 @@ def text_quality(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Whitespace-normalized md5 content fingerprint (exact-dedup key).
-    Portable: identical expression runs in the DuckDB oracle."""
-    norm = F.regexp_replace(F.trim(F.lower(F.coalesce(text, F.lit("")))),
-                            r"\s+", " ")
+    Collapse \\s+ runs FIRST, then trim: trim() strips only spaces (in
+    Spark and DuckDB alike), so trimming before the collapse would leave a
+    doc with a trailing newline fingerprinting differently from its
+    newline-free twin (found by hypothesis, test_properties). Portable:
+    identical expression runs in the DuckDB oracle."""
+    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))),
+                                   r"\s+", " "))
     return F.md5(norm)
 
 

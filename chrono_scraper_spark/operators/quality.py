@@ -214,8 +214,9 @@ def line_frequencies(docs: DataFrame, id_col: str = "doc_id",
                            lambda ln: F.length(F.trim(ln)) >= min_len))
         .alias("line"))
         .select(id_col,
-                F.md5(F.regexp_replace(F.trim(F.lower(F.col("line"))),
-                                       r"\s+", " ")).alias("line_hash")))
+                F.md5(F.trim(F.regexp_replace(F.lower(F.col("line")),
+                                              r"\s+", " ")))
+                .alias("line_hash")))
     return (lines.groupBy("line_hash")
             .agg(F.count_distinct(id_col).alias("n_docs")))
 
@@ -249,7 +250,7 @@ def strip_boilerplate_lines(docs: DataFrame, min_doc_freq: int,
         lines,
         lambda ln: ~F.array_contains(
             F.col("_bad"),
-            F.md5(F.regexp_replace(F.trim(F.lower(ln)), r"\s+", " "))))
+            F.md5(F.trim(F.regexp_replace(F.lower(ln), r"\s+", " ")))))
     return (docs.join(F.broadcast(freq_arr))
             .withColumn("clean_text", F.concat_ws("\n", keep))
             .withColumn("n_lines_removed",

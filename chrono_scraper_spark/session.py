@@ -61,6 +61,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # CSS_FAULTHANDLER=1 surfaces a Python traceback when an
+        # Arrow/pandas-UDF worker dies (diagnostic; the handler writes a
+        # temp file per task, so it stays off for benchmark runs)
+        .config("spark.python.worker.faulthandler.enabled",
+                os.environ.get("CSS_FAULTHANDLER", "false"))
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled",
+                os.environ.get("CSS_FAULTHANDLER", "false"))
         .config("spark.driver.memory", os.environ.get("CSS_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

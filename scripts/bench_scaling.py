@@ -23,12 +23,30 @@ N_DOCS = int(os.environ.get("CSS_SCALING_DOCS", "400000"))
 CPUS = (8, 32)
 
 
+def _run(cmd, **kw) -> subprocess.CompletedProcess:
+    """check=True with the child's stderr surfaced on failure (a bare
+    CalledProcessError from capture_output=True hides the actual error)."""
+    p = subprocess.run(cmd, capture_output=True, text=True, **kw)
+    if p.returncode != 0:
+        sys.stderr.write(p.stdout[-4000:] if p.stdout else "")
+        sys.stderr.write(p.stderr[-8000:] if p.stderr else "")
+        raise subprocess.CalledProcessError(p.returncode, cmd)
+    return p
+
+
 def run_at(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
                CSS_BENCH_DOCS=str(N_DOCS), CSS_BENCH_SKIP_QUERIES="1")
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600, check=True)
+    last = None
+    for attempt in range(2):   # transient python-worker crashes happen on
+        try:                   # this shared host; one retry, first success
+            out = _run([sys.executable, os.path.join(REPO, "bench.py")],
+                       env=env, timeout=3600)
+            break
+        except subprocess.CalledProcessError as e:
+            last = e
+    else:
+        raise last
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     d = json.loads(line)
     return {**d["crawl"], "extract_stage": d["extract_stage"]}
@@ -48,24 +66,30 @@ def main() -> None:
         "generate_pages(spark, %d, words_scale=8).select("
         "'url','warc_ts','html').write.parquet(%r)"
         % (REPO, N_DOCS, corpus_path))
-    subprocess.run([sys.executable, "-c", gen_code], check=True,
-                   capture_output=True, timeout=1200)
+    _run([sys.executable, "-c", gen_code], timeout=1200)
 
     # hardware ceilings: what an 8→32-process step actually yields on this
     # (virtualized) box — md5 (pure ALU, optimistic) AND the engine's own
     # extraction kernel over real pages (the workload-matched ceiling: same
     # single-threaded code Spark parallelizes, zero engine overhead)
-    probe = subprocess.run(
+    probe = _run(
         [sys.executable, os.path.join(REPO, "scripts", "cpu_probe.py")],
-        env=dict(os.environ, CSS_PROBE_CORPUS=corpus_path),
-        capture_output=True, text=True, timeout=900, check=True)
+        env=dict(os.environ, CSS_PROBE_CORPUS=corpus_path), timeout=900)
     hw = json.loads(probe.stdout.strip().splitlines()[-1])
     print(json.dumps(hw))
 
+    # interleaved best-of-2 end-to-end runs: the whole-round wall clock is
+    # dominated by shared-disk state (page cache, writeback) on this box —
+    # a single 8-core trial has been observed 90-393 s on identical code.
+    # Interleaving + best-of mirrors the stage-trial protocol below.
     results = {}
-    for cpus in CPUS:
-        results[cpus] = run_at(cpus)
-        print(json.dumps({"cpus": cpus, **results[cpus]}))
+    for trial in range(int(os.environ.get("CSS_E2E_TRIALS", "2"))):
+        for cpus in CPUS:
+            r = run_at(cpus)
+            print(json.dumps({"e2e_trial": trial, "cpus": cpus, **r}))
+            if (cpus not in results
+                    or r["urls_per_sec"] > results[cpus]["urls_per_sec"]):
+                results[cpus] = r
 
     # interleaved stage-only trials (host-noise robustness): best per level.
     # A transient subprocess failure (host OOM/noise) skips the trial rather
