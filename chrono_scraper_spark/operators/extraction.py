@@ -166,6 +166,43 @@ def extract_pdf_udf(payload: pd.Series) -> pd.DataFrame:  # pragma: no cover
 
 
 _UNSUPPORTED_MIME = "unsupported_mime"
+_UNSUPPORTED_ROW = (None, None, _UNSUPPORTED_MIME, 0, None, None, None)
+
+
+def extract_any_one(
+    payload: bytes, mime: str | None,
+) -> tuple[str | None, str | None, str, int, str | None, str | None,
+           str | None]:
+    """Mime-dispatched extraction kernel: text/html → the html cascade,
+    application/pdf → the PDF parser, anything else → a distinct terminal
+    ``unsupported_mime`` row (never garbage-stripped through the wrong
+    parser). Pure function shared by the Spark UDF and unit tests."""
+    if mime == "text/html":
+        return extract_one(payload)
+    if mime == "application/pdf":
+        return extract_pdf_one(payload)
+    return _UNSUPPORTED_ROW
+
+
+@pandas_udf(_EXTRACT_CORE_SCHEMA)
+def extract_dispatch_udf(
+    html: pd.Series, mime: pd.Series,
+) -> pd.DataFrame:  # pragma: no cover
+    # Single Arrow crossing per row with per-row kernel dispatch. A
+    # F.when(...).when(...) over two pandas UDFs is NOT equivalent: Spark
+    # extracts Python UDFs out of CASE expressions and evaluates BOTH
+    # unconditionally (one ArrowEvalPython [udf1, udf2] node), doubling
+    # Arrow transfer and running the html regex cascade over PDF bytes.
+    cols: tuple[list, ...] = ([], [], [], [], [], [])
+    for h, m in zip(html, mime):
+        r = extract_any_one(h, m)
+        cols[0].append(r[0])
+        cols[1].append(r[1])
+        cols[2].append(r[2])
+        cols[3].append(r[3])
+        cols[4].append(r[5])
+        cols[5].append(r[6])
+    return pd.DataFrame(dict(zip(_EXTRACT_CORE_COLS, cols)))
 
 # ---------------------------------------------------------------------------
 # PDF text extraction (E-family; the reference admits application/pdf through
@@ -277,21 +314,12 @@ def with_extraction(pages: DataFrame, html_col: str = "html",
     application/pdf → the real PDF text parser (``extract_pdf_one``);
     anything else → a DISTINCT terminal ``unsupported_mime`` method instead
     of garbage-stripping binary through the HTML path — rows terminalize
-    as failed, never silently corrupt."""
+    as failed, never silently corrupt. Routing happens INSIDE one
+    dispatching pandas UDF (``extract_dispatch_udf``) so each payload
+    crosses the Arrow boundary exactly once; see the UDF docstring for why
+    a CASE over two UDFs evaluates both on every row."""
     if mime_col in pages.columns:
-        is_html = F.col(mime_col) == "text/html"
-        is_pdf = F.col(mime_col) == "application/pdf"
-        unsupported = F.struct(
-            F.lit(None).cast("string").alias("text"),
-            F.lit(None).cast("string").alias("title"),
-            F.lit(_UNSUPPORTED_MIME).alias("method"),
-            F.lit(0).alias("word_count"),
-            F.lit(None).cast("string").alias("og_title"),
-            F.lit(None).cast("string").alias("pub_date"),
-        )
-        core = F.when(is_html, extract_text_udf(F.col(html_col))) \
-            .when(is_pdf, extract_pdf_udf(F.col(html_col))) \
-            .otherwise(unsupported)
+        core = extract_dispatch_udf(F.col(html_col), F.col(mime_col))
     else:
         core = extract_text_udf(F.col(html_col))
     # materialize the UDF result once, then derive markdown JVM-side

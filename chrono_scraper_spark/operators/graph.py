@@ -42,12 +42,20 @@ def host_authority(edges: DataFrame, iters: int = 5, damping_pct: int = 85,
               + (d · Σ_{(u,h)∈E} (rₜ(u) // outdeg(u))) // 100
     — all integer ops, so Σ rank_nano is stable and reproducible.
     """
-    edges = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    # cache edges: hosts/outdeg derivation and every iteration's join re-read
+    # it; without this the upstream edge derivation (e.g. a pages scan)
+    # recomputes iters+2 times.
+    edges = (edges.select("src", "dst")
+             .filter(F.col("src") != F.col("dst")).cache())
     hosts = (edges.select(F.col("src").alias("host"))
              .union(edges.select(F.col("dst").alias("host")))
              .distinct())
     n = hosts.count()  # driver scalar (graph cardinality), not row data
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    if n == 0:
+        # empty (or all-self-loop) edge list: empty result, not ÷0
+        edges.unpersist()
+        return hosts.withColumn("rank_nano", F.lit(0).cast("long"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
     base = (SCALE * (100 - damping_pct)) // (100 * n)
 
     hosts = hosts.cache()
@@ -73,4 +81,8 @@ def host_authority(edges: DataFrame, iters: int = 5, damping_pct: int = 85,
         if prev is not None:
             prev.unpersist()
         prev = r
+    # final r is materialized (cache+count above), so the inputs can go
+    edges.unpersist()
+    outdeg.unpersist()
+    hosts.unpersist()
     return r

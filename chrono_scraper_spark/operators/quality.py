@@ -7,12 +7,24 @@ These extend the reference's per-page quality scoring
 the corpus-curation ops an LLM training-data pipeline runs at 100 TB:
 
 * ``gopher_signals`` — the MassiveText/Gopher repetition + quality rules
-  (Rae et al. 2021, §A1.1) as pure column expressions. Every signal is a
-  per-row projection: NO shuffle, fully whole-stage-codegen. The n-gram
+  (after Rae et al. 2021, §A1.1) as pure column expressions. Every signal is
+  a per-row projection: NO shuffle, fully whole-stage-codegen. The n-gram
   repetition stats (top-2-gram char fraction, duplicated-5-gram char
   fraction) use a sort + one-pass lambda ``aggregate`` over the row's gram
   array — O(w log w) per doc, not the naive O(w²) distinct×count scan — so a
   pathological 100 KB doc costs ~20k·log ops, not 4×10⁸.
+
+  **Gram-fraction convention (deviates from the §A1.1 canon, by design):**
+  both char fractions count EVERY occurrence of a gram (including the
+  first) as occurrences × gram_length, and overlapping grams double-count
+  their shared characters — so a maximally repetitive doc can exceed 1.0.
+  Canonical implementations instead exclude each dup-gram's first
+  occurrence and mark character positions to avoid overlap double-counting;
+  that requires per-character state that has no portable SQL analog. The
+  engine, the DuckDB oracle, and the 0.15/0.20 thresholds are mutually
+  consistent under this convention — it over-filters highly repetitive docs
+  slightly relative to the paper, which is the conservative direction for
+  a training-data filter.
 * ``decontaminate`` — flags corpus docs sharing word k-grams with a
   benchmark/eval set. The benchmark gram set is tiny relative to the corpus
   (eval suites are MBs; the corpus is TBs), so the plan is explode →
@@ -227,6 +239,14 @@ def strip_boilerplate_lines(docs: DataFrame, min_doc_freq: int,
                             freqs: DataFrame | None = None) -> DataFrame:
     """Remove lines appearing in ≥ ``min_doc_freq`` distinct documents
     (C4's boilerplate rule), preserving line order of the survivors.
+
+    **Blank-line normalization (disclosed):** blank/whitespace-only lines
+    are dropped from ``clean_text`` unconditionally — even for docs with
+    zero boilerplate hits (``n_lines_removed`` counts only frequent-set
+    removals, blank lines are excluded from both ``size()`` terms). This
+    mirrors ``line_frequencies``'s min_len gate so the two stages agree on
+    what a "line" is; callers needing paragraph structure should keep the
+    original ``text`` column (the oracle mirrors the same convention).
 
     The frequent-line set is tiny (boilerplate is by definition a small set
     of very common lines), so it is **broadcast**; each doc is then cleaned

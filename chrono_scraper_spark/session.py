@@ -13,6 +13,11 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _faulthandler() -> str:
+    return ("true" if os.environ.get("CSS_FAULTHANDLER", "").lower()
+            in ("1", "true", "yes", "on") else "false")
+
+
 def get_spark(
     app_name: str = "chrono-scraper-spark",
     master: str | None = None,
@@ -63,11 +68,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # CSS_FAULTHANDLER=1 surfaces a Python traceback when an
         # Arrow/pandas-UDF worker dies (diagnostic; the handler writes a
-        # temp file per task, so it stays off for benchmark runs)
-        .config("spark.python.worker.faulthandler.enabled",
-                os.environ.get("CSS_FAULTHANDLER", "false"))
+        # temp file per task, so it stays off for benchmark runs).
+        # Spark's boolean conf parse is strict ("1" throws), so truthy env
+        # values are normalized here.
+        .config("spark.python.worker.faulthandler.enabled", _faulthandler())
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled",
-                os.environ.get("CSS_FAULTHANDLER", "false"))
+                _faulthandler())
         .config("spark.driver.memory", os.environ.get("CSS_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

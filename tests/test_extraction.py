@@ -79,6 +79,34 @@ def test_mime_routing(spark):
     assert out["u4"]["extracted"]["method"] == "unsupported_mime"
 
 
+def test_mime_routing_single_arrow_pass(spark):
+    """Regression (r2 verdict #1): the mime-routed plan must contain exactly
+    ONE ArrowEvalPython node carrying exactly ONE UDF. The old
+    F.when(is_html, udf_a).when(is_pdf, udf_b) shape made Spark extract both
+    pandas UDFs out of the CASE and evaluate them unconditionally on every
+    row (one ArrowEvalPython [udf_a, udf_b]) — double Arrow transfer, html
+    regex cascade over PDF bytes."""
+    df = spark.createDataFrame(
+        [("u", "text/html", b"<html></html>")],
+        "url string, mime string, html binary")
+    plan = E.with_extraction(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("extract_dispatch_udf") == 1
+    assert "extract_text_udf" not in plan
+    assert "extract_pdf_udf" not in plan
+
+
+def test_extract_any_one_dispatch():
+    pdf = E.encode_pdf("T", "a b c", None)
+    assert E.extract_any_one(pdf, "application/pdf")[2] == "pdf"
+    assert E.extract_any_one(
+        b"<html><body><article><p>x</p></article></body></html>",
+        "text/html")[2] == "article"
+    assert E.extract_any_one(b"\x89PNG", "image/png")[2] == "unsupported_mime"
+    assert E.extract_any_one(None, None)[2] == "unsupported_mime"
+
+
 def test_pdf_roundtrip_byte_identity():
     cases = [
         ("plain", "alpha beta gamma"),

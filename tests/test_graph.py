@@ -44,6 +44,17 @@ def test_host_authority_lineage_truncation_path(spark):
     assert got == py_pagerank(EDGES, iters=9)
 
 
+def test_host_authority_empty_and_self_loop_only(spark):
+    """n=0 guard: an empty edge list (or one that is all self-loops) returns
+    an empty (host, rank_nano) frame instead of ZeroDivisionError."""
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = host_authority(empty, iters=3)
+    assert out.columns == ["host", "rank_nano"]
+    assert out.count() == 0
+    loops = spark.createDataFrame([("a", "a"), ("b", "b")], ["src", "dst"])
+    assert host_authority(loops, iters=3).count() == 0
+
+
 def test_host_authority_rank_mass_conserved_modulo_floor(spark):
     df = spark.createDataFrame(EDGES, ["src", "dst"])
     total = sum(r["rank_nano"]
