@@ -251,26 +251,39 @@ def parse_robots(robots: DataFrame, *, user_agent: str = "*") -> DataFrame:
 def robots_filter(frontier: DataFrame, robots_rules: DataFrame | None) -> DataFrame:
     """P10 hook (absent in the reference — engine addition per north_rule):
     ``robots_rules(host, path_prefix, allowed)``. Default allow-all preserves
-    reference ordering parity. Longest-matching-prefix rule wins."""
+    reference ordering parity. Longest-matching-prefix rule wins; on an
+    equal-length Allow/Disallow tie the least restrictive (Allow) rule wins
+    (RFC 9309 §2.3.2) — the old window tie-break was nondeterministic here.
+
+    Scale shape: the per-host rule set is folded to ONE row per host
+    (host → rules array pre-sorted longest-prefix-first) and broadcast; the
+    longest-matching prefix is then a per-row ``filter``+``element_at`` over
+    the array — entirely inside codegen. The frontier is NEVER shuffled:
+    r2's implementation ran a row_number window partitioned by (url, ts14),
+    a full exchange of the 10^10-row frontier on a near-unique key where
+    every window partition held a handful of rows. The only exchanges left
+    are on the rules side (#hosts rows: the fold agg + the broadcast)."""
     if robots_rules is None:
         return frontier
-    rules = robots_rules.select("host", "path_prefix", "allowed")
-    joined = frontier.join(F.broadcast(rules), ["host"], "left")
-    matched = joined.withColumn(
-        "__m",
-        F.col("path_prefix").isNotNull()
-        & F.col("path").startswith(F.col("path_prefix")),
-    )
-    w = Window.partitionBy("url", "ts14").orderBy(
-        F.when(F.col("__m"), F.length("path_prefix")).otherwise(F.lit(-1)).desc()
-    )
-    best = (
-        matched.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .withColumn(
-            "robots_allowed",
-            F.when(F.col("__m"), F.col("allowed")).otherwise(F.lit(True)),
-        )
-        .drop("__m", "__rn", "path_prefix", "allowed")
-    )
-    return best.filter(F.col("robots_allowed")).drop("robots_allowed")
+    # host → rules array, sorted (longest prefix first, Allow before
+    # Disallow on ties). array_sort on structs orders by fields
+    # lexicographically, so the sort key fields lead the struct.
+    rules_arr = (
+        robots_rules
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_list(F.struct(
+            (-F.length("path_prefix")).alias("neg_len"),
+            (~F.col("allowed")).cast("int").alias("disallow_tie"),
+            F.col("path_prefix").alias("path_prefix"),
+            F.col("allowed").alias("allowed"),
+        ))).alias("__rules")))
+    joined = frontier.join(F.broadcast(rules_arr), "host", "left")
+    matches = F.filter(
+        F.col("__rules"),
+        lambda r: F.col("path").startswith(r["path_prefix"]))
+    robots_allowed = F.when(
+        F.col("__rules").isNull() | (F.size(matches) == 0), F.lit(True)
+    ).otherwise(F.element_at(matches, 1)["allowed"])
+    return (joined.withColumn("robots_allowed", robots_allowed)
+            .filter(F.col("robots_allowed"))
+            .drop("__rules", "robots_allowed"))

@@ -193,3 +193,35 @@ Disallow: /all/
     kept = {r["url"] for r in
             robots_filter(frontier, parse_robots(robots)).collect()}
     assert kept == {"u2", "u3", "u4"}
+
+
+def test_robots_filter_adds_no_frontier_shuffle(spark):
+    """Regression (r2 verdict #3): robots_filter must not shuffle the
+    frontier. The rules side folds to host->array (its own tiny exchange)
+    and broadcasts; the frontier-side plan must contain NO Window and no
+    hash exchange keyed on frontier columns (url/ts14)."""
+    frontier = spark.createDataFrame(
+        [("a.com", "/x", "u1", "t1")],
+        "host string, path string, url string, ts14 string")
+    rules = spark.createDataFrame(
+        [("a.com", "/private/", False)],
+        "host string, path_prefix string, allowed boolean")
+    plan = P.robots_filter(frontier, rules)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "hashpartitioning(url" not in plan
+    assert "hashpartitioning(ts14" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_robots_filter_tie_break_allow_wins(spark):
+    """RFC 9309 2.3.2: equal-length Allow and Disallow for the same path —
+    the least restrictive (Allow) rule wins, deterministically."""
+    frontier = spark.createDataFrame(
+        [("a.com", "/dir/page", "u1", "t1")],
+        "host string, path string, url string, ts14 string")
+    rules = spark.createDataFrame(
+        [("a.com", "/dir/", False), ("a.com", "/dir/", True)],
+        "host string, path_prefix string, allowed boolean")
+    kept = [r["url"] for r in P.robots_filter(frontier, rules).collect()]
+    assert kept == ["u1"]
