@@ -841,6 +841,110 @@ FROM tf JOIN expanded e ON tf.term = e.term
 GROUP BY tf.doc_id"""
 
 
+def q_fulltext_proximity(spark, sf_dir):
+    """TRUE proximity ranking rule (Meilisearch rule #3,
+    shared_pages_meilisearch.py:167-176): per-document min pairwise token
+    distance between occurrences of two DIFFERENT query terms, from the
+    positional index's per-term position arrays. Engine computes it with a
+    sorted adjacent-occurrence scan (O(m log m)/doc in codegen,
+    operators/index.py::min_pair_distance); the oracle uses the equivalent
+    all-pairs relational min. Docs matching a single term get null."""
+    from chrono_scraper_spark.operators.index import min_pair_distance
+
+    d = _t(spark, sf_dir, "documents")
+    pi = d.select(F.col("doc_id").cast("string").alias("url_canon"),
+                  F.lit("0").alias("ts14"), F.lit("").alias("title"),
+                  F.col("text").alias("content"))
+    inv = build_inverted_terms(pi, positions=True)
+    qdf = spark.createDataFrame([(t,) for t in _FTS_QUERY], "term string")
+    hits = inv.join(F.broadcast(qdf), "term")
+    return (hits.groupBy("url_canon")
+            .agg(F.countDistinct("term").alias("matched_terms"),
+                 F.sum("tf").alias("tf_sum"),
+                 min_pair_distance(
+                     F.collect_list(F.struct("term", "pos_arr")))
+                 .alias("proximity"))
+            .select(F.col("url_canon").cast("long").alias("doc_id"),
+                    "matched_terms", "tf_sum", "proximity"))
+
+
+SQL_FULLTEXT_PROXIMITY = f"""
+WITH docs AS (
+  SELECT doc_id, {OG.tokens_sql('text')} AS toks FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM docs
+),
+q AS (SELECT unnest(['{"','".join(_FTS_QUERY)}']) AS term),
+hits AS (
+  SELECT t.doc_id, t.term, t.pos FROM toks t JOIN q ON t.term = q.term
+),
+agg AS (
+  SELECT doc_id, count(DISTINCT term) AS matched_terms,
+    CAST(count(*) AS BIGINT) AS tf_sum
+  FROM hits GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id, CAST(min(abs(a.pos - b.pos)) AS INT) AS proximity
+  FROM hits a JOIN hits b
+    ON a.doc_id = b.doc_id AND a.term <> b.term
+  GROUP BY a.doc_id
+)
+SELECT agg.doc_id, agg.matched_terms, agg.tf_sum, p.proximity
+FROM agg LEFT JOIN pairs p ON agg.doc_id = p.doc_id"""
+
+
+_HL_QUERY = ["data", "query", "window"]
+
+
+def q_search_highlight(spark, sf_dir):
+    """Highlight + crop (meilisearch_service.py:186-197): 10-word
+    word-boundary snippet around the first matched term, all matched terms
+    wrapped in <em></em>, ellipsis where the crop cut. Pure column
+    expressions (operators/index.py::with_snippet); docs with no match are
+    absent."""
+    from chrono_scraper_spark.operators.index import with_snippet
+
+    d = _t(spark, sf_dir, "documents")
+    out = with_snippet(d.select("doc_id", F.col("text").alias("content")),
+                       _HL_QUERY, "content")
+    return (out.filter(F.col("snippet").isNotNull())
+            .select("doc_id", "snippet"))
+
+
+_HL_IN = "'" + "','".join(_HL_QUERY) + "'"
+
+SQL_SEARCH_HIGHLIGHT = rf"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(coalesce(text, ''), '[^\p{{L}}\p{{N}}]+'),
+                t -> t != '') AS ws
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, unnest(ws) AS wd, generate_subscripts(ws, 1) - 1 AS i
+  FROM w
+),
+fi AS (
+  SELECT doc_id, min(i) AS fi FROM flat
+  WHERE lower(wd) IN ({_HL_IN}) GROUP BY doc_id
+),
+crop AS (
+  SELECT w.doc_id, w.ws, greatest(0, fi.fi - 3) AS s
+  FROM w JOIN fi ON w.doc_id = fi.doc_id
+)
+SELECT doc_id,
+  (CASE WHEN s > 0 THEN '…' ELSE '' END)
+  || array_to_string(
+       list_transform(ws[s + 1 : s + 10],
+         x -> CASE WHEN lower(x) IN ({_HL_IN})
+                   THEN '<em>' || x || '</em>' ELSE x END), ' ')
+  || (CASE WHEN s + 10 < len(ws) THEN '…' ELSE '' END) AS snippet
+FROM crop"""
+
+
 def q_pagination(spark, sf_dir):
     """O3 offset pagination over a deterministic total order (Meilisearch
     limit/offset paging, meilisearch_service.py:356)."""
@@ -1736,6 +1840,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fulltext_positional": q_fulltext_positional,
     "facet_counts": q_facet_counts,
     "fulltext_typo": q_fulltext_typo,
+    "fulltext_proximity": q_fulltext_proximity,
+    "search_highlight": q_search_highlight,
     "pagination": q_pagination,
     "entity_extract": q_entity_extract,
     "extraction_stats": q_extraction_stats,
@@ -1793,6 +1899,8 @@ ORACLES: dict[str, str] = {
     "fulltext_positional": SQL_FULLTEXT_POSITIONAL,
     "facet_counts": SQL_FACET_COUNTS,
     "fulltext_typo": SQL_FULLTEXT_TYPO,
+    "fulltext_proximity": SQL_FULLTEXT_PROXIMITY,
+    "search_highlight": SQL_SEARCH_HIGHLIGHT,
     "pagination": SQL_PAGINATION,
     "entity_extract": SQL_ENTITY_EXTRACT,
     "extraction_stats": SQL_EXTRACTION_STATS,

@@ -93,15 +93,20 @@ def build_inverted_terms(page_index: DataFrame,
     token position of the term's first occurrence (title tokens precede
     content tokens) — feeding the position/attribute ranking rule
     (``search_positional``; Meilisearch ``attribute`` rule analog,
-    meilisearch_service.py:454-470). posexplode instead of explode; same
-    single shuffle.
+    meilisearch_service.py:454-470) — plus ``pos_arr``, the sorted array of
+    ALL the term's occurrence positions in the doc, feeding the true
+    pairwise-distance ``proximity`` rule (``search_proximity``). posexplode
+    instead of explode; same single shuffle (pos_arr rides the existing
+    (term, doc) aggregation as a collect_list).
     """
     all_toks = F.concat(tokenize(F.col("title")), tokenize(F.col("content")))
     aggs = [F.count(F.lit(1)).alias("tf")]
     if positions:
         aggs.append(F.min("pos").cast("int").alias("first_pos"))
+        aggs.append(F.array_sort(F.collect_list(F.col("pos").cast("int")))
+                    .alias("pos_arr"))
     out_cols = ["term", "url_canon", "ts14", "tf"] + (
-        ["first_pos"] if positions else [])
+        ["first_pos", "pos_arr"] if positions else [])
     if doc_key is None:
         toks = page_index.select(
             "url_canon", "ts14",
@@ -176,6 +181,123 @@ def search_positional(page_index: DataFrame, inverted_terms: DataFrame,
         F.desc("matched_terms"), F.asc("best_pos"), F.desc("tf_sum"),
         F.asc("url_canon"), F.asc("ts14"))
         .limit(limit))
+
+
+def min_pair_distance(entries: Column) -> Column:
+    """Min token distance between occurrences of two DIFFERENT terms, given
+    ``entries: array<struct<term, pos_arr>>`` for one document's matched
+    query terms. Null when <2 distinct terms occur.
+
+    Shape: flatten to (pos, term) occurrences, ``array_sort`` by position,
+    then ONE ``aggregate`` pass over adjacent elements — the closest
+    different-term pair is always adjacent in position order (any
+    occurrence strictly between a closer pair would itself form a closer
+    pair with one endpoint). O(m log m) per doc over m matched-term
+    occurrences, entirely in codegen — no per-doc pairwise join."""
+    occ = F.array_sort(F.flatten(F.transform(
+        entries,
+        lambda e: F.transform(
+            e["pos_arr"],
+            lambda p: F.struct(p.alias("pos"), e["term"].alias("term"))))))
+    big = 1 << 30
+    zero = F.struct(F.lit(-1).alias("prev_pos"), F.lit("").alias("prev_term"),
+                    F.lit(big).alias("best"))
+
+    def step(acc, x):
+        best = F.when(
+            (acc["prev_pos"] >= 0) & (x["term"] != acc["prev_term"]),
+            F.least(acc["best"], x["pos"] - acc["prev_pos"]),
+        ).otherwise(acc["best"])
+        return F.struct(x["pos"].alias("prev_pos"),
+                        x["term"].alias("prev_term"), best.alias("best"))
+
+    raw = F.aggregate(occ, zero, step, lambda acc: acc["best"])
+    return F.when(raw < big, raw).cast("int")
+
+
+def search_proximity(page_index: DataFrame, inverted_terms: DataFrame,
+                     query: str, limit: int = 20) -> DataFrame:
+    """Ranked search with the TRUE proximity rule (Meilisearch rule #3,
+    shared_pages_meilisearch.py:167-176): after words (matched terms), docs
+    whose query terms sit closest together (min pairwise token distance)
+    rank higher — adjacent terms beat scattered terms. Requires an index
+    built with ``positions=True``. Single-term matches get null proximity
+    and rank after any doc with a measured distance (nulls last)."""
+    terms = tokenize_query(query)
+    spark = page_index.sparkSession
+    if not terms:
+        return page_index.limit(0).withColumns(
+            {"matched_terms": F.lit(0).cast("long"),
+             "tf_sum": F.lit(0).cast("long"),
+             "proximity": F.lit(None).cast("int")})
+    qdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    hits = inverted_terms.join(F.broadcast(qdf), "term", "inner")
+    scored = hits.groupBy("url_canon", "ts14").agg(
+        F.countDistinct("term").alias("matched_terms"),
+        F.sum("tf").alias("tf_sum"),
+        min_pair_distance(
+            F.collect_list(F.struct("term", "pos_arr"))).alias("proximity"),
+    )
+    out = scored.join(page_index, ["url_canon", "ts14"], "inner")
+    return (out.orderBy(
+        F.desc("matched_terms"), F.asc_nulls_last("proximity"),
+        F.desc("tf_sum"), F.desc("quality_score"), F.desc("word_count"),
+        F.asc("url_canon"), F.asc("ts14"))
+        .limit(limit))
+
+
+def with_snippet(matched: DataFrame, terms: list[str],
+                 content_col: str = "content", crop_words: int = 10,
+                 crop_before: int = 3, pre_tag: str = "<em>",
+                 post_tag: str = "</em>") -> DataFrame:
+    """Highlight + crop (Meilisearch attributesToHighlight/attributesToCrop,
+    meilisearch_service.py:186-197, search params :321-322): word-boundary
+    snippet of ``crop_words`` words around the first matched query term,
+    matched terms wrapped in ``pre_tag``/``post_tag``, ``…`` markers where
+    the crop cut either end. Pure column expressions — the doc's word array
+    is sliced and rejoined in codegen; no UDF, no shuffle.
+
+    Convention (disclosed): words are the tokenizer's word units rejoined
+    with single spaces, so original inter-word punctuation/whitespace is
+    normalized away — the word-boundary guarantee is exact, byte-level
+    spacing is not (the reference crops raw text). ``snippet`` is null when
+    no query term matches the content column."""
+    words = F.filter(
+        F.split(F.coalesce(F.col(content_col), F.lit("")), _TOKEN_SPLIT_RE),
+        lambda w: w != F.lit(""))
+    terms_arr = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    is_hit = lambda w: F.array_contains(terms_arr, F.lower(w))  # noqa: E731
+    # 0-based index of the first matching word (null if none)
+    hit_idxs = F.filter(
+        F.transform(words, lambda w, i: F.when(is_hit(w), i)),
+        lambda x: x.isNotNull())
+    first_idx = F.try_element_at(hit_idxs, F.lit(1))  # null when no match
+    start = F.greatest(F.lit(0), first_idx - F.lit(crop_before))
+    window = F.slice(words, start + 1, crop_words)   # slice is 1-based
+    marked = F.transform(
+        window,
+        lambda w: F.when(is_hit(w),
+                         F.concat(F.lit(pre_tag), w, F.lit(post_tag)))
+        .otherwise(w))
+    body = F.concat_ws(" ", marked)
+    snippet = F.concat(
+        F.when(start > 0, F.lit("…")).otherwise(F.lit("")),
+        body,
+        F.when(start + crop_words < F.size(words), F.lit("…"))
+        .otherwise(F.lit("")))
+    return matched.withColumn(
+        "snippet", F.when(first_idx.isNotNull(), snippet))
+
+
+def search_snippets(page_index: DataFrame, inverted_terms: DataFrame,
+                    query: str, limit: int = 20,
+                    crop_words: int = 10) -> DataFrame:
+    """``search`` + highlight/crop: the ranked hits carry a ``snippet``
+    column cropped around the first matched term with all matched terms
+    highlighted (meilisearch_service.py:186-197)."""
+    hits = search(page_index, inverted_terms, query, limit)
+    return with_snippet(hits, tokenize_query(query), "content",
+                        crop_words=crop_words)
 
 
 def match_set(inverted_terms: DataFrame, terms: list[str]) -> DataFrame:

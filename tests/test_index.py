@@ -122,3 +122,67 @@ def test_positional_index_and_search(spark):
     ranked = search_positional(pi, inv, "query", limit=10).collect()
     assert [r["url_canon"] for r in ranked] == ["a", "b"]
     assert ranked[0]["best_pos"] == 0 and ranked[1]["best_pos"] == 9
+
+
+def test_search_proximity_adjacent_outranks_scattered(spark):
+    """Meilisearch rule #3 (proximity): a doc with the query terms adjacent
+    must outrank one with the same terms scattered, everything else equal."""
+    from chrono_scraper_spark.operators.index import search_proximity
+
+    rows = [
+        ("adj", "t", "", "x x alpha beta x x x x", 8, 0.5),
+        ("scat", "t", "", "alpha x x x x x x beta", 8, 0.5),
+        ("single", "t", "", "alpha x x x x x x x", 8, 0.9),
+    ]
+    pi = spark.createDataFrame(
+        rows, "url_canon string, ts14 string, title string, content string, "
+              "word_count int, quality_score double")
+    inv = build_inverted_terms(pi, positions=True)
+    hits = search_proximity(pi, inv, "alpha beta", limit=10).collect()
+    assert [h["url_canon"] for h in hits] == ["adj", "scat", "single"]
+    assert hits[0]["proximity"] == 1
+    assert hits[1]["proximity"] == 7
+    assert hits[2]["proximity"] is None  # single term: no pair distance
+
+
+def test_min_pair_distance_same_term_runs_skipped(spark):
+    """Occurrences of the SAME term between the two closest different terms
+    must not break the adjacent-scan (closest different-term pair is found
+    across a same-term run)."""
+    from chrono_scraper_spark.operators.index import search_proximity
+
+    rows = [("d", "t", "", "alpha alpha alpha beta", 4, 0.5)]
+    pi = spark.createDataFrame(
+        rows, "url_canon string, ts14 string, title string, content string, "
+              "word_count int, quality_score double")
+    inv = build_inverted_terms(pi, positions=True)
+    hits = search_proximity(pi, inv, "alpha beta", limit=10).collect()
+    assert hits[0]["proximity"] == 1
+
+
+def test_with_snippet_highlight_and_crop(spark):
+    from chrono_scraper_spark.operators.index import with_snippet
+
+    rows = [
+        ("hit", "w0 w1 w2 w3 w4 Alpha w6 w7 w8 w9 w10 w11 w12 w13 w14"),
+        ("miss", "nothing to see here"),
+        ("lead", "Alpha starts the doc w1 w2"),
+    ]
+    df = spark.createDataFrame(rows, "url_canon string, content string")
+    out = {r["url_canon"]: r["snippet"]
+           for r in with_snippet(df, ["alpha"], "content").collect()}
+    # crop starts 3 words before the hit, runs 10 words, ellipses both ends;
+    # the matched word keeps its original case inside the tags
+    assert out["hit"] == "…w2 w3 w4 <em>Alpha</em> w6 w7 w8 w9 w10 w11…"
+    assert out["miss"] is None
+    # hit in the lead: no left ellipsis, no right ellipsis (doc is short)
+    assert out["lead"] == "<em>Alpha</em> starts the doc w1 w2"
+
+
+def test_search_snippets_end_to_end(spark):
+    from chrono_scraper_spark.operators.index import search_snippets
+
+    pi = _page_index(spark)
+    inv = build_inverted_terms(pi)
+    hits = search_snippets(pi, inv, "beta", limit=5).collect()
+    assert all(r["snippet"] and "<em>beta</em>" in r["snippet"] for r in hits)
