@@ -231,6 +231,11 @@ FROM scheduled"""
 
 
 def q_crawl_order(spark, sf_dir):
+    # _global_order_cache contract: one range-partitioned frame stays cached
+    # until the caller unpersists (CrawlJob.run_round does); in this
+    # collect-and-exit driver path it is reclaimed by the ContextCleaner
+    # when the returned DataFrame is dropped (bench.py additionally
+    # clearCache()s between phases).
     sched = _scheduled(spark, sf_dir).filter(
         F.col("sched_status") == "scheduled")
     return with_global_order(sched).select("seq", "url", "ts14")
