@@ -303,8 +303,40 @@ def extract_pdf_one(
             _markdown(title, text if wc else None), None, pub_date)
 
 
+def _real_dispatch_udf():
+    """Dispatch UDF with the REAL library cascade (E1-E4,
+    real_extractors.py) on the html branch — built lazily so importing this
+    module never requires the libraries; selecting it without them raises at
+    plan build, not silently degrades."""
+    from . import real_extractors as R
+
+    if not R.any_available():
+        raise RuntimeError(
+            "kernel='real' requires trafilatura/readability/newspaper3k/bs4 "
+            f"— none importable (available={R.available()})")
+
+    def kernel(payload, mime):
+        if mime == "text/html":
+            return R.extract_real_one(payload)
+        if mime == "application/pdf":
+            return extract_pdf_one(payload)
+        return _UNSUPPORTED_ROW
+
+    @pandas_udf(_EXTRACT_CORE_SCHEMA)
+    def real_dispatch(html: pd.Series, mime: pd.Series) -> pd.DataFrame:
+        cols: tuple[list, ...] = ([], [], [], [], [], [])
+        for h, m in zip(html, mime):
+            r = kernel(h, m)
+            for i, j in enumerate((0, 1, 2, 3, 5, 6)):
+                cols[i].append(r[j])
+        return pd.DataFrame(dict(zip(_EXTRACT_CORE_COLS, cols)))
+
+    return real_dispatch
+
+
 def with_extraction(pages: DataFrame, html_col: str = "html",
-                    mime_col: str = "mime") -> DataFrame:
+                    mime_col: str = "mime", kernel: str = "pinned"
+                    ) -> DataFrame:
     """Run the extraction cascade; adds ``extracted`` struct + the
     completed/failed split column per the reference's word_count>50 gate
     (E9, content_extraction_service.py:181-193).
@@ -317,8 +349,17 @@ def with_extraction(pages: DataFrame, html_col: str = "html",
     as failed, never silently corrupt. Routing happens INSIDE one
     dispatching pandas UDF (``extract_dispatch_udf``) so each payload
     crosses the Arrow boundary exactly once; see the UDF docstring for why
-    a CASE over two UDFs evaluates both on every row."""
-    if mime_col in pages.columns:
+    a CASE over two UDFs evaluates both on every row.
+
+    ``kernel``: "pinned" (default — the deterministic contract kernel) or
+    "real" (the library cascade, real_extractors.py; raises if no library
+    is importable). Same UDF shape/batching either way."""
+    if kernel == "real":
+        core = _real_dispatch_udf()(
+            F.col(html_col),
+            F.col(mime_col) if mime_col in pages.columns
+            else F.lit("text/html"))
+    elif mime_col in pages.columns:
         core = extract_dispatch_udf(F.col(html_col), F.col(mime_col))
     else:
         core = extract_text_udf(F.col(html_col))

@@ -48,6 +48,7 @@ from ..operators.politeness import (
     with_salted_host_partition,
 )
 from ..sources.cdx import discover, read_pages
+from ..sources.httpfetch import fetch_http
 from .catalog import SnapshotCatalog
 
 SEEN_SCHEMA = ("url_canon string, ts14 string, url string, status string, "
@@ -79,6 +80,8 @@ class CrawlJob:
         retry_transient: bool = False,
         max_retries: int = C.MAX_RETRIES,
         failure_rate_trip: float | None = None,
+        fetch_mode: str = "replay",
+        http_fetch: dict | None = None,
     ):
         self.spark = spark
         self.cat = catalog
@@ -114,6 +117,14 @@ class CrawlJob:
         # (circuit_breaker.py:16-277 — per-service breakers collapse to one
         # per-round failure-rate check under deterministic rounds).
         self.failure_rate_trip = failure_rate_trip
+        # S7: "replay" joins payloads from the corpus (default; deterministic
+        # parity mode); "http" fetches each scheduled URL live through
+        # sources.httpfetch.fetch_http (kwargs via ``http_fetch``) — the
+        # content_extraction_service.py:99-135 deployment mode.
+        if fetch_mode not in ("replay", "http"):
+            raise ValueError(f"fetch_mode must be replay|http: {fetch_mode}")
+        self.fetch_mode = fetch_mode
+        self.http_fetch = dict(http_fetch or {})
 
     # ------------------------------------------------------------------ state
     def completed_rounds(self) -> list[int]:
@@ -272,47 +283,63 @@ class CrawlJob:
         # url at write time) — same code path minus the hint. In live-fetch
         # mode (origin HTTP), with_salted_host_partition distributes the
         # scheduled set instead (P8; operator tested separately).
-        payload = read_pages(self.spark, self.pages_path).select(
-            "url", F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
-            "html")
         if "retry_count" not in scheduled.columns:
             scheduled = scheduled.withColumn("retry_count",
                                              F.lit(0).cast("int"))
-        # broadcast only while the scheduled set is genuinely small; above
-        # the cutoff fall back to a shuffle join (on a real deployment the
-        # pages table is bucketed by url, making this bucket-local)
         n_sched = sched.filter(F.col("sched_status") == "scheduled").count()
-        broadcasting = self.broadcast_fetch_join and n_sched <= 500_000
-        if broadcasting:
-            work = payload.join(F.broadcast(scheduled), ["url", "ts14"],
-                                "inner")
-        else:
-            work = payload.join(scheduled, ["url", "ts14"], "inner")
-        # Scheduled rows with no matching payload (live-fetch / partial-corpus
-        # mode) must still terminalize: give them a null payload so the
-        # extractor marks them failed — they enter fetch_log + url_seen
-        # instead of silently vanishing from the inner join.
-        missing = (scheduled
-                   .join(payload.select("url", "ts14"), ["url", "ts14"],
-                         "left_anti")
-                   .withColumn("html", F.lit(None).cast("binary")))
-        work = work.unionByName(missing, allowMissingColumns=True)
-        # P8 / extraction partitioning. Replay mode with a broadcast
-        # fetch-join needs NO repartition: the join output inherits the
-        # corpus scan's parquet splits, which are BYTE-balanced regardless
-        # of host skew (extraction cost ∝ bytes), and the payloads never
-        # shuffle. Only when the map side is too coarse to feed the cluster
-        # (few splits), or when the payloads were shuffle-joined anyway, is
-        # the work salted over (host, salt) — with the per-partition target
-        # sized to the round (≈4 tasks/core), not a fixed constant: a fixed
-        # 50k target gave one 30k-row mega-host partition a 7-8 s straggler.
         parallelism = self.spark.sparkContext.defaultParallelism
-        scan_parts = payload.rdd.getNumPartitions()
-        if not broadcasting or scan_parts < max(2, parallelism * 3 // 4):
-            target = self.salt_target_rows or max(
-                200, n_sched // max(1, parallelism * 4))
+        salt_target = self.salt_target_rows or max(
+            200, n_sched // max(1, parallelism * 4))
+        if self.fetch_mode == "http":
+            # S7 live fetch: no corpus join — salt the scheduled set over
+            # (host, salt) so each host's requests serialize in one
+            # partition (fetch_http paces them), mega-hosts split to their
+            # budget-capped salt groups, and the cluster stays wide. Failed
+            # fetches come back html=NULL and terminalize through the
+            # extractor's dead-letter path exactly like replay's
+            # missing-payload rows.
             work = with_salted_host_partition(
-                work, target_rows_per_partition=target)
+                scheduled, target_rows_per_partition=salt_target)
+            work = fetch_http(work, **self.http_fetch).drop(
+                "http_status", "fetch_err")
+        else:
+            payload = read_pages(self.spark, self.pages_path).select(
+                "url",
+                F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
+                "html")
+            # broadcast only while the scheduled set is genuinely small;
+            # above the cutoff fall back to a shuffle join (on a real
+            # deployment the pages table is bucketed by url, making this
+            # bucket-local)
+            broadcasting = self.broadcast_fetch_join and n_sched <= 500_000
+            if broadcasting:
+                work = payload.join(F.broadcast(scheduled), ["url", "ts14"],
+                                    "inner")
+            else:
+                work = payload.join(scheduled, ["url", "ts14"], "inner")
+            # Scheduled rows with no matching payload (partial-corpus mode)
+            # must still terminalize: give them a null payload so the
+            # extractor marks them failed — they enter fetch_log + url_seen
+            # instead of silently vanishing from the inner join.
+            missing = (scheduled
+                       .join(payload.select("url", "ts14"), ["url", "ts14"],
+                             "left_anti")
+                       .withColumn("html", F.lit(None).cast("binary")))
+            work = work.unionByName(missing, allowMissingColumns=True)
+            # P8 / extraction partitioning. Replay mode with a broadcast
+            # fetch-join needs NO repartition: the join output inherits the
+            # corpus scan's parquet splits, which are BYTE-balanced
+            # regardless of host skew (extraction cost ∝ bytes), and the
+            # payloads never shuffle. Only when the map side is too coarse
+            # to feed the cluster (few splits), or when the payloads were
+            # shuffle-joined anyway, is the work salted over (host, salt) —
+            # with the per-partition target sized to the round (≈4
+            # tasks/core), not a fixed constant: a fixed 50k target gave one
+            # 30k-row mega-host partition a 7-8 s straggler.
+            scan_parts = payload.rdd.getNumPartitions()
+            if not broadcasting or scan_parts < max(2, parallelism * 3 // 4):
+                work = with_salted_host_partition(
+                    work, target_rows_per_partition=salt_target)
         # html is consumed by the extraction UDF and nothing after it —
         # dropping it before the cache keeps ~half the cached bytes (5 KB
         # payload/row) out of memory and out of every downstream read

@@ -1,0 +1,198 @@
+"""S7: live HTTP fetch stage — ``mapInPandas`` over the scheduled frontier.
+
+The reference fetches each page with an httpx client inside a Celery task
+(content_extraction_service.py:99-135: 60 s connect / 180 s read timeouts,
+keep-alive pool, browser UA headers, wayback Referer; retry policy
+shared_pages_scraping.py:45,277-284: ≤3 retries, exponential backoff). This
+module re-expresses that as a Spark stage:
+
+* **Politeness stays upstream and declarative.** ``schedule_round`` (P4/W5)
+  has already capped each host's rows to its token-bucket budget before any
+  request is made; this stage only enforces the *spacing* half of the
+  contract (``min_interval_s`` between same-host requests).
+* **Host-partitioned ⇒ local pacing is global pacing.** Callers route the
+  scheduled set through ``with_salted_host_partition`` first, so all rows
+  for a host land in one (or, for a mega-host, k budget-capped) partition.
+  A per-partition ``last-request-at`` clock per netloc then enforces the
+  per-host min interval without any cross-executor coordination — the same
+  reasoning that makes the reference's per-domain limiter work inside one
+  asyncio loop (archive_org_client.py:23-28).
+* **One connection pool per partition.** ``http.client`` connections are
+  keyed by (scheme, netloc) and kept alive across the partition's rows —
+  the Celery analog of ``httpx.Limits(max_keepalive_connections=5)``.
+* **Failures terminalize, never raise.** A non-2xx / timed-out / refused
+  row comes back with ``html = NULL`` plus (``http_status``, ``fetch_err``)
+  so the downstream extractor dead-letters it (E12) exactly like a
+  missing-payload row in replay mode (plans/crawl.py missing-payload union).
+  A task never fails because a server did.
+
+Scale note: at 10^10 URLs/round the stage is bounded by the politeness
+budget, not by Spark — each (host, salt) partition performs
+``budget // salt_k`` sequential requests, and partitions run wide. The
+``url_template`` hook builds archive-replay URLs
+(``https://web.archive.org/web/{ts14}id_/{url}`` — wayback_machine.py
+content-URL shape) without a per-row UDF on the driver side.
+
+No network exists in the build sandbox, so tests drive this against a
+loopback ``http.server`` (tests/test_httpfetch.py) — the stage itself is
+production-shaped.
+"""
+
+from __future__ import annotations
+
+import http.client
+import time
+from typing import Iterator
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_UA = ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+              "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36")
+#: content_extraction_service.py:110 — connect=60, read=180 (we use one knob)
+DEFAULT_TIMEOUT_S = 30.0
+#: shared_pages_scraping.py:45 — max 3 retries
+DEFAULT_MAX_RETRIES = 3
+_MAX_BODY_BYTES = 64 * 1024 * 1024  # refuse to buffer >64 MB of one page
+
+
+def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
+               user_agent: str, max_redirects: int = 3) -> tuple:
+    """One GET through the partition's keep-alive pool.
+    Returns (body: bytes|None, status: int|None, err: str|None)."""
+    seen = 0
+    while True:
+        parts = urlsplit(target_url)
+        if parts.scheme not in ("http", "https"):
+            return None, None, f"unsupported scheme: {parts.scheme}"
+        key = (parts.scheme, parts.netloc)
+        conn = pools.get(key)
+        if conn is None:
+            cls = (http.client.HTTPSConnection if parts.scheme == "https"
+                   else http.client.HTTPConnection)
+            conn = cls(parts.netloc, timeout=timeout_s)
+            pools[key] = conn
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        try:
+            conn.request("GET", path, headers={
+                "User-Agent": user_agent,
+                "Accept": "text/html,application/xhtml+xml,"
+                          "application/pdf;q=0.9,*/*;q=0.8",
+                "Connection": "keep-alive",
+            })
+            resp = conn.getresponse()
+            status = resp.status
+            # follow redirects like httpx follow_redirects=True (:112)
+            if status in (301, 302, 303, 307, 308) and seen < max_redirects:
+                loc = resp.getheader("Location")
+                resp.read()  # drain so the connection stays reusable
+                if loc:
+                    seen += 1
+                    if loc.startswith("/"):
+                        loc = f"{parts.scheme}://{parts.netloc}{loc}"
+                    target_url = loc
+                    continue
+            body = resp.read(_MAX_BODY_BYTES + 1)
+            if len(body) > _MAX_BODY_BYTES:
+                return None, status, "body exceeds max size"
+            if 200 <= status < 300:
+                return body, status, None
+            return None, status, f"HTTP {status}"
+        except Exception as exc:  # socket errors, timeouts, bad responses
+            # a broken connection is not reusable — drop it from the pool
+            try:
+                conn.close()
+            finally:
+                pools.pop(key, None)
+            return None, None, f"{type(exc).__name__}: {exc}"
+
+
+def fetch_http(
+    scheduled: DataFrame,
+    *,
+    url_template: str | None = None,
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    max_retries: int = DEFAULT_MAX_RETRIES,
+    backoff_base_s: float = 0.0,
+    min_interval_s: float = 0.0,
+    user_agent: str = DEFAULT_UA,
+    url_col: str = "url",
+    ts_col: str = "ts14",
+    html_col: str = "html",
+) -> DataFrame:
+    """Append ``html`` (binary) + ``http_status`` (int) + ``fetch_err``
+    (string) by fetching each row's URL over live HTTP.
+
+    ``url_template`` rewrites the request target with ``{url}`` / ``{ts14}``
+    placeholders (archive-replay URL shape, or a loopback server in tests);
+    ``None`` fetches ``url`` directly. Retries transient failures
+    (connection errors + 5xx/429) up to ``max_retries`` with
+    ``backoff_base_s · 2^attempt`` sleeps (shared_pages_scraping.py:277-284);
+    definitive statuses (404 etc.) do not retry. ``min_interval_s`` spaces
+    same-host requests within the partition (callers host-partition first —
+    see module docstring).
+    """
+    out_schema = T.StructType(
+        list(scheduled.schema.fields)
+        + [T.StructField(html_col, T.BinaryType()),
+           T.StructField("http_status", T.IntegerType()),
+           T.StructField("fetch_err", T.StringType())])
+    in_cols = [f.name for f in scheduled.schema.fields]
+    retry_statuses = {429, 500, 502, 503, 504}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pools: dict = {}
+        last_at: dict[str, float] = {}   # netloc -> monotonic seconds
+        try:
+            for pdf in batches:
+                bodies, statuses, errs = [], [], []
+                for url, ts in zip(pdf[url_col], pdf[ts_col]):
+                    target = (url_template.format(url=url, ts14=ts)
+                              if url_template else url)
+                    netloc = urlsplit(target).netloc
+                    if min_interval_s > 0:
+                        prev = last_at.get(netloc)
+                        now = time.monotonic()
+                        if prev is not None and now - prev < min_interval_s:
+                            time.sleep(min_interval_s - (now - prev))
+                    body = status = err = None
+                    for attempt in range(max_retries + 1):
+                        if attempt and backoff_base_s > 0:
+                            time.sleep(backoff_base_s * (2 ** (attempt - 1)))
+                        body, status, err = _fetch_one(
+                            pools, target, timeout_s=timeout_s,
+                            user_agent=user_agent)
+                        if body is not None or (
+                                status is not None
+                                and status not in retry_statuses):
+                            break
+                    if min_interval_s > 0:
+                        last_at[netloc] = time.monotonic()
+                    bodies.append(body)
+                    statuses.append(status)
+                    errs.append(err)
+                res = pdf[in_cols].copy()
+                res[html_col] = pd.Series(bodies, dtype=object)
+                res["http_status"] = pd.array(statuses, dtype="Int32")
+                res["fetch_err"] = pd.Series(errs, dtype=object)
+                yield res
+        finally:
+            for conn in pools.values():
+                try:
+                    conn.close()
+                except Exception:
+                    pass
+
+    return scheduled.mapInPandas(run, schema=out_schema)
+
+
+def replay_url_template(archive_host: str = "web.archive.org") -> str:
+    """The reference's wayback content-URL shape
+    (wayback_machine.py / content_extraction_service content_url): the
+    ``id_`` flag requests the unmodified original capture bytes."""
+    return f"https://{archive_host}/web/{{ts14}}id_/{{url}}"

@@ -3,6 +3,7 @@ quality/word-count columns."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from chrono_scraper_spark.operators import extraction as E
@@ -155,3 +156,34 @@ def test_quality_and_counts(spark):
     assert 0.0 < r["quality_score"] <= 1.0
     assert by_text[None]["word_count"] == 0 and by_text[None]["character_count"] == 0
     assert by_text[""]["word_count"] == 0
+
+
+def test_real_kernel_gating(spark):
+    """E1-E4 pre-wire: kernel='real' activates the library cascade when
+    importable; in a bare container it must raise a clear error at plan
+    build (never silently fall back on a contract run)."""
+    from chrono_scraper_spark.operators import real_extractors as R
+
+    df = spark.createDataFrame(
+        [(b"<html><head><title>T</title></head><body><article>"
+          b"<p>hello world</p></article></body></html>", "text/html")],
+        "html binary, mime string")
+    if not R.any_available():
+        with pytest.raises(RuntimeError, match="kernel='real'"):
+            E.with_extraction(df, kernel="real")
+        return
+    out = E.with_extraction(df, kernel="real").select(
+        "extracted.*").collect()[0]
+    assert out["method"] in ("trafilatura", "readability", "newspaper3k",
+                             "beautifulsoup")
+    assert out["text"] and "hello world" in out["text"]
+
+
+def test_real_kernel_matches_extract_one_signature():
+    """The real kernel is drop-in for extract_one: same arity, same null
+    handling — so the dispatch UDF shape is shared."""
+    from chrono_scraper_spark.operators.real_extractors import extract_real_one
+
+    row = extract_real_one(None)
+    assert row == (None, None, "none", 0, None, None, None)
+    assert len(row) == len(E.extract_one(None))

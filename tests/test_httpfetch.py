@@ -1,0 +1,201 @@
+"""S7 live HTTP fetch: loopback-server tests for ``sources.httpfetch`` and
+the ``fetch_mode="http"`` crawl variant.
+
+No network exists in the sandbox, so a threaded ``http.server`` on
+127.0.0.1 stands in for the archive origin; the wayback-style
+``/{ts14}/{url}`` path shape exercises the same ``url_template`` hook a
+real deployment uses (content_extraction_service.py:99-135 content URLs).
+"""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote
+
+import pytest
+from pyspark.sql import functions as F
+
+from chrono_scraper_spark.corpus import generate_pages
+from chrono_scraper_spark.plans.catalog import SnapshotCatalog
+from chrono_scraper_spark.plans.crawl import CrawlJob
+from chrono_scraper_spark.sources.httpfetch import fetch_http
+
+
+class _Store:
+    """Shared state the handler reads: (ts14, url) -> body, plus fault
+    injection (per-path forced statuses / fail-N-times counters)."""
+
+    def __init__(self):
+        self.pages: dict[tuple[str, str], bytes] = {}
+        self.force_status: dict[str, int] = {}       # raw path -> status
+        self.fail_n: dict[str, int] = {}             # raw path -> remaining
+        self.redirects: dict[str, str] = {}          # raw path -> location
+        self.hits: list[str] = []
+        self.lock = threading.Lock()
+
+
+def _make_handler(store: _Store):
+    class H(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def do_GET(self):
+            with store.lock:
+                store.hits.append(self.path)
+                remaining = store.fail_n.get(self.path, 0)
+                if remaining > 0:
+                    store.fail_n[self.path] = remaining - 1
+            if remaining > 0:
+                self._send(503, b"try later")
+                return
+            if self.path in store.redirects:
+                self.send_response(302)
+                self.send_header("Location", store.redirects[self.path])
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            if self.path in store.force_status:
+                self._send(store.force_status[self.path], b"forced")
+                return
+            # wayback shape: /{ts14}/{original url}
+            raw = unquote(self.path)
+            ts14, _, url = raw.lstrip("/").partition("/")
+            body = store.pages.get((ts14, url))
+            if body is None:
+                self._send(404, b"no capture")
+            else:
+                self._send(200, body)
+
+        def _send(self, status: int, body: bytes):
+            self.send_response(status)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return H
+
+
+@pytest.fixture(scope="module")
+def server():
+    store = _Store()
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(store))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield store, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(rows, "url string, ts14 string, host string")
+
+
+TEMPLATE = "{base}/{{ts14}}/{{url}}"
+
+
+def test_fetch_bodies_and_404(spark, server):
+    store, base = server
+    store.pages[("20240101000000", "https://a.example/x")] = b"<html>alpha</html>"
+    store.pages[("20240101000000", "https://a.example/y")] = b"<html>beta</html>"
+    df = _frontier(spark, [
+        ("https://a.example/x", "20240101000000", "a.example"),
+        ("https://a.example/y", "20240101000000", "a.example"),
+        ("https://a.example/missing", "20240101000000", "a.example"),
+    ])
+    out = fetch_http(df, url_template=TEMPLATE.format(base=base),
+                     max_retries=0).collect()
+    got = {r["url"]: (bytes(r["html"]) if r["html"] is not None else None,
+                      r["http_status"], r["fetch_err"]) for r in out}
+    assert got["https://a.example/x"] == (b"<html>alpha</html>", 200, None)
+    assert got["https://a.example/y"] == (b"<html>beta</html>", 200, None)
+    body, status, err = got["https://a.example/missing"]
+    assert body is None and status == 404 and "404" in err
+
+
+def test_retry_recovers_transient_503(spark, server):
+    store, base = server
+    store.pages[("20240102000000", "https://r.example/p")] = b"<html>ok</html>"
+    path = "/20240102000000/https://r.example/p"
+    store.fail_n[path] = 2  # two 503s, then success
+    df = _frontier(spark, [("https://r.example/p", "20240102000000",
+                            "r.example")])
+    out = fetch_http(df, url_template=TEMPLATE.format(base=base),
+                     max_retries=3).collect()[0]
+    assert bytes(out["html"]) == b"<html>ok</html>"
+    assert out["http_status"] == 200
+    # exhausted retries -> null html with the terminal status recorded
+    store.fail_n[path] = 99
+    out2 = fetch_http(df, url_template=TEMPLATE.format(base=base),
+                      max_retries=1).collect()[0]
+    assert out2["html"] is None and out2["http_status"] == 503
+
+
+def test_redirect_followed(spark, server):
+    store, base = server
+    store.pages[("20240103000000", "https://m.example/new")] = b"<html>moved</html>"
+    store.redirects["/20240103000000/https://m.example/old"] = (
+        "/20240103000000/https://m.example/new")
+    df = _frontier(spark, [("https://m.example/old", "20240103000000",
+                            "m.example")])
+    out = fetch_http(df, url_template=TEMPLATE.format(base=base),
+                     max_retries=0).collect()[0]
+    assert bytes(out["html"]) == b"<html>moved</html>"
+
+
+def test_connection_refused_terminalizes(spark):
+    # a port nothing listens on: rows come back failed, the stage never raises
+    df = _frontier(spark, [("https://x.example/a", "20240101000000",
+                            "x.example")])
+    out = fetch_http(df, url_template="http://127.0.0.1:1/{ts14}/{url}",
+                     max_retries=1, timeout_s=2.0).collect()[0]
+    assert out["html"] is None and out["http_status"] is None
+    assert out["fetch_err"]
+
+
+def test_crawl_e2e_http_mode_matches_replay(spark, tmp_path, server):
+    """The full crawl with fetch_mode='http' against the loopback archive
+    produces the SAME fetch_log / url_seen / extracted text as corpus
+    replay — live fetch changes the transport, not the round contract."""
+    store, base = server
+    corpus = str(tmp_path / "pages")
+    generate_pages(spark, 40, partitions=4).write.parquet(corpus)
+    # publish every capture at its wayback path
+    for r in spark.read.parquet(corpus).selectExpr(
+            "url", "date_format(warc_ts,'yyyyMMddHHmmss') ts14",
+            "html").collect():
+        store.pages[(r["ts14"], r["url"])] = bytes(r["html"])
+
+    seeds = spark.createDataFrame(
+        [(1, r"https://.*", "regex", None, None, None)],
+        "project_id int, domain_name string, match_type string, "
+        "url_path string, from_date date, to_date date")
+    kw = dict(rps=0.2, burst=3, round_seconds=60.0, salt_target_rows=10)
+
+    replay = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "replay")),
+                      corpus, seeds, **kw)
+    replay.run(max_rounds=50)
+    live = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "live")),
+                    corpus, seeds, fetch_mode="http",
+                    http_fetch={"url_template": TEMPLATE.format(base=base),
+                                "max_retries": 1},
+                    **kw)
+    live.run(max_rounds=50)
+
+    def state(cat):
+        log = sorted((r["round_idx"], r["seq"], r["url"], r["ts14"],
+                      r["fetch_status"])
+                     for r in cat.read("fetch_log").collect())
+        seen = {(r["url"], r["ts14"]): (r["status"], r["first_seen_round"])
+                for r in cat.read("url_seen").collect()}
+        pages = {(r["url"], r["ts14"]): r["text_md5"]
+                 for r in cat.read("pages_out").select(
+                     "url", "ts14",
+                     F.md5(F.col("extracted_text")).alias("text_md5"))
+                 .collect()}
+        return log, seen, pages
+
+    assert state(live.cat) == state(replay.cat)
