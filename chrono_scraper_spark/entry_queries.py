@@ -1809,6 +1809,87 @@ r0 AS (SELECT host,
                       + "\nSELECT host, rank_nano FROM r5")
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al. 2003) over the
+    documents table: sorted distinct window-min k-gram md5 hashes per doc,
+    emitted as (count, md5-of-signature) so the row stays small. Pure
+    array-lambda projection — zero shuffles (textops.winnow_fingerprints)."""
+    d = _t(spark, sf_dir, "documents")
+    fps = T.winnow_fingerprints(F.col("text"), k=8, w=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fp"),
+        F.md5(F.concat_ws("|", fps)).alias("fp_sig"))
+
+
+SQL_WINNOW_FINGERPRINT = OG.winnow_query_sql(k=8, w=4)
+
+
+def q_warc_identity(spark, sf_dir):
+    """WARC (ISO 28500) writer+parser round-trip, value-checked like
+    pdf_extraction_identity: every CDX-parity page is encoded as a real
+    per-record-gzipped WARC response record (sources/warc.py — the Common
+    Crawl layout the reference's CC route reads via WARC
+    filename/offset/length, content_extraction_service.py:80-95) and
+    parsed back inside one pandas UDF; URL, timestamp, mime, HTTP status
+    and payload md5 must all survive the trip. The oracle reads the source
+    rows directly."""
+    import hashlib
+
+    from pyspark.sql import types as ST
+    from pyspark.sql.functions import pandas_udf
+
+    from chrono_scraper_spark.sources.warc import (
+        decode_warc_member,
+        encode_warc_record,
+    )
+
+    schema = ST.StructType([
+        ST.StructField("url_rt", ST.StringType()),
+        ST.StructField("ts14_rt", ST.StringType()),
+        ST.StructField("mime_rt", ST.StringType()),
+        ST.StructField("status_rt", ST.IntegerType()),
+        ST.StructField("payload_md5", ST.StringType()),
+    ])
+
+    @pandas_udf(schema)
+    def roundtrip(url, date_iso, mime, status, text):
+        import pandas as pd
+        cols = {k: [] for k in
+                ("url_rt", "ts14_rt", "mime_rt", "status_rt", "payload_md5")}
+        for u, d, m, s, x in zip(url, date_iso, mime, status, text):
+            payload = (x or "").encode()
+            rec = decode_warc_member(
+                encode_warc_record(u, d, m, int(s), payload))
+            cols["url_rt"].append(rec["url"])
+            cols["ts14_rt"].append(
+                "".join(c for c in rec["date"] if c.isdigit())[:14])
+            cols["mime_rt"].append(rec["mime"])
+            cols["status_rt"].append(rec["status"])
+            cols["payload_md5"].append(
+                hashlib.md5(rec["payload"]).hexdigest())
+        out = pd.DataFrame(cols)
+        out["status_rt"] = out["status_rt"].astype("Int32")
+        return out
+
+    pages = cdx_pages_view(spark, sf_dir)
+    r = roundtrip(
+        F.col("url"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.col("mime"), F.col("status"), F.col("text"))
+    return (pages.withColumn("_r", r)
+            .select(F.col("_r.url_rt").alias("url"),
+                    F.col("_r.ts14_rt").alias("ts14"),
+                    F.col("_r.mime_rt").alias("mime"),
+                    F.col("_r.status_rt").alias("status"),
+                    F.col("_r.payload_md5").alias("payload_md5")))
+
+
+SQL_WARC_IDENTITY = f"""
+WITH pages_cdx AS ({PAGES_CTE_DUCK})
+SELECT url, ts14, mime, status, md5(text) AS payload_md5 FROM pages_cdx"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1870,6 +1951,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_strip": q_boilerplate_strip,
     "unigram_logprob": q_unigram_logprob,
     "host_authority": q_host_authority,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "warc_identity": q_warc_identity,
 }
 
 ORACLES: dict[str, str] = {
@@ -1929,4 +2012,6 @@ ORACLES: dict[str, str] = {
     "boilerplate_strip": SQL_BOILERPLATE_STRIP,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "host_authority": SQL_HOST_AUTHORITY,
+    "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
+    "warc_identity": SQL_WARC_IDENTITY,
 }

@@ -184,6 +184,58 @@ def fingerprint_sql(text: str) -> str:
             f"'\\s+', ' ', 'g')))")
 
 
+def winnow_query_sql(k: int = 8, w: int = 4,
+                     table: str = "documents") -> str:
+    """Full winnow_fingerprint oracle statement over ``table(doc_id,
+    text)`` — STAGED projections, one intermediate per level. The
+    single-expression twin (``winnow_fingerprints_sql``) inlines ``hashes``
+    into the window comprehension, and DuckDB re-evaluates the inlined tree
+    per element: O(n²) md5 per doc, measured 493 s vs 2.6 s for the staged
+    form at sf0.01. Same trap (and same fix) as the engine's ``_let``
+    binding in textops.winnow_fingerprints."""
+    return f"""
+WITH s0 AS (
+  SELECT doc_id,
+    regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]', '', 'g') AS s
+  FROM {table}
+), g AS (
+  SELECT doc_id,
+    CASE WHEN length(s) >= {k} THEN
+      list_transform(range(1, length(s) - {k - 2}),
+                     i -> md5(substr(s, i, {k})))
+    ELSE [] END AS hashes
+  FROM s0
+), m AS (
+  SELECT doc_id,
+    CASE WHEN len(hashes) >= {w} THEN
+      [list_min(hashes[j:j+{w - 1}]) for j in range(1, len(hashes) - {w - 2})]
+    WHEN len(hashes) > 0 THEN [list_min(hashes)]
+    ELSE [] END AS mins
+  FROM g
+)
+SELECT doc_id, len(list_sort(list_distinct(mins))) AS n_fp,
+  md5(array_to_string(list_sort(list_distinct(mins)), '|')) AS fp_sig
+FROM m"""
+
+
+def winnow_fingerprints_sql(text: str, k: int = 8, w: int = 4) -> str:
+    """DuckDB twin of textops.winnow_fingerprints (list<varchar>) as ONE
+    expression — for small-input unit parity only; bulk oracles must use
+    the staged ``winnow_query_sql`` (see its docstring for why)."""
+    s = (f"regexp_replace(lower(coalesce({text}, '')), '[^a-z0-9]', '', 'g')")
+    grams = (f"CASE WHEN length({s}) >= {k} THEN "
+             f"list_transform(range(1, length({s}) - {k - 2}), "
+             f"i -> substr({s}, i, {k})) "
+             f"ELSE [] END")
+    hashes = f"list_transform({grams}, g -> md5(g))"
+    mins = (f"CASE WHEN len({hashes}) >= {w} THEN "
+            f"[list_min(list_slice({hashes}, j, j + {w - 1})) "
+            f"for j in range(1, len({hashes}) - {w - 2})] "
+            f"WHEN len({hashes}) > 0 THEN [list_min({hashes})] "
+            f"ELSE [] END")
+    return f"list_sort(list_distinct({mins}))"
+
+
 def shingles_sql(toks: str, k: int = 3) -> str:
     return (f"CASE WHEN len({toks}) >= {k} THEN "
             f"list_transform(range(1, len({toks}) - {k - 2}), "

@@ -143,6 +143,64 @@ def rolling_fingerprint(text: Column, k: int = 8) -> Column:
     return F.array_min(F.transform(shingles(tokens(text), k), F.md5))
 
 
+def _let(val: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``val`` ONCE and bind
+    it as a lambda variable in ``body``. ``transform``'s collection child
+    is evaluated a single time, so ``element_at(transform(array(v), x ->
+    body(x)), 1)`` is `let x = v in body(x)` — the only way to stop Spark
+    from re-inlining (and re-evaluating) a subexpression referenced inside
+    a higher-order-function lambda."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def winnow_fingerprints(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): sorted distinct window-minimum k-gram hashes — the
+    guarantee is that any match of length ≥ w+k-1 between two documents
+    shares at least one selected fingerprint, at density ~2/(w+1).
+
+    Text is MOSS-normalized (lowercase, non-alphanumerics removed) so
+    whitespace/punctuation edits don't shift grams. Hashes are md5 hex
+    strings (string min ≡ numeric min over the 128-bit value — same
+    portability trick as ``minhash_signature``); a doc shorter than one
+    window keeps its single global min; empty docs → empty array. Pure
+    array-lambda projection: zero shuffles, and the DuckDB oracle twin
+    (``oracle_gen.winnow_fingerprints_sql``) is the same expression.
+
+    Two O(n²) traps are engineered out (measured: 70 s/doc each on a
+    200 KB page, vs <1 s total fixed):
+
+    * intermediates are **let-bound** via ``_let`` — referencing an outer
+      expression inside a higher-order-function lambda INLINES it, so a
+      naive ``array_min(slice(hashes, j, w))`` would recompute the entire
+      md5 array for every window;
+    * grams come from ``slice`` on a let-bound **char array**, not
+      ``substr(i, k)`` — UTF8String.substring locates codepoint ``i`` by
+      scanning from the start, making per-gram substr O(i) and the gram
+      pass O(n²) on long docs."""
+    s0 = F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))),
+                          "[^a-z0-9]", "")
+
+    def gram_hashes(chars: Column) -> Column:
+        n = F.size(chars)
+        grams = F.when(n >= k, F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(chars, i, k), ""),
+        )).otherwise(F.array().cast("array<string>"))
+        return F.transform(grams, F.md5)
+
+    def window_mins(h: Column) -> Column:
+        hn = F.size(h)
+        return (F.when(hn >= w, F.transform(
+                    F.sequence(F.lit(1), hn - F.lit(w - 1)),
+                    lambda j: F.array_min(F.slice(h, j, w))))
+                .when(hn > 0, F.array(F.array_min(h)))
+                .otherwise(F.array().cast("array<string>")))
+
+    mins = _let(_let(F.split(s0, ""), gram_hashes), window_mins)
+    return F.array_sort(F.array_distinct(mins))
+
+
 def minhash_signature(toks: Column, k: int = 3, n_hashes: int = 12) -> Column:
     """MinHash signature as array<string>: for hash family i, the minimum of
     ``md5(i || ':' || shingle)`` over the document's k-gram shingles. String

@@ -107,3 +107,37 @@ def test_minhash_matches_duckdb_formula(spark):
         FROM sh
     """).fetchone()[0]
     assert sig == list(duck)
+
+
+def test_winnow_fingerprints_known_example(spark):
+    """Hand-checkable winnowing guarantee: a substring match of length
+    >= w+k-1 between two docs shares at least one fingerprint; disjoint
+    docs share none."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = "THE QUICK  brown fox... jumps over the lazy dog NOW then"
+    other = "completely unrelated words about spark executors and shuffles"
+    rows = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other), (4, ""), (5, None), (6, "ab")],
+        "id int, t string").select(
+        "id", T.winnow_fingerprints(F.col("t"), k=8, w=4).alias("fps")
+    ).collect()
+    fps = {r["id"]: set(r["fps"]) for r in rows}
+    assert fps[1] & fps[2], "normalization-stable overlap must survive edits"
+    assert not (fps[1] & fps[3])
+    assert fps[4] == set() and fps[5] == set()
+    assert len(fps[6]) == 0  # shorter than one gram -> empty
+    # sorted distinct
+    r1 = [r for r in rows if r["id"] == 1][0]["fps"]
+    assert r1 == sorted(set(r1))
+
+
+def test_winnow_fingerprints_matches_duckdb_twin(spark):
+    from chrono_scraper_spark.functions.oracle_gen import winnow_fingerprints_sql
+
+    text = "Some repeated phrase here; some repeated phrase there!"
+    got = spark.createDataFrame([(text,)], "t string").select(
+        T.winnow_fingerprints(F.col("t"), k=8, w=4).alias("fps")
+    ).first()["fps"]
+    want = duckdb.sql(
+        f"SELECT {winnow_fingerprints_sql(repr(text))} AS fps").fetchone()[0]
+    assert got == list(want)

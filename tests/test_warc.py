@@ -1,0 +1,86 @@
+"""WARC source: writer/parser round-trip, CC-style range-member decode,
+file scan via binaryFile, truncation tolerance."""
+
+from __future__ import annotations
+
+import gzip
+
+from chrono_scraper_spark.sources import warc as W
+
+
+def _rec(i: int, compress=True) -> bytes:
+    return W.encode_warc_record(
+        f"https://site{i}.example/page-{i}",
+        f"2021-03-0{1 + i % 9}T12:00:0{i % 10}Z",
+        "text/html", 200 if i % 3 else 404,
+        f"body of page {i} — café".encode(),
+        compress=compress)
+
+
+def test_roundtrip_single_record():
+    rec = W.decode_warc_member(_rec(1))
+    assert rec["url"] == "https://site1.example/page-1"
+    assert rec["date"] == "2021-03-02T12:00:01Z"
+    assert rec["mime"] == "text/html"
+    assert rec["status"] == 200
+    assert rec["payload"] == "body of page 1 — café".encode()
+    assert rec["warc_type"] == "response"
+    # deterministic bytes: same input → same member (gzip mtime pinned)
+    assert _rec(1) == _rec(1)
+
+
+def test_uncompressed_and_hostile_payloads():
+    # payload containing CRLFCRLF and WARC-like text must not confuse the
+    # length-delimited parser
+    evil = b"x\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nyyy"
+    member = W.encode_warc_record("https://e.example/", "2021-01-01T00:00:00Z",
+                                  "text/html", 200, evil, compress=False)
+    rec = W.decode_warc_member(member)
+    assert rec["payload"] == evil
+    assert rec["status"] == 200
+
+
+def test_concatenated_members_and_range_slices():
+    """The CC layout: per-record gzip members concatenated into one file.
+    Whole-stream parse sees every record; an (offset, length) slice — the
+    S6 range-fetch unit from CDX warc_offset/warc_length — decodes alone."""
+    members = [_rec(i) for i in range(5)]
+    stream = b"".join(members)
+    recs = W.parse_warc(stream)
+    assert [r["url"] for r in recs] == [
+        f"https://site{i}.example/page-{i}" for i in range(5)]
+    # range reads: offsets/lengths exactly as a CDX index would store them
+    off = 0
+    for i, m in enumerate(members):
+        rec = W.decode_warc_member(stream[off:off + len(m)])
+        assert rec["url"] == f"https://site{i}.example/page-{i}"
+        off += len(m)
+
+
+def test_truncated_tail_yields_complete_records():
+    members = [_rec(i, compress=False) for i in range(3)]
+    stream = b"".join(members)[:-40]  # cut into the last record
+    recs = W.parse_warc(stream)
+    assert len(recs) == 2
+
+
+def test_read_warc_scan(spark, tmp_path):
+    d = tmp_path / "warcs"
+    d.mkdir()
+    # two files, mixed record types; warcinfo must be filtered out
+    info = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+            b"WARC-Record-ID: <urn:uuid:0>\r\n"
+            b"WARC-Date: 2021-01-01T00:00:00Z\r\n"
+            b"Content-Type: application/warc-fields\r\n"
+            b"Content-Length: 9\r\n\r\nsoftware\n\r\n\r\n")
+    (d / "a.warc.gz").write_bytes(
+        gzip.compress(info, mtime=0) + _rec(0) + _rec(1))
+    (d / "b.warc.gz").write_bytes(_rec(2) + _rec(3))
+    out = W.read_warc(spark, str(d)).collect()
+    assert {r["url"] for r in out} == {
+        f"https://site{i}.example/page-{i}" for i in range(4)}
+    by_url = {r["url"]: r for r in out}
+    r0 = by_url["https://site0.example/page-0"]
+    assert r0["status"] == 404 and r0["mime"] == "text/html"
+    assert bytes(r0["html"]) == "body of page 0 — café".encode()
+    assert r0["warc_date"] == "2021-03-01T12:00:00Z"
