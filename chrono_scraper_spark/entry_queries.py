@@ -641,7 +641,8 @@ def q_minhash_pairs(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-SQL_MINHASH_PAIRS = f"""WITH {_SQL_DOCS_CLONES},
+# CTE chain shared by the pairs query and the clusters query below
+_SQL_MINHASH_CTES = f"""{_SQL_DOCS_CLONES},
 sh AS (
   SELECT doc_id, {OG.shingles_sql(OG.tokens_sql('text'), 3)} AS s
   FROM docs2
@@ -662,15 +663,50 @@ cands AS (
     ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
   WHERE l.doc_id < r.doc_id
 ),
-dsh AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
-SELECT c.a, c.b,
-  round(len(list_intersect(sa.s, sb.s))
-        / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
-FROM cands c
-JOIN dsh sa ON sa.doc_id = c.a
-JOIN dsh sb ON sb.doc_id = c.b
-WHERE len(list_intersect(sa.s, sb.s))
-      / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5"""
+dsh AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+mh_pairs AS (
+  SELECT c.a, c.b,
+    round(len(list_intersect(sa.s, sb.s))
+          / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+  FROM cands c
+  JOIN dsh sa ON sa.doc_id = c.a
+  JOIN dsh sb ON sb.doc_id = c.b
+  WHERE len(list_intersect(sa.s, sb.s))
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+)"""
+
+SQL_MINHASH_PAIRS = f"""WITH {_SQL_MINHASH_CTES}
+SELECT a, b, jaccard FROM mh_pairs"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution: MinHash-LSH candidate pairs →
+    connected components (min-label propagation, text_dedup.
+    connected_components) → one canonical doc per transitive similarity
+    group. The oracle computes the same closure with a recursive CTE."""
+    docs = _docs_with_clones(spark, sf_dir)
+    pairs = TD.minhash_near_duplicates(docs, n_hashes=12, bands=6,
+                                       threshold=0.5)
+    return TD.dedup_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE {_SQL_MINHASH_CTES},
+cc_edges AS (
+  SELECT a AS src, b AS dst FROM mh_pairs
+  UNION
+  SELECT b AS src, a AS dst FROM mh_pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM cc_edges
+  UNION
+  SELECT e.src, reach.r FROM cc_edges e JOIN reach ON reach.node = e.dst
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach
+         GROUP BY node)
+SELECT doc_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  doc_id = cluster_id AS is_canonical
+FROM comp"""
 
 
 # --------------------------------------------------------------------------
@@ -1953,6 +1989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_authority": q_host_authority,
     "winnow_fingerprint": q_winnow_fingerprint,
     "warc_identity": q_warc_identity,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -2014,4 +2051,5 @@ ORACLES: dict[str, str] = {
     "host_authority": SQL_HOST_AUTHORITY,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "warc_identity": SQL_WARC_IDENTITY,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
 }

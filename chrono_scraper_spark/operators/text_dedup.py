@@ -330,3 +330,83 @@ def embedding_near_duplicates(
     return (pairs.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", F.round("cosine", 6).alias("cosine")))
+
+
+# --------------------------------------------------------------------------
+# near-dup cluster resolution (connected components over candidate pairs)
+# --------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, a_col: str = "a",
+                         b_col: str = "b",
+                         max_iters: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list via min-label
+    propagation: every node starts labeled with its own id; each round a
+    node takes ``min(own label, labels of neighbors)``; fixpoint = the
+    component minimum. Output: ``(node, cluster_id)`` for every endpoint.
+
+    This is the step the reference's digest-level dedup never needs but a
+    near-dup pipeline always does: MinHash/SimHash/embedding LSH emit
+    PAIRS, and transitive closure turns pairs into clusters so exactly one
+    canonical document per cluster survives (the reference keeps min-id per
+    digest group, `backend/app/services/wayback_machine.py` digest collapse;
+    this generalizes that tie-break to transitive similarity groups).
+
+    Scale design: label propagation converges in O(component diameter)
+    rounds, and near-dup graphs are clique-dense (band-bucket pairs), so
+    2-4 rounds dominate in practice. Each round is one shuffle (join on
+    edge endpoint) + one hash agg (min per node); labels only decrease, so
+    the fixpoint test ``changed == 0`` is a driver scalar, not row data.
+    ``localCheckpoint`` truncates the iterative lineage each round (same
+    discipline as ``operators/graph.py`` PageRank). For adversarial
+    long-path graphs the O(log n) large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce") is the drop-in
+    upgrade; diameter-bounded propagation is the right trade for dedup
+    workloads.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = (edges.unionByName(edges.select(F.col("dst").alias("src"),
+                                          F.col("src").alias("dst")))
+           .distinct().cache())
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("cluster_id", F.col("node")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr_min = (sym.join(labels.select(F.col("node").alias("dst"),
+                                          F.col("cluster_id")
+                                          .alias("dst_label")), "dst")
+                   .groupBy("src").agg(F.min("dst_label").alias("nbr_min")))
+        new_labels = (labels.join(nbr_min.withColumnRenamed("src", "node"),
+                                  "node", "left")
+                      .select("node",
+                              F.least(F.col("cluster_id"),
+                                      F.coalesce(F.col("nbr_min"),
+                                                 F.col("cluster_id")))
+                              .alias("cluster_id")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())  # driver scalar (convergence test), not row data
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame, a_col: str = "a",
+                   b_col: str = "b") -> DataFrame:
+    """Resolve near-dup candidate pairs into canonical clusters:
+    ``(doc_id, cluster_id, cluster_size, is_canonical)`` where cluster_id
+    is the component-minimum doc id (the survivor). Cluster-size window
+    partitions by cluster_id — components are small by construction, so
+    no single window partition can grow pathological."""
+    from pyspark.sql.window import Window
+
+    comp = connected_components(pairs, a_col, b_col)
+    w = Window.partitionBy("cluster_id")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"))

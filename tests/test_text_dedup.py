@@ -134,3 +134,31 @@ def test_simhash_portable_matches_semantics(spark, docs):
              .collect()}
     assert pairs[(0, 1)] == 0
     assert (0, 4) not in pairs and (0, 5) not in pairs
+
+
+def test_connected_components_transitive_closure(spark):
+    """Chain a-b-c plus a separate pair and an isolated self-pair: labels
+    must propagate transitively (c joins a's cluster without a direct
+    a-c edge) and converge to the component minimum."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # path: min label needs 3 hops
+         (10, 11),
+         (20, 21), (21, 22), (20, 22)],   # triangle
+        "a long, b long")
+    out = {r["node"]: r["cluster_id"]
+           for r in TD.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_canonical_per_cluster(spark, docs):
+    pairs = TD.minhash_near_duplicates(docs, threshold=0.5, n_hashes=12,
+                                       bands=6)
+    out = TD.dedup_clusters(pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # 0,1,2,3 are mutual near-dups -> one cluster rooted at 0
+    assert {i for i in by_id} == {0, 1, 2, 3}
+    assert all(by_id[i]["cluster_id"] == 0 for i in by_id)
+    assert by_id[0]["is_canonical"]
+    assert sum(r["is_canonical"] for r in out) == 1
+    assert all(r["cluster_size"] == 4 for r in out)
