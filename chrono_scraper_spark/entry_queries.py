@@ -1739,8 +1739,8 @@ def q_unigram_logprob(spark, sf_dir):
     return Q.unigram_logprob(test, model=model)
 
 
-SQL_UNIGRAM_LOGPROB = f"""
-WITH tr AS (
+# CTE chain shared with the lm_buckets oracle below
+_SQL_UNIGRAM_CTES = f"""tr AS (
   SELECT unnest({OG.tokens_sql('text')}) AS tok
   FROM documents WHERE doc_id % 2 = 0
 ),
@@ -1756,13 +1756,53 @@ s AS (
                      / (tot.total + tot.vocab)) * 1e9) AS BIGINT)
       AS logp_nano
   FROM te LEFT JOIN model m USING (tok), tot
+),
+lm_scored AS (
+  SELECT doc_id,
+    round(CAST(sum(logp_nano) AS DOUBLE) / count(*) / 1e9, 6)
+      AS mean_logprob,
+    count(*) AS n_tokens,
+    CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM s GROUP BY doc_id
+)"""
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH {_SQL_UNIGRAM_CTES}
+SELECT doc_id, mean_logprob, n_tokens, n_oov FROM lm_scored"""
+
+
+def q_lm_buckets(spark, sf_dir):
+    """CCNet head/middle/tail per-language bucketing over the unigram-LM
+    scores: exact per-lang tercile thresholds from one percentile agg
+    (broadcast back; no per-language sort — see quality.lm_buckets)."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    model = (train.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+             .groupBy("tok").agg(F.count("*").alias("cnt")))
+    scored = (Q.unigram_logprob(test.select("doc_id", "text"), model=model)
+              .join(d.select("doc_id", "lang"), "doc_id")
+              .select("doc_id", "lang", "mean_logprob"))
+    return Q.lm_buckets(scored)
+
+
+SQL_LM_BUCKETS = f"""
+WITH {_SQL_UNIGRAM_CTES},
+sl AS (
+  SELECT lm_scored.doc_id, d.lang, lm_scored.mean_logprob
+  FROM lm_scored JOIN documents d USING (doc_id)
+),
+th AS (
+  SELECT lang, quantile_cont(mean_logprob, [1.0/3, 2.0/3]) AS t
+  FROM sl GROUP BY lang
 )
-SELECT doc_id,
-  round(CAST(sum(logp_nano) AS DOUBLE) / count(*) / 1e9, 6)
-    AS mean_logprob,
-  count(*) AS n_tokens,
-  CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
-FROM s GROUP BY doc_id"""
+SELECT sl.doc_id, sl.lang, sl.mean_logprob,
+  CASE WHEN mean_logprob >= t[2] THEN 'head'
+       WHEN mean_logprob >= t[1] THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM sl JOIN th USING (lang)"""
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -1990,6 +2030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "warc_identity": q_warc_identity,
     "dedup_clusters": q_dedup_clusters,
+    "lm_buckets": q_lm_buckets,
 }
 
 ORACLES: dict[str, str] = {
@@ -2052,4 +2093,5 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "warc_identity": SQL_WARC_IDENTITY,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "lm_buckets": SQL_LM_BUCKETS,
 }

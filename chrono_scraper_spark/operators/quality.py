@@ -356,3 +356,33 @@ def stratified_sample(df: DataFrame, strata_col: str, cap: int,
     return (work.withColumn("sample_rank", F.row_number().over(w))
             .filter(F.col("sample_rank") <= cap)
             .drop("_h"))
+
+
+def lm_buckets(scored: DataFrame, strata_col: str = "lang",
+               score_col: str = "mean_logprob",
+               id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
+    within each language, the most-LM-fluent third of documents is
+    ``head``, the middle third ``middle``, the rest ``tail`` — the
+    standard quality stratification before mixing training data.
+
+    Deliberately NOT ``ntile(3)``: a rank window partitioned by language
+    sorts each language's entire corpus in one task (a mega-partition at
+    100 TB — English alone would be ~half the data). Instead the exact
+    per-language tercile thresholds come from one ``percentile`` hash
+    aggregation (map-side partials, rows ∝ languages), are broadcast back,
+    and assignment is a per-row comparison — zero global sorts, one
+    shuffle on the language key at language cardinality. Boundary ties all
+    land in the higher bucket (``>=``), so assignment is deterministic
+    without a tie-break column.
+    """
+    thresholds = scored.groupBy(strata_col).agg(
+        F.expr(f"percentile({score_col}, array(1.0D/3.0D, 2.0D/3.0D))")
+        .alias("_t"))
+    return (scored.join(F.broadcast(thresholds), strata_col)
+            .select(id_col, strata_col, score_col,
+                    F.when(F.col(score_col) >= F.element_at("_t", 2),
+                           "head")
+                    .when(F.col(score_col) >= F.element_at("_t", 1),
+                          "middle")
+                    .otherwise("tail").alias("bucket")))

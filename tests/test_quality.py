@@ -236,3 +236,21 @@ def test_unigram_model_is_broadcast(spark):
     plan = (Q.unigram_logprob(docs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+def test_lm_buckets_terciles_per_lang(spark):
+    """6 docs in one lang split 2/2/2 by score (ties to higher bucket);
+    a second lang gets its own thresholds; no per-language sort window."""
+    rows = ([(i, "en", float(-i)) for i in range(1, 7)]       # -1..-6
+            + [(10, "fr", -0.5), (11, "fr", -5.0), (12, "fr", -9.0)])
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, mean_logprob double")
+    out = {r["doc_id"]: r["bucket"] for r in Q.lm_buckets(scored).collect()}
+    # en thresholds: percentile 1/3 -> -4.333.., 2/3 -> -2.666..
+    assert out[1] == "head" and out[2] == "head"
+    assert out[3] == "middle" and out[4] == "middle"
+    assert out[5] == "tail" and out[6] == "tail"
+    assert out[10] == "head" and out[11] == "middle" and out[12] == "tail"
+    plan = (Q.lm_buckets(scored)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "Window" not in plan
