@@ -709,6 +709,18 @@ SELECT doc_id, cluster_id,
 FROM comp"""
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same transitive-closure contract as ``dedup_clusters`` but resolved
+    with the O(log n)-round large-star/small-star contraction (Kiveris et
+    al. 2014, text_dedup._cc_star) instead of min-label propagation —
+    the adversarial-graph path for long-chain components. Shares
+    SQL_DEDUP_CLUSTERS: both algorithms must produce identical clusters."""
+    docs = _docs_with_clones(spark, sf_dir)
+    pairs = TD.minhash_near_duplicates(docs, n_hashes=12, bands=6,
+                                       threshold=0.5)
+    return TD.dedup_clusters(pairs, algo="star")
+
+
 # --------------------------------------------------------------------------
 # full-text search over documents
 # --------------------------------------------------------------------------
@@ -745,45 +757,12 @@ FROM tf JOIN q ON tf.term = q.term
 GROUP BY doc_id"""
 
 
-def q_fulltext_positional(spark, sf_dir):
-    """Position/attribute ranking rule (Meilisearch ``attribute``,
-    meilisearch_service.py:454-470): the index stores each term's first
-    token position; the query emits per-document best (earliest) matching
-    position alongside the match stats — a value check of the whole
-    positional-index path."""
-    d = _t(spark, sf_dir, "documents")
-    pi = d.select(F.col("doc_id").cast("string").alias("url_canon"),
-                  F.lit("0").alias("ts14"), F.lit("").alias("title"),
-                  F.col("text").alias("content"))
-    inv = build_inverted_terms(pi, positions=True)
-    qdf = spark.createDataFrame([(t,) for t in _FTS_QUERY], "term string")
-    hits = inv.join(F.broadcast(qdf), "term")
-    return (hits.groupBy("url_canon")
-            .agg(F.countDistinct("term").alias("matched_terms"),
-                 F.sum("tf").alias("tf_sum"),
-                 F.min("first_pos").alias("best_pos"))
-            .select(F.col("url_canon").cast("long").alias("doc_id"),
-                    "matched_terms", "tf_sum", "best_pos"))
-
-
-SQL_FULLTEXT_POSITIONAL = f"""
-WITH docs AS (
-  SELECT doc_id, {OG.tokens_sql('text')} AS toks FROM documents
-),
-toks AS (
-  SELECT doc_id, unnest(toks) AS term,
-         generate_subscripts(toks, 1) - 1 AS pos
-  FROM docs
-),
-tf AS (
-  SELECT doc_id, term, count(*) AS tf, CAST(min(pos) AS INT) AS first_pos
-  FROM toks GROUP BY 1, 2
-),
-q AS (SELECT unnest(['{"','".join(_FTS_QUERY)}']) AS term)
-SELECT doc_id, count(DISTINCT tf.term) AS matched_terms,
-  CAST(sum(tf) AS BIGINT) AS tf_sum, min(first_pos) AS best_pos
-FROM tf JOIN q ON tf.term = q.term
-GROUP BY doc_id"""
+# (fulltext_positional was retired from the contract in round 4: its
+# first-position/attribute semantics are value-checked inside
+# fulltext_ranked's best_pos column, and the operator itself —
+# search_positional — remains unit-tested in tests/test_index.py. The
+# contract keeps one entry per distinct operator family so every family
+# fits the driver's 50-row correctness window.)
 
 
 # --------------------------------------------------------------------------
@@ -984,6 +963,147 @@ SELECT doc_id,
                    THEN '<em>' || x || '</em>' ELSE x END), ' ')
   || (CASE WHEN s + 10 < len(ws) THEN '…' ELSE '' END) AS snippet
 FROM crop"""
+
+
+# --------------------------------------------------------------------------
+# unified ranked search — the FULL Meilisearch rule chain in order
+# --------------------------------------------------------------------------
+
+#: query: two exact-matchable terms + one typo ("windw" never occurs in the
+#: corpus; its only edit-1 vocabulary neighbor is "window")
+_RANKED_QUERY = "data query windw"
+#: planted docs (doc_id, text, quality) engineered so EVERY ranking rule
+#: decides at least one ADJACENT pair in the final order (no real doc can
+#: interleave: only planted docs contain literal "windw", so only they
+#: reach typo_cost=0 with all 3 terms matched):
+#:   rank block (words=3, typo=0): P3 > P2 (quality), P2 > P1 (word_count),
+#:   P1 > P7 (exactness), P7 > P6 (attribute/best_pos), P6 > P5
+#:   (proximity); P5 > first typo_cost=1 doc (typo); the words rule decides
+#:   the matched=3 → matched=2 boundary in the real corpus.
+_RANKED_PLANTED = [
+    (10000001, "data query windw", 9),
+    (10000002, "data query windw extra", 9),
+    (10000003, "data query windw", 10),
+    (10000004, "data query window", 9),
+    (10000005, "data pad query pad windw", 9),
+    (10000006, "pad data query windw", 9),
+    (10000007, "data windw query", 9),
+]
+
+
+def q_fulltext_ranked(spark, sf_dir):
+    """ONE unified search applying the reference's full Meilisearch rule
+    chain in configured order (shared_pages_meilisearch.py:167-176):
+    words → typo → proximity → attribute → sort(no-op) → exactness →
+    quality_score:desc → word_count:desc (operators/index.py::
+    search_ranked / ranked_match_set). The emitted ``rank`` column freezes
+    the total order, so the value hash verifies the CHAIN, not just the
+    per-rule scores. Planted docs guarantee every rule decides an adjacent
+    pair (see _RANKED_PLANTED)."""
+    from chrono_scraper_spark.operators.index import ranked_match_set
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        ((F.col("doc_id") * 7) % 5).cast("int").alias("quality"))
+    planted = spark.createDataFrame(
+        _RANKED_PLANTED, "doc_id long, text string, quality int")
+    docs = d.unionByName(planted)
+    pi = docs.select(
+        F.col("doc_id").cast("string").alias("url_canon"),
+        F.lit("0").alias("ts14"), F.lit("").alias("title"),
+        F.col("text").alias("content"),
+        F.col("quality").alias("quality_score"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("word_count"))
+    inv = build_inverted_terms(pi, positions=True)
+    scored = ranked_match_set(pi, inv, _RANKED_QUERY, max_edit=1)
+    out = scored.join(pi.select("url_canon", "ts14", "quality_score",
+                                "word_count"), ["url_canon", "ts14"])
+    w = Window.orderBy(
+        F.desc("matched_terms"), F.asc("typo_cost"),
+        F.asc_nulls_last("proximity"), F.asc_nulls_last("best_pos"),
+        F.desc("exact_phrase"), F.desc("quality_score"),
+        F.desc("word_count"), F.asc(F.col("url_canon").cast("long")))
+    return out.select(
+        F.col("url_canon").cast("long").alias("doc_id"),
+        F.row_number().over(w).cast("long").alias("rank"),
+        "matched_terms", "typo_cost", "proximity", "best_pos",
+        "exact_phrase", "quality_score", "word_count")
+
+
+_RANKED_VALUES = ", ".join(f"({i}, '{t}', {q})"
+                           for i, t, q in _RANKED_PLANTED)
+
+SQL_FULLTEXT_RANKED = f"""
+WITH base AS (
+  SELECT doc_id, text, CAST((doc_id * 7) % 5 AS INT) AS quality
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS BIGINT), text, CAST(quality AS INT)
+  FROM (VALUES {_RANKED_VALUES}) v(doc_id, text, quality)
+),
+docs AS (
+  SELECT doc_id, quality, {OG.tokens_sql('text')} AS toks FROM base
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM docs
+),
+vocab AS (SELECT DISTINCT term FROM toks),
+q AS (SELECT unnest(['data', 'query', 'windw']) AS query_term),
+expanded AS (
+  SELECT v.term, q.query_term,
+         levenshtein(v.term, q.query_term) AS edit_dist
+  FROM vocab v JOIN q
+    ON abs(length(v.term) - length(q.query_term)) <= 1
+   AND levenshtein(v.term, q.query_term) <= 1
+),
+hits AS (
+  SELECT t.doc_id, e.query_term, e.edit_dist, t.pos
+  FROM toks t JOIN expanded e ON t.term = e.term
+),
+per_qt AS (
+  SELECT doc_id, query_term, min(edit_dist) AS ed, min(pos) AS first_pos
+  FROM hits GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+         CAST(sum(ed) AS BIGINT) AS typo_cost,
+         CAST(min(first_pos) AS INT) AS best_pos
+  FROM per_qt GROUP BY 1
+),
+prox AS (
+  SELECT a.doc_id, CAST(min(abs(a.pos - b.pos)) AS INT) AS proximity
+  FROM hits a JOIN hits b
+    ON a.doc_id = b.doc_id AND a.query_term <> b.query_term
+  GROUP BY 1
+),
+phrase AS (
+  SELECT DISTINCT t0.doc_id FROM toks t0
+  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+              AND t1.term = 'query'
+  JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+              AND t2.term = 'windw'
+  WHERE t0.term = 'data'
+),
+wc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS word_count, quality
+       FROM docs),
+scored AS (
+  SELECT agg.doc_id, agg.matched_terms, agg.typo_cost, p.proximity,
+         agg.best_pos, (ph.doc_id IS NOT NULL) AS exact_phrase,
+         wc.quality AS quality_score, wc.word_count
+  FROM agg
+  LEFT JOIN prox p ON agg.doc_id = p.doc_id
+  LEFT JOIN phrase ph ON agg.doc_id = ph.doc_id
+  JOIN wc ON wc.doc_id = agg.doc_id
+)
+SELECT doc_id,
+  CAST(row_number() OVER (ORDER BY matched_terms DESC, typo_cost ASC,
+       proximity ASC NULLS LAST, best_pos ASC, exact_phrase DESC,
+       quality_score DESC, word_count DESC, doc_id ASC) AS BIGINT) AS rank,
+  matched_terms, typo_cost, proximity, best_pos, exact_phrase,
+  quality_score, word_count
+FROM scored"""
 
 
 def q_pagination(spark, sf_dir):
@@ -1582,18 +1702,49 @@ base AS (
     list_filter(string_split(t, chr(10)), l -> trim(l) != '') AS lines
   FROM toks
 ),
-g2 AS (SELECT doc_id, unnest({OG.kgrams_sql('tk', 2)}) AS gram FROM toks),
-top2 AS (
-  SELECT doc_id, max(cnt * length(gram)) AS topchars
-  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram)
-  GROUP BY doc_id
+tl AS (  -- per-word character lengths by 1-based position
+  SELECT doc_id, length(unnest(tk)) AS wlen, generate_subscripts(tk, 1) AS p
+  FROM toks
 ),
-g5 AS (SELECT doc_id, unnest({OG.kgrams_sql('tk', 5)}) AS gram FROM toks),
+g2 AS (SELECT doc_id, unnest({OG.kgrams_sql('tk', 2)}) AS gram,
+              generate_subscripts({OG.kgrams_sql('tk', 2)}, 1) AS s
+       FROM toks),
+top2sel AS (  -- most frequent 2-gram; count tie -> lexicographically least
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, gram, row_number() OVER (
+      PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+    FROM g2 GROUP BY doc_id, gram)
+  WHERE rn = 1
+),
+cov2 AS (  -- word positions covered by ANY occurrence of the top gram
+  SELECT DISTINCT o.doc_id, o.s + d.d AS p
+  FROM g2 o
+  JOIN top2sel t ON o.doc_id = t.doc_id AND o.gram = t.gram
+  CROSS JOIN (SELECT unnest([0, 1]) AS d) d
+),
+top2 AS (
+  SELECT c.doc_id, sum(tl.wlen) AS topchars
+  FROM cov2 c JOIN tl ON tl.doc_id = c.doc_id AND tl.p = c.p
+  GROUP BY c.doc_id
+),
+g5 AS (SELECT doc_id, unnest({OG.kgrams_sql('tk', 5)}) AS gram,
+              generate_subscripts({OG.kgrams_sql('tk', 5)}, 1) AS s
+       FROM toks),
+d5occ AS (  -- non-FIRST occurrences of every duplicated 5-gram
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, row_number() OVER (
+      PARTITION BY doc_id, gram ORDER BY s) AS rn
+    FROM g5)
+  WHERE rn > 1
+),
+cov5 AS (
+  SELECT DISTINCT o.doc_id, o.s + d.d AS p
+  FROM d5occ o CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS d) d
+),
 dup5 AS (
-  SELECT doc_id, sum(cnt * length(gram)) AS dupchars
-  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY doc_id, gram
-        HAVING count(*) > 1)
-  GROUP BY doc_id
+  SELECT c.doc_id, sum(tl.wlen) AS dupchars
+  FROM cov5 c JOIN tl ON tl.doc_id = c.doc_id AND tl.p = c.p
+  GROUP BY c.doc_id
 ),
 sig AS (
   SELECT b.doc_id,
@@ -1611,8 +1762,10 @@ sig AS (
           / greatest(len(b.lines), 1), 6) AS ellipsis_line_frac,
     round((len(b.lines) - len(list_distinct(b.lines)))
           / greatest(len(b.lines), 1), 6) AS dup_line_frac,
-    round(coalesce(t2.topchars, 0) / b.n_chars, 6) AS top2gram_char_frac,
-    round(coalesce(d5.dupchars, 0) / b.n_chars, 6) AS dup5gram_char_frac
+    round(coalesce(t2.topchars, 0) / greatest(b.chars_nospace, 1), 6)
+      AS top2gram_char_frac,
+    round(coalesce(d5.dupchars, 0) / greatest(b.chars_nospace, 1), 6)
+      AS dup5gram_char_frac
   FROM base b
   LEFT JOIN top2 t2 USING (doc_id)
   LEFT JOIN dup5 d5 USING (doc_id)
@@ -1876,7 +2029,7 @@ edges0 AS (
          ELSE 'site' || CAST(k % 40 AS VARCHAR) || '.com' END AS dst
   FROM ek),
 edges AS (SELECT src, dst FROM edges0 WHERE src <> dst),
-hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+hosts AS (SELECT src AS host FROM edges0 UNION SELECT dst FROM edges0),
 outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT host,
   CAST((SELECT 1000000000000 // count(*) FROM hosts) AS BIGINT) AS rank_nano
@@ -1970,15 +2123,32 @@ SELECT url, ts14, mime, status, md5(text) AS payload_md5 FROM pages_cdx"""
 # registry
 # --------------------------------------------------------------------------
 
+# Contract registry. ORDER MATTERS: the driver's correctness gate
+# snapshots the FIRST 50 entries, so the first 50 are one entry per
+# DISTINCT operator family (ops that had no driver-green row through r3
+# lead), and redundant variants of already-covered families — same oracle
+# or strictly-subsumed result — sit after the window. Every entry, either
+# side of the window, still runs through scripts/check_oracles.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- never driver-checked through r03: first in the window ---
+    "gopher_quality": q_gopher_quality,
+    "decontaminate": q_decontaminate,
+    "stratified_sample": q_stratified_sample,
+    "boilerplate_strip": q_boilerplate_strip,
+    "unigram_logprob": q_unigram_logprob,
+    "host_authority": q_host_authority,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "warc_identity": q_warc_identity,
+    "dedup_clusters": q_dedup_clusters,
+    "lm_buckets": q_lm_buckets,
+    # --- new in round 4 ---
+    "fulltext_ranked": q_fulltext_ranked,
+    # --- one entry per remaining operator family ---
     "filter_decisions": q_filter_decisions,
     "filter_stats": q_filter_stats,
     "collapse_digest": q_collapse_digest,
-    "seen_antijoin": q_seen_antijoin,
-    "seen_antijoin_bloom": q_seen_antijoin_bloom,
     "seen_antijoin_bloom_bucketed": q_seen_antijoin_bloom_bucketed,
     "registry_categorize": q_registry_categorize,
-    "politeness_schedule": q_politeness_schedule,
     "politeness_schedule_pruned": q_politeness_schedule_pruned,
     "crawl_order": q_crawl_order,
     "url_parts": q_url_parts,
@@ -1994,43 +2164,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling": q_events_tumbling,
     "doc_stats": q_doc_stats,
     "langid": q_langid,
-    "minhash_signatures": q_minhash_signatures,
     "exact_dups": q_exact_dups,
-    "ngram_jaccard_planted": q_ngram_jaccard_planted,
     "minhash_pairs": q_minhash_pairs,
-    "fulltext_match": q_fulltext_match,
-    "fulltext_positional": q_fulltext_positional,
     "facet_counts": q_facet_counts,
-    "fulltext_typo": q_fulltext_typo,
     "fulltext_proximity": q_fulltext_proximity,
     "search_highlight": q_search_highlight,
     "pagination": q_pagination,
     "entity_extract": q_entity_extract,
     "extraction_stats": q_extraction_stats,
     "project_monthly": q_project_monthly,
-    "cdx_facets": q_cdx_facets,
-    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dups": q_embedding_near_dups,
     "lineitem_rollup": q_lineitem_rollup,
     "top_customers": q_top_customers,
     "simhash_pairs": q_simhash_pairs,
-    "ann_topk_lsh": q_ann_topk_lsh,
-    "ann_topk_ivf": q_ann_topk_ivf,
     "hybrid_source": q_hybrid_source,
     "extraction_identity": q_extraction_identity,
-    "pdf_extraction_identity": q_pdf_extraction_identity,
     "robots_rules": q_robots_rules,
     "multimodal_features": q_multimodal_features,
-    "gopher_quality": q_gopher_quality,
-    "decontaminate": q_decontaminate,
-    "stratified_sample": q_stratified_sample,
-    "boilerplate_strip": q_boilerplate_strip,
-    "unigram_logprob": q_unigram_logprob,
-    "host_authority": q_host_authority,
-    "winnow_fingerprint": q_winnow_fingerprint,
-    "warc_identity": q_warc_identity,
-    "dedup_clusters": q_dedup_clusters,
-    "lm_buckets": q_lm_buckets,
+    # ---- entry #50 is multimodal_features; variants below are OUTSIDE
+    # the driver's correctness window (families already covered above;
+    # all were driver-green in r01-r03 and stay in check_oracles.py) ----
+    "seen_antijoin": q_seen_antijoin,            # plain-join variant of D4
+    "seen_antijoin_bloom": q_seen_antijoin_bloom,  # driver-bitmap variant
+    "politeness_schedule": q_politeness_schedule,  # unpruned variant of P4
+    "minhash_signatures": q_minhash_signatures,  # minhash_pairs stage 1
+    "ngram_jaccard_planted": q_ngram_jaccard_planted,  # exact-Jaccard base
+    "fulltext_match": q_fulltext_match,          # words rule (in ranked)
+    "fulltext_typo": q_fulltext_typo,            # typo rule (in ranked)
+    "cdx_facets": q_cdx_facets,                  # facet family, cdx table
+    "ann_topk": q_ann_topk,                      # brute-force ANN baseline
+    "pdf_extraction_identity": q_pdf_extraction_identity,  # E5 PDF branch
+    "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
 }
 
 ORACLES: dict[str, str] = {
@@ -2062,7 +2228,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "fulltext_match": SQL_FULLTEXT_MATCH,
-    "fulltext_positional": SQL_FULLTEXT_POSITIONAL,
+    "fulltext_ranked": SQL_FULLTEXT_RANKED,
     "facet_counts": SQL_FACET_COUNTS,
     "fulltext_typo": SQL_FULLTEXT_TYPO,
     "fulltext_proximity": SQL_FULLTEXT_PROXIMITY,
@@ -2093,5 +2259,6 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "warc_identity": SQL_WARC_IDENTITY,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_clusters_star": SQL_DEDUP_CLUSTERS,
     "lm_buckets": SQL_LM_BUCKETS,
 }

@@ -44,17 +44,20 @@ def host_authority(edges: DataFrame, iters: int = 5, damping_pct: int = 85,
     """
     # cache edges: hosts/outdeg derivation and every iteration's join re-read
     # it; without this the upstream edge derivation (e.g. a pages scan)
-    # recomputes iters+2 times.
-    edges = (edges.select("src", "dst")
-             .filter(F.col("src") != F.col("dst")).cache())
-    hosts = (edges.select(F.col("src").alias("host"))
-             .union(edges.select(F.col("dst").alias("host")))
+    # recomputes iters+2 times. Hosts come from the UNFILTERED edge list so
+    # a host that appears only in self-loops still receives the base rank
+    # (self-loops contribute no authority, but the host exists); only the
+    # contribution edges drop self-loops.
+    raw = edges.select("src", "dst").cache()
+    hosts = (raw.select(F.col("src").alias("host"))
+             .union(raw.select(F.col("dst").alias("host")))
              .distinct())
     n = hosts.count()  # driver scalar (graph cardinality), not row data
     if n == 0:
-        # empty (or all-self-loop) edge list: empty result, not ÷0
-        edges.unpersist()
+        # genuinely empty edge list: empty result, not ÷0
+        raw.unpersist()
         return hosts.withColumn("rank_nano", F.lit(0).cast("long"))
+    edges = raw.filter(F.col("src") != F.col("dst")).cache()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
     base = (SCALE * (100 - damping_pct)) // (100 * n)
 
@@ -83,6 +86,7 @@ def host_authority(edges: DataFrame, iters: int = 5, damping_pct: int = 85,
         prev = r
     # final r is materialized (cache+count above), so the inputs can go
     edges.unpersist()
+    raw.unpersist()
     outdeg.unpersist()
     hosts.unpersist()
     return r

@@ -357,6 +357,123 @@ def expand_terms_typo(inverted_terms: DataFrame, terms: list[str],
         F.levenshtein("term", "query_term").alias("edit_dist"))
 
 
+def ranked_match_set(page_index: DataFrame, inverted_terms: DataFrame,
+                     query: str, max_edit: int = 1) -> DataFrame:
+    """Per-document scores for EVERY Meilisearch ranking rule, unified
+    (shared_pages_meilisearch.py:167-176 — the reference configures ONE
+    ordered chain ``words, typo, proximity, attribute, sort, exactness,
+    quality_score:desc, word_count:desc``; this computes all of its
+    criteria in one pass instead of the per-rule variants above).
+
+    Requires an index built with ``positions=True``. Two shuffles total:
+    the (doc, query_term) aggregation and the doc aggregation — the typo
+    expansion and the query-term join stay broadcast, so the inverted
+    index never re-shuffles per rule.
+
+    Output per matched page: ``matched_terms`` (words rule — #query terms
+    matched within ``max_edit``), ``typo_cost`` (typo — Σ per-term best
+    edit distance), ``proximity`` (min token distance between occurrences
+    of two different query terms; null if <2 matched), ``best_pos``
+    (attribute/position — earliest matching token, title tokens first),
+    ``exact_phrase`` (exactness — the query's tokens occur consecutively
+    in order, exact matches only), plus ``tf_sum``.
+    """
+    terms = tokenize_query(query)
+    spark = page_index.sparkSession
+    if not terms:
+        return page_index.limit(0).withColumns(
+            {"matched_terms": F.lit(0).cast("long"),
+             "typo_cost": F.lit(0).cast("long"),
+             "tf_sum": F.lit(0).cast("long"),
+             "proximity": F.lit(None).cast("int"),
+             "best_pos": F.lit(None).cast("int"),
+             "exact_phrase": F.lit(False)})
+    uniq = list(dict.fromkeys(terms))
+    expanded = expand_terms_typo(inverted_terms, uniq, max_edit)
+    hits = inverted_terms.join(F.broadcast(expanded), "term", "inner")
+    # per (doc, query term): best edit distance, merged occurrence
+    # positions (all matches feed proximity; exact-only feed the phrase)
+    per_qt = hits.groupBy("url_canon", "ts14", "query_term").agg(
+        F.min("edit_dist").alias("ed"),
+        F.sum("tf").alias("tf"),
+        F.min("first_pos").alias("first_pos"),
+        F.array_sort(F.flatten(F.collect_list("pos_arr"))).alias("pos_all"),
+        F.array_sort(F.flatten(F.collect_list(
+            F.when(F.col("edit_dist") == 0, F.col("pos_arr")))))
+        .alias("pos_exact"),
+    )
+    scored = per_qt.groupBy("url_canon", "ts14").agg(
+        F.count(F.lit(1)).alias("matched_terms"),
+        F.sum("ed").cast("long").alias("typo_cost"),
+        F.sum("tf").alias("tf_sum"),
+        min_pair_distance(F.collect_list(F.struct(
+            F.col("query_term").alias("term"),
+            F.col("pos_all").alias("pos_arr")))).alias("proximity"),
+        F.min("first_pos").cast("int").alias("best_pos"),
+        F.map_from_entries(
+            F.collect_list(F.struct("query_term", "pos_exact")))
+        .alias("_mpos"),
+    )
+    # exactness: ∃ p — exact positions of term_i contain p+i for all i
+    # (the ORDERED query tokens occur consecutively); k literal lookups,
+    # no join
+    mpos = F.col("_mpos")
+    pos0 = F.coalesce(mpos[F.lit(terms[0])], F.array().cast("array<int>"))
+
+    def _phrase_at(p):
+        conds = [
+            F.array_contains(
+                F.coalesce(mpos[F.lit(t)], F.array().cast("array<int>")),
+                p + F.lit(i))
+            for i, t in enumerate(terms[1:], start=1)
+        ]
+        out = F.lit(True)
+        for c in conds:
+            out = out & c
+        return out
+
+    return (scored
+            .withColumn("exact_phrase", F.exists(pos0, _phrase_at))
+            .drop("_mpos"))
+
+
+#: the reference's configured ranking chain, in order
+#: (shared_pages_meilisearch.py:167-176). ``sort`` is the query-time
+#: user-sort slot — empty unless the caller passes ``sort_by``.
+RANKING_RULES = ("words", "typo", "proximity", "attribute", "sort",
+                 "exactness", "quality_score:desc", "word_count:desc")
+
+
+def search_ranked(page_index: DataFrame, inverted_terms: DataFrame,
+                  query: str, limit: int = 20, max_edit: int = 1,
+                  sort_by: list[Column] | None = None) -> DataFrame:
+    """Unified ranked search applying the reference's FULL Meilisearch
+    rule chain in configured order (``RANKING_RULES``,
+    shared_pages_meilisearch.py:167-176):
+
+    1. words      — matched query terms desc
+    2. typo       — total best-match edit distance asc
+    3. proximity  — min pairwise token distance asc (nulls last)
+    4. attribute  — earliest matching position asc (title before content)
+    5. sort       — caller's ``sort_by`` columns (empty by default)
+    6. exactness  — exact consecutive phrase match desc
+    7. quality_score desc, 8. word_count desc  (custom rules)
+
+    with a deterministic final (url_canon, ts14) tie-break. This is the
+    one-stop search a reference user gets from ``search_shared_pages`` —
+    the per-rule variants above remain as focused building blocks."""
+    scored = ranked_match_set(page_index, inverted_terms, query, max_edit)
+    if not tokenize_query(query):
+        return scored.limit(0)
+    out = scored.join(page_index, ["url_canon", "ts14"], "inner")
+    order = [F.desc("matched_terms"), F.asc("typo_cost"),
+             F.asc_nulls_last("proximity"), F.asc_nulls_last("best_pos")]
+    order += list(sort_by or [])
+    order += [F.desc("exact_phrase"), F.desc("quality_score"),
+              F.desc("word_count"), F.asc("url_canon"), F.asc("ts14")]
+    return out.orderBy(*order).limit(limit)
+
+
 def search_typo(page_index: DataFrame, inverted_terms: DataFrame, query: str,
                 limit: int = 20, max_edit: int = 1) -> DataFrame:
     """Typo-tolerant ranked search: query terms expand to edit-distance ≤

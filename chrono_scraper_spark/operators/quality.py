@@ -14,17 +14,23 @@ the corpus-curation ops an LLM training-data pipeline runs at 100 TB:
   array — O(w log w) per doc, not the naive O(w²) distinct×count scan — so a
   pathological 100 KB doc costs ~20k·log ops, not 4×10⁸.
 
-  **Gram-fraction convention (deviates from the §A1.1 canon, by design):**
-  both char fractions count EVERY occurrence of a gram (including the
-  first) as occurrences × gram_length, and overlapping grams double-count
-  their shared characters — so a maximally repetitive doc can exceed 1.0.
-  Canonical implementations instead exclude each dup-gram's first
-  occurrence and mark character positions to avoid overlap double-counting;
-  that requires per-character state that has no portable SQL analog. The
-  engine, the DuckDB oracle, and the 0.15/0.20 thresholds are mutually
-  consistent under this convention — it over-filters highly repetitive docs
-  slightly relative to the paper, which is the conservative direction for
-  a training-data filter.
+  **Gram fractions use §A1.1 character-COVERAGE semantics** (since r4;
+  r1-r3 counted occurrences×length, which could exceed 1.0): a word
+  position is *covered* when any counted gram occurrence spans it, covered
+  characters are summed once however many grams overlap them, and the
+  denominator is the document's non-whitespace character count — so both
+  fractions are provably ≤ 1.0. ``top2gram_char_frac`` covers ALL
+  occurrences of the single most frequent 2-gram (count tie → the
+  lexicographically smallest gram, deterministic on both engines);
+  ``dup5gram_char_frac`` covers the non-FIRST occurrences of every
+  duplicated 5-gram (the canonical convention — the first occurrence is
+  legitimate content). Disclosed convention: coverage is measured in
+  word characters (inter-word whitespace is in neither numerator nor
+  denominator; the paper's raw-text spans differ by at most the counted
+  separators). The engine computes the union with a sorted
+  interval sweep (O(starts·k) per row, in codegen); the oracle computes
+  it relationally (occurrence positions × DISTINCT covered word index),
+  so agreement checks the semantics, not the code shape.
 * ``decontaminate`` — flags corpus docs sharing word k-grams with a
   benchmark/eval set. The benchmark gram set is tiny relative to the corpus
   (eval suites are MBs; the corpus is TBs), so the plan is explode →
@@ -77,38 +83,69 @@ def kgrams(toks: Column, k: int) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
-def _top_gram_chars(grams: Column) -> Column:
-    """max over distinct grams of (occurrences × gram length) — one sorted
-    pass with a struct accumulator (run-length encode), O(n log n)/row."""
+def _top_gram(grams: Column) -> Column:
+    """The most frequent gram (count ties → lexicographically smallest;
+    null for an empty gram array) — one sorted run-length pass,
+    O(n log n)/row. Strict ``run > best_run`` keeps the first (= smallest)
+    gram of a tied count, matching the oracle's ORDER BY cnt DESC, gram."""
     zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                    F.lit(0).alias("best"))
+                    F.lit(0).alias("best_run"),
+                    F.lit(None).cast("string").alias("best"))
 
     def step(acc, x):
         run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(x.alias("prev"), run.alias("run"),
-                        F.greatest(acc["best"],
-                                   run * F.length(x)).alias("best"))
+        hit = run > acc["best_run"]
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(hit, run).otherwise(acc["best_run"]).alias("best_run"),
+            F.when(hit, x).otherwise(acc["best"]).alias("best"))
 
     return F.aggregate(F.array_sort(grams), zero, step,
                        lambda acc: acc["best"])
 
 
-def _dup_gram_chars(grams: Column) -> Column:
-    """sum over grams occurring >1 time of (occurrences × gram length).
-    Sorted single pass: on the 2nd occurrence of a run add 2·len (the first
-    occurrence retroactively + this one), on later occurrences add len."""
-    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                    F.lit(0).alias("tot"))
+def _dup_starts(grams: Column) -> Column:
+    """Sorted 1-based start positions of every NON-FIRST occurrence of a
+    duplicated gram. Sort (gram, idx) structs once; an element whose
+    predecessor holds the same gram is a repeat occurrence. O(n log n)/row;
+    ``_let`` binds the sorted array so per-element ``element_at`` does not
+    re-sort (textops.winnow_fingerprints documents the inlining trap)."""
+    m = F.size(grams)
+    gidx = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.struct(F.element_at(grams, i).alias("g"), i.alias("i")))
 
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        tot = (F.when(run == 2, acc["tot"] + 2 * F.length(x))
-               .when(run > 2, acc["tot"] + F.length(x))
-               .otherwise(acc["tot"]))
-        return F.struct(x.alias("prev"), run.alias("run"), tot.alias("tot"))
+    def repeats(srt: Column) -> Column:
+        dup = F.transform(
+            F.sequence(F.lit(2), F.size(srt)),
+            lambda j: F.when(
+                F.element_at(srt, j)["g"] == F.element_at(srt, j - 1)["g"],
+                F.element_at(srt, j)["i"]))
+        return F.array_sort(F.filter(dup, lambda x: x.isNotNull()))
 
-    return F.aggregate(F.array_sort(grams), zero, step,
-                       lambda acc: acc["tot"])
+    return F.when(m >= 2, T._let(F.array_sort(gidx), repeats)) \
+        .otherwise(F.array().cast("array<int>"))
+
+
+def _covered_chars(toks: Column, starts: Column, k: int) -> Column:
+    """Characters of the words covered by the UNION of ``[s, s+k)`` word
+    windows (``starts`` ascending, 1-based) — each character counted once
+    however many windows overlap it. One sorted-interval sweep with a
+    (next-uncovered, total) accumulator; each step sums only its not-yet-
+    covered slice, so the row costs O(|starts|·k) length lookups."""
+    zero = F.struct(F.lit(1).alias("nxt"), F.lit(0).alias("tot"))
+
+    def step(acc, s):
+        a = F.greatest(s, acc["nxt"])
+        b = s + F.lit(k)
+        seg = F.when(
+            b > a,
+            F.aggregate(F.slice(toks, a, b - a), F.lit(0),
+                        lambda x, w: x + F.length(w))).otherwise(F.lit(0))
+        return F.struct(F.greatest(acc["nxt"], b).alias("nxt"),
+                        (acc["tot"] + seg).alias("tot"))
+
+    return F.aggregate(starts, zero, step, lambda acc: acc["tot"])
 
 
 def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -116,16 +153,22 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``passes_gopher`` verdict. Pure per-row projection — zero exchanges, the
     whole signal block is one WholeStageCodegen span."""
     t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = ws_tokens(t)
+    # gram arrays + the selected top gram are bound as REAL columns: each
+    # is referenced by several expressions below, and a column reference
+    # (unlike an inlined expression tree) is computed once per row
+    df = (df
+          .withColumn("_toks", ws_tokens(t))
+          .withColumn("_g2", kgrams(F.col("_toks"), 2))
+          .withColumn("_g5", kgrams(F.col("_toks"), 5))
+          .withColumn("_top2", _top_gram(F.col("_g2"))))
+    toks = F.col("_toks")
     n_words = F.size(toks)
     nw = F.greatest(n_words, F.lit(1))
-    n_chars = F.greatest(F.length(t), F.lit(1))
     chars_nospace = F.length(F.regexp_replace(t, r"\s", ""))
+    cns = F.greatest(chars_nospace, F.lit(1))
     lines = F.filter(F.split(t, r"\n"),
                      lambda line: F.trim(line) != F.lit(""))
     n_lines = F.greatest(F.size(lines), F.lit(1))
-    g2 = kgrams(toks, 2)
-    g5 = kgrams(toks, 5)
 
     mean_word_len = F.round(chars_nospace / nw, 6)
     alpha_word_frac = F.round(
@@ -142,8 +185,17 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         / n_lines, 6)
     dup_line_frac = F.round(
         (F.size(lines) - F.size(F.array_distinct(lines))) / n_lines, 6)
-    top2 = F.round(_top_gram_chars(g2) / n_chars, 6)
-    dup5 = F.round(_dup_gram_chars(g5) / n_chars, 6)
+    # §A1.1 coverage fractions (≤ 1.0 by construction — see module doc):
+    # top-2-gram covers ALL of the top gram's occurrences; dup-5-gram
+    # covers non-first occurrences of every duplicated gram
+    top2_starts = F.when(
+        F.col("_top2").isNotNull(),
+        F.filter(F.sequence(F.lit(1), F.size(F.col("_g2"))),
+                 lambda i: F.element_at(F.col("_g2"), i) == F.col("_top2"))
+    ).otherwise(F.array().cast("array<int>"))
+    top2 = F.round(_covered_chars(toks, top2_starts, 2) / cns, 6)
+    dup5 = F.round(
+        _covered_chars(toks, _dup_starts(F.col("_g5")), 5) / cns, 6)
 
     out = (df
            .withColumn("n_words", n_words.cast("long"))
@@ -155,7 +207,8 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
            .withColumn("ellipsis_line_frac", ellipsis_line_frac)
            .withColumn("dup_line_frac", dup_line_frac)
            .withColumn("top2gram_char_frac", top2)
-           .withColumn("dup5gram_char_frac", dup5))
+           .withColumn("dup5gram_char_frac", dup5)
+           .drop("_toks", "_g2", "_g5", "_top2"))
     passes = (
         (F.col("n_words") >= GOPHER_MIN_WORDS)
         & (F.col("n_words") <= GOPHER_MAX_WORDS)

@@ -338,7 +338,9 @@ def embedding_near_duplicates(
 
 def connected_components(pairs: DataFrame, a_col: str = "a",
                          b_col: str = "b",
-                         max_iters: int = 25) -> DataFrame:
+                         max_iters: int = 25,
+                         algo: str = "label",
+                         strict: bool = True) -> DataFrame:
     """Connected components over an undirected edge list via min-label
     propagation: every node starts labeled with its own id; each round a
     node takes ``min(own label, labels of neighbors)``; fixpoint = the
@@ -358,11 +360,23 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     the fixpoint test ``changed == 0`` is a driver scalar, not row data.
     ``localCheckpoint`` truncates the iterative lineage each round (same
     discipline as ``operators/graph.py`` PageRank). For adversarial
-    long-path graphs the O(log n) large-star/small-star contraction
-    (Kiveris et al., "Connected Components in MapReduce") is the drop-in
-    upgrade; diameter-bounded propagation is the right trade for dedup
-    workloads.
+    long-path graphs pass ``algo="star"``: the O(log n)-round
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) converges on a
+    1000-node path in ~10 alternations where min-label propagation would
+    need 1000 rounds. Diameter-bounded propagation remains the default —
+    the right trade for clique-dense dedup graphs.
+
+    ``strict=True`` (default) raises ``RuntimeError`` if the fixpoint is
+    not reached within ``max_iters`` — unconverged labels are silently
+    WRONG (a chain component splits into several clusters), so the caller
+    must opt in to best-effort output with ``strict=False`` (which logs a
+    warning instead).
     """
+    if algo == "star":
+        return _cc_star(pairs, a_col, b_col, max_iters, strict)
+    if algo != "label":
+        raise ValueError(f"unknown connected-components algo: {algo!r}")
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     sym = (edges.unionByName(edges.select(F.col("dst").alias("src"),
                                           F.col("src").alias("dst")))
@@ -390,12 +404,99 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        _nonconverged("min-label propagation", max_iters, strict)
     sym.unpersist()
     return labels
 
 
+def _nonconverged(what: str, max_iters: int, strict: bool) -> None:
+    msg = (f"connected_components: {what} did not reach fixpoint within "
+           f"{max_iters} iterations — labels would be WRONG (a component "
+           f"with diameter > {max_iters} splits into several clusters). "
+           f"Use algo='star' (O(log n) rounds) for long-path graphs, or "
+           f"raise max_iters.")
+    if strict:
+        raise RuntimeError(msg)
+    import warnings
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
+
+
+def _cc_star(pairs: DataFrame, a_col: str, b_col: str,
+             max_iters: int, strict: bool) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014).
+
+    State is an undirected edge set kept as canonical ``(lo, hi)`` pairs.
+    Each alternation:
+
+    * **large-star**: for every node ``u`` with neighborhood Γ(u), link
+      each *strictly larger* neighbor ``v > u`` to
+      ``m = min(Γ(u) ∪ {u})`` — one shuffle (groupBy u for m) + one join.
+    * **small-star**: link each neighbor ``v ≤ u`` (and u itself) to m.
+
+    Both steps strictly decrease a monotone potential, converging in
+    O(log n) alternations to star graphs centered at each component's
+    minimum id — the published bound that survives adversarial long-path
+    graphs where label propagation needs O(diameter) rounds. Each round's
+    edge set is ``localCheckpoint``-truncated; the convergence test is a
+    driver scalar (symmetric-difference count), not row data.
+
+    Output matches ``algo="label"``: ``(node, cluster_id)`` for every
+    endpoint, ``cluster_id`` = component minimum.
+    """
+    # canonical undirected edges (lo, hi), self-loops dropped
+    cur = (pairs.select(F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+                        F.greatest(F.col(a_col), F.col(b_col)).alias("hi"))
+           .filter(F.col("lo") != F.col("hi"))
+           .distinct().localCheckpoint(eager=True))
+    # every input endpoint, so isolated-after-contraction nodes keep a label
+    nodes = (pairs.select(F.col(a_col).alias("node"))
+             .unionByName(pairs.select(F.col(b_col).alias("node")))
+             .distinct().localCheckpoint(eager=True))
+
+    def _star(edges: DataFrame, large: bool) -> DataFrame:
+        sym = edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")) \
+            .unionByName(edges.select(F.col("hi").alias("u"),
+                                      F.col("lo").alias("v")))
+        mins = (sym.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        nbrs = sym.filter(F.col("v") > F.col("u")) if large \
+            else sym.filter(F.col("v") <= F.col("u"))
+        out = (nbrs.join(mins, "u")
+               .select(F.least("v", "m").alias("lo"),
+                       F.greatest("v", "m").alias("hi")))
+        # small-star also re-links u itself to m (keeps u in the edge set)
+        if not large:
+            out = out.unionByName(
+                mins.select(F.least("u", "m").alias("lo"),
+                            F.greatest("u", "m").alias("hi")))
+        return (out.filter(F.col("lo") != F.col("hi")).distinct()
+                .localCheckpoint(eager=True))
+
+    converged = False
+    for _ in range(max_iters):
+        nxt = _star(_star(cur, large=True), large=False)
+        # driver scalar: symmetric difference empty <=> fixpoint
+        changed = (nxt.exceptAll(cur).count()
+                   + cur.exceptAll(nxt).count())
+        cur = nxt
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        _nonconverged("large-star/small-star contraction", max_iters, strict)
+    # fixpoint edges are (center=lo, member=hi); centers label themselves,
+    # as do nodes whose component contracted away entirely (singletons)
+    member = cur.select(F.col("hi").alias("node"),
+                        F.col("lo").alias("cluster_id"))
+    return (nodes.join(member, "node", "left")
+            .select("node", F.coalesce("cluster_id", "node")
+                    .alias("cluster_id")))
+
+
 def dedup_clusters(pairs: DataFrame, a_col: str = "a",
-                   b_col: str = "b") -> DataFrame:
+                   b_col: str = "b", algo: str = "label") -> DataFrame:
     """Resolve near-dup candidate pairs into canonical clusters:
     ``(doc_id, cluster_id, cluster_size, is_canonical)`` where cluster_id
     is the component-minimum doc id (the survivor). Cluster-size window
@@ -403,7 +504,7 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a",
     no single window partition can grow pathological."""
     from pyspark.sql.window import Window
 
-    comp = connected_components(pairs, a_col, b_col)
+    comp = connected_components(pairs, a_col, b_col, algo=algo)
     w = Window.partitionBy("cluster_id")
     return comp.select(
         F.col("node").alias("doc_id"),

@@ -241,6 +241,11 @@ class CrawlJob:
             include_attachments=self.include_attachments,
         ).cache()
 
+        # force the decision-chain cache NOW so this tick measures the
+        # discover/dedup/decide phase and the next one measures the MERGE —
+        # without this, the filtered_log commit was the first action to
+        # compute the chain and its phase absorbed the whole cache fill
+        counters["decided"] = decided.count()
         filtered = decided.filter(F.col("decision.status") != C.STATUS_PENDING)
         pending = decided.filter(F.col("decision.status") == C.STATUS_PENDING)
         _tick("discover_dedup_decide")
@@ -300,8 +305,12 @@ class CrawlJob:
             # missing-payload rows.
             work = with_salted_host_partition(
                 scheduled, target_rows_per_partition=salt_target)
-            work = fetch_http(work, **self.http_fetch).drop(
-                "http_status", "fetch_err")
+            # http_status/fetch_err are KEPT: fetch_log needs them to
+            # distinguish a definitive 404 from a transient timeout, and
+            # the transient-retry split below gates on them (the
+            # reference retries transport errors, not hard 4xx —
+            # shared_pages_scraping.py retry policy)
+            work = fetch_http(work, **self.http_fetch)
         else:
             payload = read_pages(self.spark, self.pages_path).select(
                 "url",
@@ -340,6 +349,13 @@ class CrawlJob:
             if not broadcasting or scan_parts < max(2, parallelism * 3 // 4):
                 work = with_salted_host_partition(
                     work, target_rows_per_partition=salt_target)
+        # uniform fetch-provenance columns: replay mode has no HTTP layer,
+        # so its rows carry NULLs (a missing payload is transport-shaped —
+        # unknown status — matching the transient gate below)
+        if "http_status" not in work.columns:
+            work = (work
+                    .withColumn("http_status", F.lit(None).cast("int"))
+                    .withColumn("fetch_err", F.lit(None).cast("string")))
         # html is consumed by the extraction UDF and nothing after it —
         # dropping it before the cache keeps ~half the cached bytes (5 KB
         # payload/row) out of memory and out of every downstream read
@@ -348,13 +364,21 @@ class CrawlJob:
             extracted, "extracted.text").cache()
 
         # T7: transient-retry split — failed rows below the retry cap
-        # re-enter the next round's frontier instead of terminalizing
+        # re-enter the next round's frontier instead of terminalizing.
+        # Only TRANSIENT failures retry: transport-level (http_status NULL —
+        # timeout/refused/missing payload) or retryable statuses; a
+        # definitive 404/410 terminalizes immediately (the reference's
+        # retry policy covers transport errors, not hard 4xx)
+        transient = (F.col("http_status").isNull()
+                     | F.col("http_status").isin(429, 500, 502, 503, 504))
         if self.retry_transient:
             retryable = extracted.filter(
                 (F.col("fetch_status") == C.STATUS_FAILED)
+                & transient
                 & (F.col("retry_count") < self.max_retries))
             terminal = extracted.filter(
                 (F.col("fetch_status") != C.STATUS_FAILED)
+                | ~transient
                 | (F.col("retry_count") >= self.max_retries))
         else:
             retryable = extracted.limit(0)
@@ -394,7 +418,7 @@ class CrawlJob:
             "ts14", "host", "digest", "length",
             F.col("decision.priority_score").alias("priority_score"),
             F.col("decision.reason").alias("filter_reason"),
-            "fetch_status", "retry_count",
+            "fetch_status", "retry_count", "http_status", "fetch_err",
             F.col("extracted.word_count").alias("word_count"),
             F.col("extracted.method").alias("extract_method"),
         )

@@ -43,7 +43,7 @@ from __future__ import annotations
 import http.client
 import time
 from typing import Iterator
-from urllib.parse import urlsplit
+from urllib.parse import urljoin, urlsplit
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -93,12 +93,19 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                 resp.read()  # drain so the connection stays reusable
                 if loc:
                     seen += 1
-                    if loc.startswith("/"):
-                        loc = f"{parts.scheme}://{parts.netloc}{loc}"
-                    target_url = loc
+                    # RFC 3986 resolution: absolute, scheme-relative
+                    # (//host/x), and relative (page2.html) forms all work
+                    target_url = urljoin(target_url, loc)
                     continue
             body = resp.read(_MAX_BODY_BYTES + 1)
             if len(body) > _MAX_BODY_BYTES:
+                # unread bytes remain on the socket — the keep-alive
+                # connection is poisoned for the next same-host request,
+                # so evict it from the pool like the exception path does
+                try:
+                    conn.close()
+                finally:
+                    pools.pop(key, None)
                 return None, status, "body exceeds max size"
             if 200 <= status < 300:
                 return body, status, None

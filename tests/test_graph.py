@@ -45,14 +45,20 @@ def test_host_authority_lineage_truncation_path(spark):
 
 
 def test_host_authority_empty_and_self_loop_only(spark):
-    """n=0 guard: an empty edge list (or one that is all self-loops) returns
-    an empty (host, rank_nano) frame instead of ZeroDivisionError."""
+    """n=0 guard: an empty edge list returns an empty (host, rank_nano)
+    frame instead of ZeroDivisionError. Hosts that appear ONLY in
+    self-loops still exist in the graph — they receive the base
+    (teleport) rank rather than silently disappearing (self-loops
+    contribute no authority)."""
     empty = spark.createDataFrame([], "src string, dst string")
     out = host_authority(empty, iters=3)
     assert out.columns == ["host", "rank_nano"]
     assert out.count() == 0
     loops = spark.createDataFrame([("a", "a"), ("b", "b")], ["src", "dst"])
-    assert host_authority(loops, iters=3).count() == 0
+    got = {r["host"]: r["rank_nano"]
+           for r in host_authority(loops, iters=3).collect()}
+    base = (SCALE * 15) // (100 * 2)
+    assert got == {"a": base, "b": base}
 
 
 def test_host_authority_rank_mass_conserved_modulo_floor(spark):

@@ -186,3 +186,61 @@ def test_search_snippets_end_to_end(spark):
     inv = build_inverted_terms(pi)
     hits = search_snippets(pi, inv, "beta", limit=5).collect()
     assert all(r["snippet"] and "<em>beta</em>" in r["snippet"] for r in hits)
+
+
+def test_search_ranked_full_rule_chain(spark):
+    """The unified Meilisearch chain (search_ranked) in configured order:
+    words > typo > proximity > attribute > exactness > quality_score >
+    word_count — a planted corpus where EVERY rule decides exactly one
+    adjacent pair in the final ranking."""
+    from chrono_scraper_spark.operators.index import search_ranked
+
+    rows = [
+        # url, quality, content — query is "data query windw"
+        ("p1", 9.0, "data query windw"),           # all rules best
+        ("p2", 9.0, "data query windw extra"),     # +1 word_count
+        ("p3", 10.0, "data query windw"),          # +1 quality
+        ("p4", 9.0, "data query window"),          # typo: windw->window
+        ("p5", 9.0, "data pad query pad windw"),   # proximity 2
+        ("p6", 9.0, "pad data query windw"),       # best_pos 1
+        ("p7", 9.0, "data windw query"),           # no exact phrase
+        ("p8", 9.0, "data query"),                 # words: 2 of 3
+    ]
+    pi = spark.createDataFrame(
+        [(u, "0", "", c, len(c.split()), q) for u, q, c in rows],
+        "url_canon string, ts14 string, title string, content string, "
+        "word_count int, quality_score double")
+    inv = build_inverted_terms(pi, positions=True)
+    hits = search_ranked(pi, inv, "data query windw", limit=10).collect()
+    order = [h["url_canon"] for h in hits]
+    # quality(p3>p2), word_count(p2>p1), exactness(p1>p7),
+    # attribute(p7>p6), proximity(p6>p5), typo(p5>p4), words(p4>p8)
+    assert order == ["p3", "p2", "p1", "p7", "p6", "p5", "p4", "p8"]
+    by = {h["url_canon"]: h for h in hits}
+    assert by["p3"]["exact_phrase"] and not by["p7"]["exact_phrase"]
+    assert by["p4"]["typo_cost"] == 1 and by["p5"]["typo_cost"] == 0
+    assert by["p5"]["proximity"] == 2 and by["p6"]["proximity"] == 1
+    assert by["p6"]["best_pos"] == 1 and by["p7"]["best_pos"] == 0
+    assert by["p8"]["matched_terms"] == 2
+
+
+def test_search_ranked_sort_slot_and_empty(spark):
+    """The 'sort' rule slot: caller criteria apply between attribute and
+    exactness, exactly where the reference's chain puts user sorts."""
+    from chrono_scraper_spark.operators.index import search_ranked
+
+    pi = spark.createDataFrame(
+        [("a", "0", "", "data query windw", 3, 1.0, "2024"),
+         ("b", "0", "", "data query windw", 3, 9.0, "2025")],
+        "url_canon string, ts14 string, title string, content string, "
+        "word_count int, quality_score double, year string")
+    inv = build_inverted_terms(pi, positions=True)
+    # without sort: quality decides (b first); with sort_by year asc: a
+    plain = [h["url_canon"] for h in
+             search_ranked(pi, inv, "data query windw").collect()]
+    assert plain == ["b", "a"]
+    sorted_ = [h["url_canon"] for h in
+               search_ranked(pi, inv, "data query windw",
+                             sort_by=[F.asc("year")]).collect()]
+    assert sorted_ == ["a", "b"]
+    assert search_ranked(pi, inv, "", limit=5).count() == 0

@@ -54,9 +54,30 @@ def py_signals(text: str) -> dict:
             return []
         return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
 
-    c2, c5 = Counter(grams(2)), Counter(grams(5))
-    top2 = max((n * len(g) for g, n in c2.items()), default=0)
-    dup5 = sum(n * len(g) for g, n in c5.items() if n > 1)
+    # §A1.1 coverage semantics (r4): union of covered word positions,
+    # each word's chars counted once; denominator = non-whitespace chars
+    def cover_chars(starts, k):
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + k))
+        return sum(len(toks[i]) for i in covered)
+
+    g2l, g5l = grams(2), grams(5)
+    c2 = Counter(g2l)
+    if g2l:
+        topcnt = max(c2.values())
+        top = min(g for g, n in c2.items() if n == topcnt)  # lexicographic
+        top2 = cover_chars([i for i, g in enumerate(g2l) if g == top], 2)
+    else:
+        top2 = 0
+    seen: Counter = Counter()
+    d5starts = []
+    for i, g in enumerate(g5l):
+        seen[g] += 1
+        if seen[g] > 1:                      # non-first occurrences only
+            d5starts.append(i)
+    dup5 = cover_chars(d5starts, 5)
+    cns = max(chars_nospace, 1)
     stop = {"the", "and", "of", "to", "in", "is", "that", "for", "with",
             "as", "on", "by", "at", "from", "this", "are", "was", "be",
             "or", "an"}
@@ -76,8 +97,8 @@ def py_signals(text: str) -> dict:
             sum(1 for ln in lines if re.search(r"(\.\.\.|…)\s*$", ln)) / nl,
             6),
         "dup_line_frac": round((len(lines) - len(set(lines))) / nl, 6),
-        "top2gram_char_frac": round(top2 / n_chars, 6),
-        "dup5gram_char_frac": round(dup5 / n_chars, 6),
+        "top2gram_char_frac": round(top2 / cns, 6),
+        "dup5gram_char_frac": round(dup5 / cns, 6),
     }
 
 
@@ -116,6 +137,22 @@ def test_gopher_verdicts(signals):
                  and s9["top2gram_char_frac"] <= 0.20
                  and s9["dup5gram_char_frac"] <= 0.15)
     assert s9["passes_gopher"] is expected9
+
+
+def test_gopher_coverage_fractions_bounded(spark):
+    """Coverage semantics cap both gram fractions at 1.0 even for a
+    maximally repetitive doc (the r1-r3 occurrences×length convention gave
+    ~2.0 here); the fully-repetitive doc hits EXACTLY 1.0."""
+    docs = [(0, "spam ham " * 40), (1, "one two three four five " * 20)]
+    rows = (Q.gopher_signals(spark.createDataFrame(docs,
+                                                   ["doc_id", "text"]))
+            .orderBy("doc_id").collect())
+    for r in rows:
+        assert 0.0 <= r["top2gram_char_frac"] <= 1.0, r["doc_id"]
+        assert 0.0 <= r["dup5gram_char_frac"] <= 1.0, r["doc_id"]
+    # every word of doc 0 is covered by an occurrence of the top 2-gram
+    assert rows[0]["top2gram_char_frac"] == 1.0
+    assert rows[0]["passes_gopher"] is False
 
 
 def test_gopher_plan_is_shuffle_free(spark):

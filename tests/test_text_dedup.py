@@ -151,6 +151,54 @@ def test_connected_components_transitive_closure(spark):
                    20: 20, 21: 20, 22: 20}
 
 
+def test_cc_star_matches_label_propagation(spark):
+    """Large-star/small-star must produce the same (node, cluster_id) map
+    as min-label propagation on a mixed graph (path + pair + triangle)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),
+         (10, 11),
+         (20, 21), (21, 22), (20, 22)],
+        "a long, b long")
+    label = {r["node"]: r["cluster_id"]
+             for r in TD.connected_components(pairs).collect()}
+    star = {r["node"]: r["cluster_id"]
+            for r in TD.connected_components(pairs, algo="star").collect()}
+    assert star == label == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                             20: 20, 21: 20, 22: 20}
+
+
+def test_cc_star_converges_on_long_path_where_label_cannot(spark):
+    """Planted 120-node path: min-label propagation needs ~119 rounds, so
+    with max_iters=8 it must raise (strict) rather than silently emit
+    split clusters; the star contraction converges within the same budget
+    (O(log n) alternations) and labels every node with the path minimum."""
+    import pytest
+
+    n = 120
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "a long, b long").coalesce(4)
+    with pytest.raises(RuntimeError, match="did not reach fixpoint"):
+        TD.connected_components(pairs, max_iters=8)
+    # non-strict: warns and returns (possibly split) labels instead
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        TD.connected_components(pairs, max_iters=2, strict=False).collect()
+    assert any("did not reach fixpoint" in str(x.message) for x in w)
+    out = {r["node"]: r["cluster_id"]
+           for r in TD.connected_components(pairs, algo="star",
+                                            max_iters=8).collect()}
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_star_equals_label(spark, docs):
+    pairs = TD.minhash_near_duplicates(docs, threshold=0.5, n_hashes=12,
+                                       bands=6)
+    a = sorted(map(tuple, TD.dedup_clusters(pairs).collect()))
+    b = sorted(map(tuple, TD.dedup_clusters(pairs, algo="star").collect()))
+    assert a == b
+
+
 def test_dedup_clusters_canonical_per_cluster(spark, docs):
     pairs = TD.minhash_near_duplicates(docs, threshold=0.5, n_hashes=12,
                                        bands=6)
