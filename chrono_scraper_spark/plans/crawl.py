@@ -187,7 +187,14 @@ class CrawlJob:
                        "digest_collapsed_or_dup": n_discovered - n_unique}
 
     # ------------------------------------------------------------------ round
-    def run_round(self, round_idx: int) -> dict:
+    def run_round(self, round_idx: int,
+                  discovered: DataFrame | None = None) -> dict:
+        """Run one crawl round. ``discovered`` injects the round's
+        candidate set directly (already digest-collapsed/deduped) instead
+        of the default discovery — the streaming deployment composes
+        new-capture candidates ∪ carried frontier per micro-batch
+        (streaming/micro_batch.py::run_stream_round) and everything after
+        discovery is the identical code path."""
         import time as _time
 
         counters: dict = {"round_idx": round_idx}
@@ -202,7 +209,10 @@ class CrawlJob:
 
         prev = self._prev_versions(round_idx)
 
-        if round_idx == 0:
+        if discovered is not None:
+            cands = (discovered.drop("decision")
+                     if "decision" in discovered.columns else discovered)
+        elif round_idx == 0:
             cands, disc_counters = self._discover_round0()
             counters.update(disc_counters)
         else:

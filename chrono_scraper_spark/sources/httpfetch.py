@@ -60,9 +60,12 @@ _MAX_BODY_BYTES = 64 * 1024 * 1024  # refuse to buffer >64 MB of one page
 
 
 def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
-               user_agent: str, max_redirects: int = 3) -> tuple:
+               user_agent: str, max_redirects: int = 3,
+               range_hdr: str | None = None) -> tuple:
     """One GET through the partition's keep-alive pool.
-    Returns (body: bytes|None, status: int|None, err: str|None)."""
+    Returns (body: bytes|None, status: int|None, err: str|None).
+    ``range_hdr`` ("bytes=a-b") requests a byte slice — the S6 WARC
+    (offset, length) member read; 206 Partial Content is a success."""
     seen = 0
     while True:
         parts = urlsplit(target_url)
@@ -79,12 +82,15 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
         if parts.query:
             path += "?" + parts.query
         try:
-            conn.request("GET", path, headers={
+            headers = {
                 "User-Agent": user_agent,
                 "Accept": "text/html,application/xhtml+xml,"
                           "application/pdf;q=0.9,*/*;q=0.8",
                 "Connection": "keep-alive",
-            })
+            }
+            if range_hdr:
+                headers["Range"] = range_hdr
+            conn.request("GET", path, headers=headers)
             resp = conn.getresponse()
             status = resp.status
             # follow redirects like httpx follow_redirects=True (:112)
@@ -131,6 +137,7 @@ def fetch_http(
     url_col: str = "url",
     ts_col: str = "ts14",
     html_col: str = "html",
+    range_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Append ``html`` (binary) + ``http_status`` (int) + ``fetch_err``
     (string) by fetching each row's URL over live HTTP.
@@ -143,6 +150,11 @@ def fetch_http(
     definitive statuses (404 etc.) do not retry. ``min_interval_s`` spaces
     same-host requests within the partition (callers host-partition first —
     see module docstring).
+
+    ``range_cols=(offset_col, length_col)`` sends a per-row
+    ``Range: bytes=offset-(offset+length-1)`` header — the Common Crawl
+    CDX-pointer read (one WARC gzip member per request, S6); compose with
+    ``sources.warc.decode_warc_member`` via ``fetch_warc_range``.
     """
     out_schema = T.StructType(
         list(scheduled.schema.fields)
@@ -158,7 +170,14 @@ def fetch_http(
         try:
             for pdf in batches:
                 bodies, statuses, errs = [], [], []
-                for url, ts in zip(pdf[url_col], pdf[ts_col]):
+                if range_cols:
+                    ranges = [
+                        f"bytes={int(o)}-{int(o) + int(ln) - 1}"
+                        for o, ln in zip(pdf[range_cols[0]],
+                                         pdf[range_cols[1]])]
+                else:
+                    ranges = [None] * len(pdf)
+                for url, ts, rng in zip(pdf[url_col], pdf[ts_col], ranges):
                     target = (url_template.format(url=url, ts14=ts)
                               if url_template else url)
                     netloc = urlsplit(target).netloc
@@ -173,7 +192,7 @@ def fetch_http(
                             time.sleep(backoff_base_s * (2 ** (attempt - 1)))
                         body, status, err = _fetch_one(
                             pools, target, timeout_s=timeout_s,
-                            user_agent=user_agent)
+                            user_agent=user_agent, range_hdr=rng)
                         if body is not None or (
                                 status is not None
                                 and status not in retry_statuses):

@@ -145,6 +145,81 @@ def decode_warc_member(member: bytes) -> dict | None:
     return recs[0] if recs else None
 
 
+def fetch_warc_range(
+    scheduled: DataFrame,
+    *,
+    warc_url_col: str = "warc_url",
+    offset_col: str = "warc_offset",
+    length_col: str = "warc_length",
+    **fetch_kw,
+) -> DataFrame:
+    """S6+S7 composed — the true Common Crawl deployment shape
+    (content_extraction_service.py:70-96 ``_WarcRecord``; wayback_machine
+    WARC filename+offset+length fields): each row's CDX pointer
+    (``warc_url``, ``warc_offset``, ``warc_length``) becomes one HTTP
+    **Range** GET through ``fetch_http``'s keep-alive pool (politeness and
+    host-partitioning semantics identical to the page-fetch path), and the
+    returned gzip member decodes executor-side via ``decode_warc_member``.
+
+    Appends: ``html`` (the record's HTTP payload — feeds the extraction
+    UDF exactly like a replay-mode payload), ``rec_url`` / ``warc_date`` /
+    ``rec_mime`` / ``rec_status`` (record headers), plus ``http_status`` /
+    ``fetch_err`` from the fetch. A failed fetch or unparseable member
+    yields ``html = NULL`` with the error recorded — dead-letter (E12)
+    semantics, a task never fails because a server or a member did.
+    """
+    from pyspark.sql import functions as F
+
+    from .httpfetch import fetch_http
+
+    if "ts14" not in scheduled.columns:
+        scheduled = scheduled.withColumn("ts14", F.lit("0"))
+    fetched = fetch_http(scheduled, url_col=warc_url_col,
+                         html_col="_warc_member",
+                         range_cols=(offset_col, length_col), **fetch_kw)
+    out_schema = T.StructType(
+        [f for f in fetched.schema.fields if f.name != "_warc_member"]
+        + [T.StructField("html", T.BinaryType()),
+           T.StructField("rec_url", T.StringType()),
+           T.StructField("warc_date", T.StringType()),
+           T.StructField("rec_mime", T.StringType()),
+           T.StructField("rec_status", T.IntegerType())])
+    keep = [f.name for f in fetched.schema.fields
+            if f.name != "_warc_member"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            htmls, urls, dates, mimes, statuses = [], [], [], [], []
+            errs = list(pdf["fetch_err"])
+            for i, member in enumerate(pdf["_warc_member"]):
+                rec = (decode_warc_member(bytes(member))
+                       if member is not None else None)
+                if rec is None:
+                    if member is not None and errs[i] is None:
+                        errs[i] = "warc member parse error"
+                    htmls.append(None)
+                    urls.append(None)
+                    dates.append(None)
+                    mimes.append(None)
+                    statuses.append(None)
+                else:
+                    htmls.append(rec["payload"])
+                    urls.append(rec["url"])
+                    dates.append(rec["date"])
+                    mimes.append(rec["mime"])
+                    statuses.append(rec["status"])
+            out = pdf[keep].copy()
+            out["fetch_err"] = pd.Series(errs, dtype=object)
+            out["html"] = pd.Series(htmls, dtype=object)
+            out["rec_url"] = pd.Series(urls, dtype=object)
+            out["warc_date"] = pd.Series(dates, dtype=object)
+            out["rec_mime"] = pd.Series(mimes, dtype=object)
+            out["rec_status"] = pd.array(statuses, dtype="Int32")
+            yield out
+
+    return fetched.mapInPandas(run, schema=out_schema)
+
+
 WARC_SCHEMA = T.StructType([
     T.StructField("warc_file", T.StringType()),
     T.StructField("url", T.StringType()),
