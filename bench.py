@@ -170,7 +170,7 @@ def bench_extract_stage(spark, corpus_path: str) -> dict:
     # best-of-N: least-interference estimate on a host whose delivered
     # throughput swings 2-4× between minute-scale windows
     for _trial in range(int(os.environ.get("CSS_BENCH_EXTRACT_TRIALS",
-                                           "3"))):
+                                           "4"))):
         t0 = time.time()
         out = with_extraction(payload).agg(
             F.sum(F.length("extracted.text")).alias("bytes_out"),

@@ -12,8 +12,14 @@ the reference uses for its golden e2e assertions). The cascade *shape*
 
 - primary  ("article"):  semantic-tag main-content extraction — the
   trafilatura-analog (intelligent_content_extractor.py:174-231);
+- middle   ("readability_lite"): vendored Arc90 main-content scorer — the
+  readability/bs4-finder analog (robust_content_extractor.py:526-539,
+  intelligent_content_extractor.py:368-399; operators/readability_lite.py)
+  for pages with no semantic tags (corpus/contract pages always carry
+  ``<article>``, so the pinned round contract never reaches this branch);
 - fallback ("strip"):    noise-tag removal + full-text strip — the
-  BeautifulSoup-analog (intelligent_content_extractor.py:263-449).
+  whole-document BeautifulSoup-analog
+  (intelligent_content_extractor.py:263-449).
 
 All work happens inside pandas UDFs over Arrow batches (bounded to 256
 rows/batch for MB-scale html — session.py); no per-row Python UDFs.
@@ -64,14 +70,50 @@ def _markdown(title: str | None, text: str | None) -> str | None:
 
 def _page_meta(doc: str) -> tuple[str | None, str | None]:
     """(og_title, pub_date): OpenGraph title + publication date — meta tag
-    first, else first ISO date anywhere in the document (htmldate analog)."""
-    m_og = _RE_OG_TITLE.search(doc)
-    og_title = _htmlmod.unescape(m_og.group(1)).strip() if m_og else None
-    m_pub = _RE_PUB_META.search(doc)
-    if m_pub:
-        return og_title, m_pub.group(1)
+    first, else first ISO date anywhere in the document (htmldate analog).
+
+    The substring guards are pure speedups: each regex REQUIRES its
+    literal attribute name, so a doc without the substring can never
+    match — and the guard is a memchr scan vs a 20 µs regex pass."""
+    og_title = None
+    if "og:title" in doc:
+        m_og = _RE_OG_TITLE.search(doc)
+        if m_og:
+            og_title = _htmlmod.unescape(m_og.group(1)).strip()
+    if "article:published_time" in doc:
+        m_pub = _RE_PUB_META.search(doc)
+        if m_pub:
+            return og_title, m_pub.group(1)
     m_any = _RE_ANY_DATE.search(doc)
     return og_title, (m_any.group(1) if m_any else None)
+
+
+def _find_between(doc: str, open_tag: str, close_tag: str,
+                  start: int = 0) -> tuple[str | None, int]:
+    """First ``open_tag…close_tag`` span after ``start`` — EXACTLY the
+    lazy-dot-all regex ``open(.*?)close`` match (first open tag, nearest
+    close after it), via two memchr-speed ``str.find`` calls instead of a
+    ~20 µs regex scan. Returns (inner text | None, index after close)."""
+    i = doc.find(open_tag, start)
+    if i < 0:
+        return None, -1
+    j = doc.find(close_tag, i + len(open_tag))
+    if j < 0:
+        return None, -1
+    return doc[i + len(open_tag):j], j + len(close_tag)
+
+
+def _paras_between(body: str) -> list[str]:
+    """All ``<p>…</p>`` inner texts — the exact non-overlapping lazy
+    ``findall`` sequence (each match starts at the next ``<p>`` and ends
+    at the nearest ``</p>``), as a find loop."""
+    out = []
+    pos = 0
+    while True:
+        inner, pos = _find_between(body, "<p>", "</p>", pos)
+        if inner is None:
+            return out
+        out.append(inner)
 
 
 def extract_one(
@@ -91,14 +133,15 @@ def extract_one(
     except Exception:
         return None, None, "none", 0, None, None, None
 
-    m_title = _RE_TITLE.search(doc)
-    title = _htmlmod.unescape(m_title.group(1)).strip() if m_title else None
+    raw_title, _ = _find_between(doc, "<title>", "</title>")
+    title = _htmlmod.unescape(raw_title).strip() \
+        if raw_title is not None else None
     og_title, pub_date = _page_meta(doc)
 
     # primary: semantic main-content extraction
-    m = _RE_ARTICLE.search(doc)
-    if m:
-        paras = [_htmlmod.unescape(p).strip() for p in _RE_PARA.findall(m.group(1))]
+    body, _ = _find_between(doc, "<article>", "</article>")
+    if body is not None:
+        paras = [_htmlmod.unescape(p).strip() for p in _paras_between(body)]
         paras = [p for p in paras if p]
         text = "\n\n".join(paras)
         wc = len(text.split())
@@ -107,6 +150,16 @@ def extract_one(
         if wc > 0:
             return (text, title, "article", wc, _markdown(title, text),
                     og_title, pub_date)
+
+    # middle: vendored readability main-content finder (E3 analog) — only
+    # reached when the page has no <article> (never on contract corpora)
+    from .readability_lite import extract_readability_lite
+
+    rl_text = extract_readability_lite(doc)
+    if rl_text:
+        wc = len(rl_text.split())
+        return (rl_text, title, "readability_lite", wc,
+                _markdown(title, rl_text), og_title, pub_date)
 
     # fallback: strip noise tags then all markup
     stripped = _RE_NOISE.sub(" ", doc)
@@ -306,14 +359,12 @@ def extract_pdf_one(
 def _real_dispatch_udf():
     """Dispatch UDF with the REAL library cascade (E1-E4,
     real_extractors.py) on the html branch — built lazily so importing this
-    module never requires the libraries; selecting it without them raises at
-    plan build, not silently degrades."""
-    from . import real_extractors as R
-
-    if not R.any_available():
-        raise RuntimeError(
-            "kernel='real' requires trafilatura/readability/newspaper3k/bs4 "
-            f"— none importable (available={R.available()})")
+    module never requires the libraries. Without any real library the
+    cascade still contains the vendored readability analog
+    (readability_lite.py), so selecting ``kernel='real'`` runs a genuine
+    main-content finder rather than raising; ``real_extractors.available()``
+    reports which strategies are active."""
+    from . import real_extractors as R  # noqa: F401 (strategy registry)
 
     def kernel(payload, mime):
         if mime == "text/html":

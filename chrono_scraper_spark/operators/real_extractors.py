@@ -134,12 +134,27 @@ def _extract_bs4(doc: str) -> tuple[str | None, str | None]:
     return soup.get_text(separator="\n", strip=True) or None, title
 
 
-#: F1-ordered strategy chain (robust_content_extractor.py:43-48)
+def _extract_readability_lite(doc: str) -> tuple[str | None, str | None]:
+    # vendored Arc90 analog (operators/readability_lite.py) — the
+    # always-available stand-in for readability-lxml when it is absent
+    from .readability_lite import extract_readability_lite
+
+    m = re.search(r"<title>(.*?)</title>", doc, re.S)
+    title = _htmlmod.unescape(m.group(1)).strip() if m else None
+    return extract_readability_lite(doc), title
+
+
+#: F1-ordered strategy chain (robust_content_extractor.py:43-48); the
+#: vendored readability analog slots into readability-lxml's position
+#: when the real library is unavailable, ahead of the whole-document
+#: fallback — so the cascade keeps a main-content finder in any container
 def _strategies():
     if TRAFILATURA_AVAILABLE:
         yield "trafilatura", _extract_trafilatura
     if READABILITY_AVAILABLE and BS4_AVAILABLE:
         yield "readability", _extract_readability
+    else:
+        yield "readability_lite", _extract_readability_lite
     if NEWSPAPER_AVAILABLE:
         yield "newspaper3k", _extract_newspaper
     if BS4_AVAILABLE:

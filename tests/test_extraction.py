@@ -160,22 +160,25 @@ def test_quality_and_counts(spark):
 
 def test_real_kernel_gating(spark):
     """E1-E4 pre-wire: kernel='real' activates the library cascade when
-    importable; in a bare container it must raise a clear error at plan
-    build (never silently fall back on a contract run)."""
+    importable; in a bare container the cascade still runs the vendored
+    readability analog (readability_lite) in the readability slot, so a
+    main-content finder is always active."""
     from chrono_scraper_spark.operators import real_extractors as R
 
     df = spark.createDataFrame(
-        [(b"<html><head><title>T</title></head><body><article>"
-          b"<p>hello world</p></article></body></html>", "text/html")],
+        [(b"<html><head><title>T</title></head><body><div class='content'>"
+          b"<p>hello world, this paragraph carries enough prose to score "
+          b"in the readability candidate pass, with commas, clauses, and "
+          b"length.</p></div></body></html>", "text/html")],
         "html binary, mime string")
-    if not R.any_available():
-        with pytest.raises(RuntimeError, match="kernel='real'"):
-            E.with_extraction(df, kernel="real")
-        return
     out = E.with_extraction(df, kernel="real").select(
         "extracted.*").collect()[0]
-    assert out["method"] in ("trafilatura", "readability", "newspaper3k",
-                             "beautifulsoup")
+    if R.any_available():
+        assert out["method"] in ("trafilatura", "readability",
+                                 "newspaper3k", "beautifulsoup",
+                                 "readability_lite")
+    else:
+        assert out["method"] == "readability_lite"
     assert out["text"] and "hello world" in out["text"]
 
 
@@ -187,3 +190,71 @@ def test_real_kernel_matches_extract_one_signature():
     row = extract_real_one(None)
     assert row == (None, None, "none", 0, None, None, None)
     assert len(row) == len(E.extract_one(None))
+
+
+def test_readability_lite_main_content_finder():
+    """Vendored Arc90 analog (readability_lite.py): on a page with NO
+    semantic <article>, the scorer must pick the prose container and drop
+    nav / footer / link-farm blocks."""
+    html = (
+        b"<html><head><title>Page</title></head><body>"
+        b"<div class='nav'><p>home, about, contact, pricing, careers, and "
+        b"a long navigation paragraph</p>"
+        b"<a href='/a'>home, about, contact, pricing, careers, and a long "
+        b"navigation paragraph</a></div>"
+        b"<div class='content'>"
+        b"<p>The first real paragraph of the story, with commas, enough "
+        b"length to score well, and no links at all in its body.</p>"
+        b"<p>A second substantial paragraph follows here, also with "
+        b"commas, adding more prose mass to the same container.</p>"
+        b"</div>"
+        b"<div class='footer'><p>copyright, terms, privacy, cookies, and "
+        b"other footer boilerplate text here</p></div>"
+        b"</body></html>")
+    text, title, method, wc, markdown, _, _ = E.extract_one(html)
+    assert method == "readability_lite"
+    assert title == "Page"
+    assert "first real paragraph" in text
+    assert "second substantial paragraph" in text
+    assert "navigation" not in text and "copyright" not in text
+    assert markdown.startswith("# Page\n\n")
+
+
+def test_readability_lite_link_density_penalty():
+    """Equal prose mass, but one container is all links — the scorer's
+    (1 - link_density) factor must pick the prose block."""
+    from chrono_scraper_spark.operators.readability_lite import (
+        extract_readability_lite,
+    )
+
+    para = ("Some reasonably long paragraph text, with commas, that "
+            "scores identically in both candidate containers.")
+    html = (f"<div id='a'><p><a href='/x'>{para}</a></p></div>"
+            f"<div id='b'><p>{para}</p></div>")
+    out = extract_readability_lite(html)
+    assert out is not None and para in out
+
+
+def test_readability_lite_article_branch_priority():
+    """Pages WITH <article> must keep the pinned primary branch — the
+    round contract's byte-identity path is untouched."""
+    html = (b"<html><head><title>T</title></head><body>"
+            b"<article><p>alpha beta gamma, with commas and length enough "
+            b"for any scorer to notice it.</p></article>"
+            b"<div class='content'><p>decoy paragraph that must not win, "
+            b"with commas, because article goes first.</p></div>"
+            b"</body></html>")
+    _, _, method, _, _, _, _ = E.extract_one(html)
+    assert method == "article"
+
+
+def test_readability_lite_malformed_html_safe():
+    from chrono_scraper_spark.operators.readability_lite import (
+        extract_readability_lite,
+    )
+
+    assert extract_readability_lite("<div><p>unclosed everywhere, with "
+                                    "commas, but still parsed fine, "
+                                    "because the walker unwinds") \
+        is not None
+    assert extract_readability_lite("<<<>>>&#x;") is None
