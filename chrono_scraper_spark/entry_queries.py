@@ -721,6 +721,75 @@ def q_dedup_clusters_star(spark, sf_dir):
     return TD.dedup_clusters(pairs, algo="star")
 
 
+_ESS_K = 8  # window length for the contract query (docs are short at sf0.01)
+
+
+def q_exact_substring_spans(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022 §4.1) over the planted-clone
+    corpus: every maximal duplicated token run of length ≥ k, merged from
+    fixed-k rolling window hashes (text_dedup.exact_substring_spans — the
+    distributed analog of their suffix-array scan; linear, no pair space).
+    Value-checks span boundaries per doc via an order-stable signature.
+    md5 gram hashing for cross-engine parity (xxhash64 in production)."""
+    docs = _docs_with_clones(spark, sf_dir)
+    out = TD.exact_substring_spans(docs, k=_ESS_K, hash_fn="md5")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.round(F.col("dup_tokens")
+                / F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+        .alias("dup_frac"),
+        F.md5(F.concat_ws("|", F.transform(
+            "spans", lambda s: F.concat_ws("-", s.s, s.e))))
+        .alias("span_sig"))
+
+
+SQL_EXACT_SUBSTRING_SPANS = f"""WITH {_SQL_DOCS_CLONES},
+toks AS (SELECT doc_id, {OG.tokens_sql('text')} AS tk FROM docs2),
+gr AS (
+  SELECT doc_id,
+    [md5(array_to_string(tk[i:i+{_ESS_K - 1}], ' '))
+     FOR i IN range(1, greatest(len(tk) - {_ESS_K} + 2, 1))] AS ghs
+  FROM toks
+),
+g AS (
+  SELECT doc_id, generate_subscripts(ghs, 1) AS pos, unnest(ghs) AS h
+  FROM gr
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+brk AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos > lag(pos) OVER w + {_ESS_K} THEN 1 ELSE 0 END AS b
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk
+),
+sp AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_ESS_K} AS e
+  FROM isl GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_spans,
+    CAST(sum(e - s) AS BIGINT) AS dup_tokens,
+    md5(string_agg(s || '-' || e, '|' ORDER BY s)) AS span_sig
+  FROM sp GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(len(t.tk) AS BIGINT) AS n_tokens,
+  coalesce(a.n_spans, 0) AS n_spans,
+  coalesce(a.dup_tokens, 0) AS dup_tokens,
+  round(coalesce(a.dup_tokens, 0) * 1.0
+        / greatest(len(t.tk), 1), 6) AS dup_frac,
+  coalesce(a.span_sig, md5('')) AS span_sig
+FROM toks t LEFT JOIN agg a USING (doc_id)"""
+
+
 # --------------------------------------------------------------------------
 # full-text search over documents
 # --------------------------------------------------------------------------
@@ -2143,6 +2212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_buckets": q_lm_buckets,
     # --- new in round 4 ---
     "fulltext_ranked": q_fulltext_ranked,
+    "exact_substring_spans": q_exact_substring_spans,
     # --- one entry per remaining operator family ---
     "filter_decisions": q_filter_decisions,
     "filter_stats": q_filter_stats,
@@ -2174,7 +2244,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extraction_stats": q_extraction_stats,
     "project_monthly": q_project_monthly,
     "ann_topk_lsh": q_ann_topk_lsh,
-    "ann_topk_ivf": q_ann_topk_ivf,
     "embedding_near_dups": q_embedding_near_dups,
     "lineitem_rollup": q_lineitem_rollup,
     "top_customers": q_top_customers,
@@ -2195,6 +2264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fulltext_typo": q_fulltext_typo,            # typo rule (in ranked)
     "cdx_facets": q_cdx_facets,                  # facet family, cdx table
     "ann_topk": q_ann_topk,                      # brute-force ANN baseline
+    "ann_topk_ivf": q_ann_topk_ivf,              # IVF ANN (driver-green r03)
     "pdf_extraction_identity": q_pdf_extraction_identity,  # E5 PDF branch
     "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
 }
@@ -2259,6 +2329,7 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "warc_identity": SQL_WARC_IDENTITY,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "exact_substring_spans": SQL_EXACT_SUBSTRING_SPANS,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,
     "lm_buckets": SQL_LM_BUCKETS,
 }

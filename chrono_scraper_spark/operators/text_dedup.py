@@ -511,3 +511,117 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "a",
         "cluster_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("node") == F.col("cluster_id")).alias("is_canonical"))
+
+
+# --------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr variant)
+# --------------------------------------------------------------------------
+
+def exact_substring_spans(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 20,
+                          min_count: int = 2,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """Detect maximal duplicated token runs of length ≥ ``k`` anywhere in
+    the corpus (across documents AND within one document), the
+    training-data hygiene step of Lee et al. 2022 §4.1. Their suffix-array
+    construction is a single-machine algorithm; the distributed analog is
+    fixed-``k`` rolling window hashes + island merge, which recovers every
+    maximal duplicated run of length ≥ k exactly (a run of length L ≥ k
+    duplicated elsewhere makes all L-k+1 of its windows duplicated; the
+    merge glues them back into [start, start+L)).
+
+    Plan shape (linear at any scale — no pair space):
+      1. one projection builds each doc's window-hash array (codegen
+         ``transform`` over ``sequence``, hash of ``concat_ws`` over
+         ``slice`` — no UDF) and explodes it;
+      2. one hash aggregation (map-side partial) counts occurrences per
+         hash; hashes with count ≥ ``min_count`` form the dup set;
+      3. one join grams ⋈ dup-set (AQE picks broadcast when the dup set
+         is small, shuffle otherwise — never the corpus²);
+      4. one aggregation per doc sorts hit positions and a codegen
+         ``aggregate`` sweep merges overlapping/adjacent windows into
+         spans (same zero-window island pattern as interval_merge).
+
+    Output: one row per input doc —
+      (id, n_tokens, spans array<struct<s,e>>, dup_tokens, n_spans) with
+    1-based token start ``s``, exclusive end ``e``.
+
+    ``hash_fn="md5"`` gives a cross-engine-stable hash for oracle parity;
+    xxhash64 (default) is the cheap production path. Collisions only
+    over-mark (a false duplicate window), never miss.
+    """
+    hasher = {"xxhash64": F.xxhash64, "md5": F.md5}[hash_fn]
+    toks = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("tk"))
+    n = F.size("tk")
+    gram = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: hasher(F.concat_ws(" ", F.slice(F.col("tk"), i, k))))
+    empty = F.array().cast(
+        "array<long>" if hash_fn == "xxhash64" else "array<string>")
+    grams = toks.select(
+        F.col(id_col), n.alias("n_tokens"),
+        F.when(n >= k, gram).otherwise(empty).alias("ghs"))
+    g = grams.select(
+        id_col, "n_tokens",
+        F.posexplode("ghs").alias("pos0", "h"))
+    dup = (g.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= min_count).select("h"))
+    hits = g.join(dup, "h")
+    per = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("ps"))
+
+    span_t = "array<struct<s:int,e:int>>"
+    acc0 = F.struct(
+        F.array().cast(span_t).alias("sp"),
+        F.lit(-1).alias("cs"), F.lit(-1).alias("ce"))
+    kk = F.lit(k)
+
+    def _step(a: Column, p: Column) -> Column:
+        open_new = F.struct(
+            F.concat(a.sp, F.when(a.cs >= 0, F.array(F.struct(
+                a.cs.alias("s"), a.ce.alias("e"))))
+                .otherwise(F.array().cast(span_t))).alias("sp"),
+            p.alias("cs"), (p + kk).alias("ce"))
+        extend = F.struct(a.sp.alias("sp"), a.cs.alias("cs"),
+                          (p + kk).alias("ce"))
+        return F.when((a.cs >= 0) & (p <= a.ce), extend).otherwise(open_new)
+
+    merged = F.aggregate(
+        "ps", acc0, _step,
+        lambda a: F.when(a.cs >= 0, F.concat(a.sp, F.array(F.struct(
+            a.cs.alias("s"), a.ce.alias("e"))))).otherwise(a.sp))
+    per = per.select(id_col, merged.alias("spans"))
+
+    base = toks.select(F.col(id_col), n.alias("n_tokens"))
+    out = base.join(per, id_col, "left")
+    spans = F.coalesce("spans", F.array().cast(span_t))
+    return out.select(
+        id_col, "n_tokens", spans.alias("spans"),
+        F.aggregate(spans, F.lit(0),
+                    lambda a, s: a + (s.e - s.s)).alias("dup_tokens"),
+        F.size(spans).alias("n_spans"))
+
+
+def remove_duplicate_spans(docs: DataFrame, spans: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Drop every token covered by a duplicated span (the removal step of
+    ExactSubstr dedup). Token-level reconstruction: output ``text`` is the
+    surviving tokens joined by single spaces — original whitespace and
+    punctuation between tokens are not preserved (inherent to token-level
+    dedup; Lee et al. operate on the token stream too). One broadcast-or-
+    shuffle join + one codegen projection; the per-token span test is
+    linear in practice because spans per doc are few and sorted."""
+    sp = spans.select(F.col(id_col), "spans")
+    joined = docs.join(sp, id_col, "left")
+    tk = tokens(F.col(text_col))
+    covered = lambda i: F.exists(  # noqa: E731 — named for readability
+        F.coalesce(F.col("spans"),
+                   F.array().cast("array<struct<s:int,e:int>>")),
+        lambda s: (i + 1 >= s.s) & (i + 1 < s.e))
+    kept = F.filter(F.transform(tk, lambda t, i: F.struct(
+        t.alias("t"), covered(i).alias("c"))), lambda x: ~x.c)
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", F.transform(kept, lambda x: x.t)).alias("text"))

@@ -286,9 +286,13 @@ class CrawlJob:
         scheduled = sched.filter(F.col("sched_status") == "scheduled")
         deferred = sched.filter(F.col("sched_status") == "deferred")
 
-        # deterministic global crawl order within the round (P1)
+        # deterministic global crawl order within the round (P1).
+        # with_global_order is eager (range exchange + cache + per-partition
+        # count collect), so this tick cleanly splits the politeness windows
+        # + ordering from the fetch/extract work below
         scheduled = with_global_order(scheduled)
         go_cache = getattr(scheduled, "_global_order_cache", None)
+        _tick("schedule_order")
 
         # FETCH: the frontier is metadata-only; payloads join back for the
         # scheduled subset. Broadcasting the scheduled keys keeps the
@@ -404,7 +408,7 @@ class CrawlJob:
         # global-order cache behind it is no longer needed
         if go_cache is not None:
             go_cache.unpersist()
-        _tick("schedule_order_extract")
+        _tick("fetch_extract")
 
         counters["scheduled"] = sum(r["count"] for r in part_counts)
         counters["deferred"] = deferred.count()

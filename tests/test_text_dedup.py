@@ -210,3 +210,81 @@ def test_dedup_clusters_canonical_per_cluster(spark, docs):
     assert by_id[0]["is_canonical"]
     assert sum(r["is_canonical"] for r in out) == 1
     assert all(r["cluster_size"] == 4 for r in out)
+
+
+# --------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022 ExactSubstr analog)
+# --------------------------------------------------------------------------
+
+_PARA = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu")                      # 12 tokens, planted duplicate
+_UNIQ_A = "one two three four five six seven eight nine ten"
+_UNIQ_B = "red orange yellow green blue indigo violet pink brown black"
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    rows = [
+        # doc 0: unique prefix (10) + planted paragraph (12)
+        (0, _UNIQ_A + " " + _PARA),
+        # doc 1: planted paragraph (12) + unique suffix (10)
+        (1, _PARA + " " + _UNIQ_B),
+        # doc 2: fully unique, longer than k
+        (2, "solar lunar stellar nebular quasar pulsar comet meteor "
+            "asteroid planetoid dwarf giant"),
+        # doc 3: shorter than k tokens
+        (3, "tiny doc here"),
+        # doc 4: WITHIN-doc repetition — the paragraph twice
+        (4, _PARA + " " + _PARA),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_substring_spans_boundaries(spark, span_docs):
+    out = {r["doc_id"]: r
+           for r in TD.exact_substring_spans(span_docs, k=8).collect()}
+    # doc 0: paragraph occupies tokens 11..22 (1-based) → span [11, 23)
+    assert [(s["s"], s["e"]) for s in out[0]["spans"]] == [(11, 23)]
+    assert out[0]["dup_tokens"] == 12 and out[0]["n_tokens"] == 22
+    # doc 1: paragraph at the front → span [1, 13)
+    assert [(s["s"], s["e"]) for s in out[1]["spans"]] == [(1, 13)]
+    # doc 2: unique → no spans
+    assert out[2]["n_spans"] == 0 and out[2]["dup_tokens"] == 0
+    # doc 3: shorter than k → no windows, no spans
+    assert out[3]["n_spans"] == 0 and out[3]["n_tokens"] == 3
+    # doc 4: the ENTIRE doc is duplicated text (para appears 3x in the
+    # corpus); both copies merge into one maximal span [1, 25)
+    assert [(s["s"], s["e"]) for s in out[4]["spans"]] == [(1, 25)]
+    assert out[4]["dup_tokens"] == 24
+
+
+def test_exact_substring_spans_within_doc_only(spark):
+    # duplication ONLY within one doc (no cross-doc support) still counts
+    df = spark.createDataFrame(
+        [(0, _PARA + " filler words here " + _PARA),
+         (1, _UNIQ_A)], "doc_id int, text string")
+    out = {r["doc_id"]: r
+           for r in TD.exact_substring_spans(df, k=8).collect()}
+    assert out[0]["n_spans"] == 2
+    assert [(s["s"], s["e"]) for s in out[0]["spans"]] == [(1, 13), (16, 28)]
+    assert out[1]["n_spans"] == 0
+
+
+def test_exact_substring_spans_md5_matches_xxhash(spark, span_docs):
+    a = TD.exact_substring_spans(span_docs, k=8, hash_fn="xxhash64")
+    b = TD.exact_substring_spans(span_docs, k=8, hash_fn="md5")
+    rows_a = sorted(map(tuple, a.select("doc_id", "dup_tokens",
+                                        "n_spans").collect()))
+    rows_b = sorted(map(tuple, b.select("doc_id", "dup_tokens",
+                                        "n_spans").collect()))
+    assert rows_a == rows_b
+
+
+def test_remove_duplicate_spans(spark, span_docs):
+    spans = TD.exact_substring_spans(span_docs, k=8)
+    out = {r["doc_id"]: r["text"] for r in
+           TD.remove_duplicate_spans(span_docs, spans).collect()}
+    assert out[0] == _UNIQ_A          # paragraph removed, prefix survives
+    assert out[1] == _UNIQ_B
+    assert out[4] == ""               # fully duplicated doc → empty
+    assert out[3] == "tiny doc here"  # untouched short doc
