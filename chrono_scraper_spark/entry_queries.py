@@ -35,12 +35,14 @@ from chrono_scraper_spark.functions.urls import (
 from chrono_scraper_spark.operators import analytics as A
 from chrono_scraper_spark.operators import ann as ANN
 from chrono_scraper_spark.operators import intervals as IV
+from chrono_scraper_spark.operators import pii as PII
 from chrono_scraper_spark.operators import text_dedup as TD
 from chrono_scraper_spark.operators.dedup import (
     anti_join_seen,
     bloom_prefilter_anti_join,
     categorize_against_registry,
     collapse_digest,
+    cuckoo_prefilter_anti_join,
 )
 from chrono_scraper_spark.operators.filters import filter_stats, with_filter_decision
 from chrono_scraper_spark.operators.index import build_inverted_terms, tokenize
@@ -171,6 +173,17 @@ def q_seen_antijoin_bloom_bucketed(spark, sf_dir):
     return bloom_prefilter_anti_join(
         _cand(spark, sf_dir), _seen(spark, sf_dir), keys=["url", "ts14"],
         n_buckets=8,
+    ).select("url", "ts14")
+
+
+def q_seen_antijoin_cuckoo(spark, sf_dir):
+    """D4 via the sharded cuckoo filter (functions/cuckoo.py — deletable
+    seen set, north-star's Bloom/Cuckoo alternative): broadcast shard
+    tables prefilter, exact anti-join confirms — output provably identical
+    to the plain anti-join oracle."""
+    return cuckoo_prefilter_anti_join(
+        _cand(spark, sf_dir), _seen(spark, sf_dir), keys=["url", "ts14"],
+        n_shards=4,
     ).select("url", "ts14")
 
 
@@ -545,6 +558,74 @@ def q_langid(spark, sf_dir):
 
 SQL_LANGID = f"""
 SELECT doc_id, {OG.langid_sql('text')} AS lang_pred FROM documents"""
+
+
+def _docs_with_pii(spark, sf_dir):
+    """Deterministic PII planting (the documents corpus is synthetic prose
+    with no organic PII): typed fragments derived from doc_id, mirrored
+    verbatim by the oracle CTE chain."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did, text = F.col("doc_id"), F.col("text")
+    text = F.when(did % 7 == 0, F.concat(
+        text, F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com for details"))).otherwise(text)
+    text = F.when(did % 11 == 0, F.concat(
+        text, F.lit(" server at 192.168."), (did % 250).cast("string"),
+        F.lit("."), ((did * 7) % 250).cast("string"))).otherwise(text)
+    text = F.when(did % 13 == 0, F.concat(
+        text, F.lit(" call (555) 123-4567 or 555.987.6543 today")))\
+        .otherwise(text)
+    text = F.when(did % 17 == 0, F.concat(
+        text, F.lit(" ssn 123-45-6789 on file"))).otherwise(text)
+    return d.select("doc_id", text.alias("text"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII anonymization (operators/pii.py): typed placeholder redaction +
+    per-family counts, value-checked to the byte via md5 of the redacted
+    text. Zero-shuffle projection — the 100 TB shape."""
+    out = PII.with_pii_redaction(_docs_with_pii(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "n_pii",
+        "has_pii", F.md5(F.col("text_redacted")).alias("redacted_md5"))
+
+
+def _sql_docs_with_pii() -> str:
+    return """
+p1 AS (SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+    CAST(doc_id AS VARCHAR) || '@example.com for details'
+  ELSE text END AS text FROM documents),
+p2 AS (SELECT doc_id,
+  CASE WHEN doc_id % 11 = 0 THEN text || ' server at 192.168.' ||
+    CAST(doc_id % 250 AS VARCHAR) || '.' ||
+    CAST((doc_id * 7) % 250 AS VARCHAR)
+  ELSE text END AS text FROM p1),
+p3 AS (SELECT doc_id,
+  CASE WHEN doc_id % 13 = 0 THEN text ||
+    ' call (555) 123-4567 or 555.987.6543 today'
+  ELSE text END AS text FROM p2),
+docs_pii AS (SELECT doc_id,
+  CASE WHEN doc_id % 17 = 0 THEN text || ' ssn 123-45-6789 on file'
+  ELSE text END AS text FROM p3)"""
+
+
+def _sql_pii_redact() -> str:
+    c = PII.sql_pii_chain("text")
+    return f"""WITH {_sql_docs_with_pii()}
+SELECT doc_id,
+  {c['n_email']} AS n_email,
+  {c['n_ipv4']} AS n_ipv4,
+  {c['n_ssn']} AS n_ssn,
+  {c['n_phone']} AS n_phone,
+  {c['n_email']} + {c['n_ipv4']} + {c['n_ssn']} + {c['n_phone']} AS n_pii,
+  ({c['n_email']} + {c['n_ipv4']} + {c['n_ssn']} + {c['n_phone']}) > 0
+    AS has_pii,
+  md5({c['redacted']}) AS redacted_md5
+FROM docs_pii"""
+
+
+SQL_PII_REDACT = _sql_pii_redact()
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -2238,7 +2319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "facet_counts": q_facet_counts,
     "fulltext_proximity": q_fulltext_proximity,
-    "search_highlight": q_search_highlight,
+    "pii_redact": q_pii_redact,
     "pagination": q_pagination,
     "entity_extract": q_entity_extract,
     "extraction_stats": q_extraction_stats,
@@ -2257,6 +2338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # all were driver-green in r01-r03 and stay in check_oracles.py) ----
     "seen_antijoin": q_seen_antijoin,            # plain-join variant of D4
     "seen_antijoin_bloom": q_seen_antijoin_bloom,  # driver-bitmap variant
+    "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,  # deletable-filter D4
     "politeness_schedule": q_politeness_schedule,  # unpruned variant of P4
     "minhash_signatures": q_minhash_signatures,  # minhash_pairs stage 1
     "ngram_jaccard_planted": q_ngram_jaccard_planted,  # exact-Jaccard base
@@ -2265,6 +2347,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_facets": q_cdx_facets,                  # facet family, cdx table
     "ann_topk": q_ann_topk,                      # brute-force ANN baseline
     "ann_topk_ivf": q_ann_topk_ivf,              # IVF ANN (driver-green r03)
+    "search_highlight": q_search_highlight,      # crop/highlight display
+    # transform of fulltext_proximity's index (driver-green r03; rotated
+    # out of the window for the new pii_redact family)
     "pdf_extraction_identity": q_pdf_extraction_identity,  # E5 PDF branch
     "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
 }
@@ -2276,6 +2361,7 @@ ORACLES: dict[str, str] = {
     "seen_antijoin": SQL_SEEN_ANTI_JOIN,
     "seen_antijoin_bloom": SQL_SEEN_ANTI_JOIN,
     "seen_antijoin_bloom_bucketed": SQL_SEEN_ANTI_JOIN,
+    "seen_antijoin_cuckoo": SQL_SEEN_ANTI_JOIN,
     "registry_categorize": SQL_REGISTRY_CATEGORIZE,
     "politeness_schedule": SQL_POLITENESS_SCHEDULE,
     "politeness_schedule_pruned": SQL_POLITENESS_SCHEDULE_PRUNED,
@@ -2293,6 +2379,7 @@ ORACLES: dict[str, str] = {
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "doc_stats": SQL_DOC_STATS,
     "langid": SQL_LANGID,
+    "pii_redact": SQL_PII_REDACT,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "exact_dups": SQL_EXACT_DUPS,
     "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,

@@ -114,6 +114,52 @@ def bloom_prefilter_anti_join(
     return definitely_new.unionByName(confirmed_new)
 
 
+def cuckoo_prefilter_anti_join(
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    keys: list[str] = SEEN_KEY,
+    expected_items: int | None = None,
+    n_shards: int = 8,
+    cuckoo_dir: str | None = None,
+    partitioned: bool = False,
+) -> DataFrame:
+    """D4 at scale, cuckoo variant: identical prefilter-then-exact shape as
+    ``bloom_prefilter_anti_join`` (false positives re-checked, false
+    negatives impossible for inserted keys — overflow list guarantees it at
+    ANY load), but the filter is a sharded cuckoo table
+    (functions/cuckoo.py), which additionally supports RETRACTION: a key
+    can be deleted from the seen filter without a rebuild
+    (delete_cuckoo_partitioned), e.g. re-opening a terminally-failed URL
+    for recrawl. ``partitioned=True`` is the 10^10-key path (shard files on
+    shared storage, probed shard-locally, no broadcast)."""
+    from ..functions.cuckoo import (
+        build_cuckoo,
+        build_cuckoo_partitioned,
+        with_cuckoo_probe,
+        with_cuckoo_probe_partitioned,
+    )
+
+    key_expr = F.concat_ws("\x1f", *[F.col(k) for k in keys])
+    n = expected_items or url_seen.count()
+    if n == 0:
+        return candidates
+    if partitioned:
+        import tempfile
+
+        out_dir = cuckoo_dir or tempfile.mkdtemp(prefix="cuckoo_shards_")
+        meta = build_cuckoo_partitioned(url_seen, key_expr, out_dir, n,
+                                        n_shards=n_shards)
+        cand = with_cuckoo_probe_partitioned(candidates, key_expr, meta,
+                                             "__maybe")
+    else:
+        filters = build_cuckoo(url_seen, key_expr, n, n_shards=n_shards)
+        cand = with_cuckoo_probe(candidates, key_expr, filters, "__maybe")
+    definitely_new = cand.filter(~F.col("__maybe")).drop("__maybe")
+    maybe = cand.filter(F.col("__maybe")).drop("__maybe")
+    confirmed_new = anti_join_seen(maybe, url_seen, keys)
+    return definitely_new.unionByName(confirmed_new)
+
+
 def categorize_against_registry(candidates: DataFrame, registry: DataFrame,
                                 keys: list[str] = SEEN_KEY) -> DataFrame:
     """D5: one-pass three-way split (cdx_deduplication_service.py:77-196):
