@@ -37,6 +37,7 @@ from chrono_scraper_spark.operators import ann as ANN
 from chrono_scraper_spark.operators import intervals as IV
 from chrono_scraper_spark.operators import pii as PII
 from chrono_scraper_spark.operators import text_dedup as TD
+from chrono_scraper_spark.operators import url_quality as UQ
 from chrono_scraper_spark.operators.dedup import (
     anti_join_seen,
     bloom_prefilter_anti_join,
@@ -185,6 +186,52 @@ def q_seen_antijoin_cuckoo(spark, sf_dir):
         _cand(spark, sf_dir), _seen(spark, sf_dir), keys=["url", "ts14"],
         n_shards=4,
     ).select("url", "ts14")
+
+
+def q_url_blocklist(spark, sf_dir):
+    """RefinedWeb-style URL filtering (operators/url_quality.py): exact
+    broadcast domain blocklist + codegen banned-word score. Spam fragments
+    planted deterministically (synthetic frontier URLs carry none);
+    blocklist = hosts of every doc_id % 31 == 0 row."""
+    cand = _cand(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = cand.withColumn("url", F.concat(
+        F.col("url"),
+        F.when(did % 9 == 0, F.lit("?ref=casino-bonus"))
+        .when(did % 21 == 0, F.lit("/adult-dating-webcam"))
+        .when(did % 33 == 0, F.lit("/viagra-pills-xxx"))
+        .otherwise(F.lit(""))))
+    bl = planted.filter(did % 31 == 0).select(F.col("host").alias("domain"))
+    out = UQ.with_url_quality(planted, bl)
+    return out.select(
+        "url", "ts14", "blocklisted",
+        F.col("url_spam_score").cast("double").alias("url_spam_score"),
+        "url_decision")
+
+
+SQL_URL_BLOCKLIST = _PRELUDE + f""",
+planted AS (
+  SELECT url ||
+    CASE WHEN doc_id % 9 = 0 THEN '?ref=casino-bonus'
+         WHEN doc_id % 21 = 0 THEN '/adult-dating-webcam'
+         WHEN doc_id % 33 = 0 THEN '/viagra-pills-xxx'
+         ELSE '' END AS url,
+    ts14, host, doc_id
+  FROM cand
+),
+bl AS (SELECT DISTINCT host AS domain FROM planted WHERE doc_id % 31 = 0),
+scored AS (
+  SELECT p.url, p.ts14,
+    (b.domain IS NOT NULL) AS blocklisted,
+    {UQ.sql_url_spam_score('p.url')} AS url_spam_score
+  FROM planted p LEFT JOIN bl b ON p.host = b.domain
+)
+SELECT url, ts14, blocklisted,
+  CAST(url_spam_score AS DOUBLE) AS url_spam_score,
+  CASE WHEN blocklisted THEN 'blocked_domain'
+       WHEN url_spam_score >= {UQ.BLOCK_THRESHOLD} THEN 'blocked_spam'
+       ELSE 'clean' END AS url_decision
+FROM scored"""
 
 
 def q_registry_categorize(spark, sf_dir):
@@ -2320,7 +2367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_counts": q_facet_counts,
     "fulltext_proximity": q_fulltext_proximity,
     "pii_redact": q_pii_redact,
-    "pagination": q_pagination,
+    "url_blocklist": q_url_blocklist,
     "entity_extract": q_entity_extract,
     "extraction_stats": q_extraction_stats,
     "project_monthly": q_project_monthly,
@@ -2350,6 +2397,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_highlight": q_search_highlight,      # crop/highlight display
     # transform of fulltext_proximity's index (driver-green r03; rotated
     # out of the window for the new pii_redact family)
+    "pagination": q_pagination,                  # O3 offset/limit
+    # (driver-green r03; top-k family covered by crawl_order +
+    # top_customers — rotated out for the new url_blocklist family)
     "pdf_extraction_identity": q_pdf_extraction_identity,  # E5 PDF branch
     "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
 }
@@ -2380,6 +2430,7 @@ ORACLES: dict[str, str] = {
     "doc_stats": SQL_DOC_STATS,
     "langid": SQL_LANGID,
     "pii_redact": SQL_PII_REDACT,
+    "url_blocklist": SQL_URL_BLOCKLIST,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "exact_dups": SQL_EXACT_DUPS,
     "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
