@@ -38,6 +38,7 @@ from chrono_scraper_spark.operators import intervals as IV
 from chrono_scraper_spark.operators import pii as PII
 from chrono_scraper_spark.operators import text_dedup as TD
 from chrono_scraper_spark.operators import url_quality as UQ
+from chrono_scraper_spark.operators.asof import asof_join
 from chrono_scraper_spark.operators.dedup import (
     anti_join_seen,
     bloom_prefilter_anti_join,
@@ -574,6 +575,49 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def q_asof_join(spark, sf_dir):
+    """J8 as-of join (operators/asof.py — union+window, one shuffle, no
+    range explosion): each event joined to the latest at-or-before
+    snapshot event of the same user (snapshots = event_id % 20 == 0,
+    deduped per (user_id, ts) keeping max event_id). Oracle is DuckDB's
+    NATIVE ASOF JOIN — a fully independent implementation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts") \
+        .orderBy(F.col("snap_event_id").desc())
+    snaps = (ev.filter(F.col("event_id") % 20 == 0)
+             .select("user_id", "ts",
+                     F.col("event_id").alias("snap_event_id"),
+                     F.col("value").alias("snap_value"))
+             .withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1).drop("__rn"))
+    left = ev.filter(F.col("event_id") % 20 != 0) \
+        .select("event_id", "user_id", "ts")
+    out = asof_join(left, snaps, on=["user_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_snap_event_id").alias("snap_event_id"),
+        F.col("asof_snap_value").alias("snap_value"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("asof_ts").cast("timestamp")))
+        .alias("staleness_us"))
+
+
+SQL_ASOF_JOIN = """
+WITH snaps AS (
+  SELECT user_id, ts, snap_event_id, snap_value FROM (
+    SELECT user_id, ts, event_id AS snap_event_id, value AS snap_value,
+      row_number() OVER (PARTITION BY user_id, ts
+                         ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id % 20 = 0)
+  WHERE rn = 1
+),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 20 != 0)
+SELECT l.event_id, l.user_id, s.snap_event_id, s.snap_value,
+  epoch_us(l.ts) - epoch_us(s.ts) AS staleness_us
+FROM l ASOF LEFT JOIN snaps s
+  ON l.user_id = s.user_id AND l.ts >= s.ts"""
+
+
 # --------------------------------------------------------------------------
 # text analysis over documents
 # --------------------------------------------------------------------------
@@ -874,7 +918,9 @@ def q_exact_substring_spans(spark, sf_dir):
         .alias("span_sig"))
 
 
-SQL_EXACT_SUBSTRING_SPANS = f"""WITH {_SQL_DOCS_CLONES},
+# CTE chain shared by the spans and removal oracles: docs2 → toks → …
+# → sp (merged duplicated-run spans per doc, 1-based [s, e))
+_SQL_ESS_SPAN_CTES = f"""{_SQL_DOCS_CLONES},
 toks AS (SELECT doc_id, {OG.tokens_sql('text')} AS tk FROM docs2),
 gr AS (
   SELECT doc_id,
@@ -901,7 +947,9 @@ isl AS (
 sp AS (
   SELECT doc_id, min(pos) AS s, max(pos) + {_ESS_K} AS e
   FROM isl GROUP BY doc_id, island
-),
+)"""
+
+SQL_EXACT_SUBSTRING_SPANS = f"""WITH {_SQL_ESS_SPAN_CTES},
 agg AS (
   SELECT doc_id, count(*) AS n_spans,
     CAST(sum(e - s) AS BIGINT) AS dup_tokens,
@@ -916,6 +964,41 @@ SELECT t.doc_id,
         / greatest(len(t.tk), 1), 6) AS dup_frac,
   coalesce(a.span_sig, md5('')) AS span_sig
 FROM toks t LEFT JOIN agg a USING (doc_id)"""
+
+
+def q_exact_substring_removal(spark, sf_dir):
+    """The removal step of ExactSubstr dedup (Lee et al. 2022): every token
+    covered by a duplicated span dropped, survivors rejoined
+    (text_dedup.remove_duplicate_spans). Value-checked via md5 of the
+    reconstructed text per doc."""
+    docs = _docs_with_clones(spark, sf_dir)
+    spans = TD.exact_substring_spans(docs, k=_ESS_K, hash_fn="md5")
+    out = TD.remove_duplicate_spans(docs, spans)
+    return out.select(
+        "doc_id",
+        F.length("text").cast("long").alias("kept_chars"),
+        F.md5(F.col("text")).alias("kept_md5"))
+
+
+SQL_EXACT_SUBSTRING_REMOVAL = f"""WITH {_SQL_ESS_SPAN_CTES},
+tok_idx AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS i, unnest(tk) AS tok
+  FROM toks
+),
+kept AS (
+  SELECT ti.doc_id, ti.i, ti.tok
+  FROM tok_idx ti
+  LEFT JOIN sp ON sp.doc_id = ti.doc_id AND ti.i >= sp.s AND ti.i < sp.e
+  WHERE sp.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(length(coalesce(r.text, '')) AS BIGINT) AS kept_chars,
+  md5(coalesce(r.text, '')) AS kept_md5
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)"""
 
 
 # --------------------------------------------------------------------------
@@ -2402,6 +2485,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # top_customers — rotated out for the new url_blocklist family)
     "pdf_extraction_identity": q_pdf_extraction_identity,  # E5 PDF branch
     "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
+    "asof_join": q_asof_join,                    # J8 (oracle: native ASOF)
+    "exact_substring_removal": q_exact_substring_removal,  # ESS step 2
 }
 
 ORACLES: dict[str, str] = {
@@ -2468,6 +2553,8 @@ ORACLES: dict[str, str] = {
     "warc_identity": SQL_WARC_IDENTITY,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "exact_substring_spans": SQL_EXACT_SUBSTRING_SPANS,
+    "exact_substring_removal": SQL_EXACT_SUBSTRING_REMOVAL,
+    "asof_join": SQL_ASOF_JOIN,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,
     "lm_buckets": SQL_LM_BUCKETS,
 }
