@@ -2424,6 +2424,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4 ---
     "fulltext_ranked": q_fulltext_ranked,
     "exact_substring_spans": q_exact_substring_spans,
+    "exact_substring_removal": q_exact_substring_removal,  # ESS step 2
+    "asof_join": q_asof_join,                    # J8 (oracle: native ASOF)
+    "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,  # deletable-filter D4
+    "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
     # --- one entry per remaining operator family ---
     "filter_decisions": q_filter_decisions,
     "filter_stats": q_filter_stats,
@@ -2438,10 +2442,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "status_percentiles": q_status_percentiles,
     "domain_profile": q_domain_profile,
     "domain_similarity": q_domain_similarity,
-    "size_distribution": q_size_distribution,
     "interval_merge": q_interval_merge,
     "gap_detect": q_gap_detect,
-    "sliding_window_count": q_sliding_window_count,
     "events_tumbling": q_events_tumbling,
     "doc_stats": q_doc_stats,
     "langid": q_langid,
@@ -2456,8 +2458,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "project_monthly": q_project_monthly,
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dups": q_embedding_near_dups,
-    "lineitem_rollup": q_lineitem_rollup,
-    "top_customers": q_top_customers,
     "simhash_pairs": q_simhash_pairs,
     "hybrid_source": q_hybrid_source,
     "extraction_identity": q_extraction_identity,
@@ -2468,8 +2468,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # all were driver-green in r01-r03 and stay in check_oracles.py) ----
     "seen_antijoin": q_seen_antijoin,            # plain-join variant of D4
     "seen_antijoin_bloom": q_seen_antijoin_bloom,  # driver-bitmap variant
-    "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,  # deletable-filter D4
     "politeness_schedule": q_politeness_schedule,  # unpruned variant of P4
+    "size_distribution": q_size_distribution,    # CASE-bucket agg (green r01-r03)
+    "sliding_window_count": q_sliding_window_count,  # P6 (green r01-r03)
+    "lineitem_rollup": q_lineitem_rollup,        # A2 rollup (green r01-r03)
+    "top_customers": q_top_customers,            # J3 fact join (green r01-r03)
     "minhash_signatures": q_minhash_signatures,  # minhash_pairs stage 1
     "ngram_jaccard_planted": q_ngram_jaccard_planted,  # exact-Jaccard base
     "fulltext_match": q_fulltext_match,          # words rule (in ranked)
@@ -2484,9 +2487,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (driver-green r03; top-k family covered by crawl_order +
     # top_customers — rotated out for the new url_blocklist family)
     "pdf_extraction_identity": q_pdf_extraction_identity,  # E5 PDF branch
-    "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
-    "asof_join": q_asof_join,                    # J8 (oracle: native ASOF)
-    "exact_substring_removal": q_exact_substring_removal,  # ESS step 2
 }
 
 ORACLES: dict[str, str] = {
