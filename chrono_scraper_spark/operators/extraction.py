@@ -418,20 +418,7 @@ def with_extraction(pages: DataFrame, html_col: str = "html",
     # (byte-identical to _markdown(): "# {title}\n\n{text}" when title is
     # non-empty, else text; null text propagates through concat to null)
     out = pages.withColumn("_xcore", core)
-    x = F.col("_xcore")
-    markdown = F.when(
-        x["title"].isNotNull() & (x["title"] != ""),
-        F.concat(F.lit("# "), x["title"], F.lit("\n\n"), x["text"]),
-    ).otherwise(x["text"])
-    extracted = F.struct(
-        x["text"].alias("text"),
-        x["title"].alias("title"),
-        x["method"].alias("method"),
-        x["word_count"].alias("word_count"),
-        markdown.alias("markdown"),
-        x["og_title"].alias("og_title"),
-        x["pub_date"].alias("pub_date"),
-    )
+    extracted = _extracted_struct(lambda c: F.col("_xcore")[c])
     out = out.withColumn("extracted", extracted).drop("_xcore")
     return out.withColumn(
         "fetch_status",
@@ -474,3 +461,143 @@ def with_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
             "character_count": F.coalesce(F.length(text), F.lit(0)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# E11: extraction cache
+# ---------------------------------------------------------------------------
+
+_CACHE_CORE = ("text", "title", "method", "word_count", "og_title",
+               "pub_date")
+EXTRACT_CACHE_SCHEMA = (
+    "digest string, mime string, text string, title string, method string, "
+    "word_count int, og_title string, pub_date string, cached_at double"
+)
+
+
+def _extracted_struct(col) -> F.Column:
+    """Reassemble the ``extracted`` struct (incl. JVM-side markdown) from a
+    function mapping core-column name → Column — shared by the UDF path
+    (with_extraction) and the cache-hit path (byte-identical output)."""
+    markdown = F.when(
+        col("title").isNotNull() & (col("title") != ""),
+        F.concat(F.lit("# "), col("title"), F.lit("\n\n"), col("text")),
+    ).otherwise(col("text"))
+    return F.struct(
+        col("text").alias("text"),
+        col("title").alias("title"),
+        col("method").alias("method"),
+        col("word_count").alias("word_count"),
+        markdown.alias("markdown"),
+        col("og_title").alias("og_title"),
+        col("pub_date").alias("pub_date"),
+    )
+
+
+def with_extraction_cached(
+    pages: DataFrame,
+    catalog,
+    *,
+    table: str = "extract_cache",
+    html_col: str = "html",
+    mime_col: str = "mime",
+    kernel: str = "pinned",
+    ttl_seconds: float | None = None,
+    now: float | None = None,
+    update_cache: bool = True,
+) -> DataFrame:
+    """E11 extraction cache: ``with_extraction`` semantics, but payloads whose
+    ``(md5(payload), mime)`` key is already in the catalog's cache table skip
+    the Arrow/Python kernel entirely.
+
+    The reference caches extraction results in Redis keyed by MD5 with a 1 h
+    TTL (robust_content_extractor.py:197-241). The engine analog is a
+    catalog-native cache table — ``(digest, mime) → core extraction columns``
+    — maintained with insert-only MERGE (one O(delta) fragment per round,
+    same merge-on-read shape as every other engine table). The key is the
+    hash of the EXACT kernel input (``md5(html)``), not the CDX *content*
+    digest: two captures can share extracted-text digests while their raw
+    payloads (and hence metadata like pub_date) differ — keying on the
+    payload hash makes a hit provably equivalent to recomputation.
+
+    1. distinct un-cached ``(md5(payload), mime)`` keys are extracted ONCE —
+       the in-batch distinct means duplicate payloads cross the Arrow
+       boundary at most once even on a cold cache (the reference's Redis
+       round-trip cannot pool within a batch);
+    2. the fresh rows are MERGE-inserted, then EVERY input row resolves by
+       a plain equi-join on the cache — one shuffle on the payload hash,
+       the same shape as the D1 digest-collapse stage;
+    3. rows with a NULL payload (or any key unresolved when
+       ``update_cache=False``) fall back to the inline UDF path.
+
+    ``ttl_seconds`` gates *use* at read time (reference-parity knob). The
+    kernel is deterministic, so stale entries are never *wrong* — entries
+    are immutable once written and an expired key is simply re-extracted
+    inline each round (insert-only MERGE does not refresh it); the TTL's
+    real purpose at scale is bounding the cache join's build side.
+
+    At 100 TB the win is the steady-state recrawl: the per-page Python
+    kernel (the dominant per-URL CPU cost) runs only for the changed-content
+    fraction; unchanged pages cost one hash-join probe.
+    """
+    import time as _time
+
+    now = _time.time() if now is None else now
+    mime_expr = (F.col(mime_col) if mime_col in pages.columns
+                 else F.lit("text/html"))
+    keyed = pages.withColumn("__mime", mime_expr) \
+        .withColumn("__pk", F.md5(F.col(html_col)))
+
+    def _live(df: DataFrame) -> DataFrame:
+        if ttl_seconds is None:
+            return df
+        return df.filter(F.col("cached_at") >= F.lit(float(now) - ttl_seconds))
+
+    cache = _live(catalog.read_or_empty(table, EXTRACT_CACHE_SCHEMA))
+
+    if update_cache:
+        todo = (
+            keyed.filter(F.col("__pk").isNotNull())
+            .select(F.col("__pk").alias("digest"),
+                    F.col("__mime").alias("mime"), F.col(html_col))
+            .dropDuplicates(["digest", "mime"])
+            .join(cache.select("digest", "mime"), ["digest", "mime"],
+                  "left_anti")
+        )
+        ext = with_extraction(todo, html_col=html_col, mime_col="mime",
+                              kernel=kernel)
+        fresh = ext.select(
+            "digest", "mime",
+            *[F.col(f"extracted.{c}").alias(c) for c in _CACHE_CORE],
+            F.lit(float(now)).alias("cached_at"),
+        )
+        catalog.merge_not_matched(table, fresh, keys=["digest", "mime"],
+                                  assume_unique=True)
+        cache = _live(catalog.read(table))
+
+    aux = ["__mime", "__pk", "__cd", "__cm"] + \
+        [f"__c_{c}" for c in _CACHE_CORE]
+    cren = cache.select(
+        F.col("digest").alias("__cd"), F.col("mime").alias("__cm"),
+        *[F.col(c).alias(f"__c_{c}") for c in _CACHE_CORE])
+    joined = keyed.join(
+        cren,
+        (F.col("__pk") == F.col("__cd")) & (F.col("__mime") == F.col("__cm")),
+        "left",
+    )
+
+    hits = (
+        joined.filter(F.col("__cm").isNotNull())
+        .withColumn("extracted",
+                    _extracted_struct(lambda c: F.col(f"__c_{c}")))
+        .withColumn(
+            "fetch_status",
+            F.when(F.col("extracted.word_count") > C.MIN_WORD_COUNT,
+                   F.lit(C.STATUS_COMPLETED)).otherwise(F.lit(C.STATUS_FAILED)),
+        )
+        .drop(*aux)
+    )
+    miss_rows = joined.filter(F.col("__cm").isNull()).drop(*aux)
+    misses = with_extraction(miss_rows, html_col=html_col,
+                             mime_col=mime_col, kernel=kernel)
+    return hits.unionByName(misses)

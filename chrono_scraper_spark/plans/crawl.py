@@ -37,6 +37,7 @@ from ..operators.dedup import (
 )
 from ..operators.extraction import (
     with_extraction,
+    with_extraction_cached,
     with_quality_score,
 )
 from ..operators.filters import with_filter_decision
@@ -82,6 +83,7 @@ class CrawlJob:
         failure_rate_trip: float | None = None,
         fetch_mode: str = "replay",
         http_fetch: dict | None = None,
+        extract_cache: bool = False,
     ):
         self.spark = spark
         self.cat = catalog
@@ -117,6 +119,11 @@ class CrawlJob:
         # (circuit_breaker.py:16-277 — per-service breakers collapse to one
         # per-round failure-rate check under deterministic rounds).
         self.failure_rate_trip = failure_rate_trip
+        # E11: digest-keyed extraction-cache table (extraction.py:
+        # with_extraction_cached) — recrawled unchanged payloads skip the
+        # Arrow kernel. Off by default: a one-pass replay never re-sees a
+        # payload, so the cache would only add a join.
+        self.extract_cache = extract_cache
         # S7: "replay" joins payloads from the corpus (default; deterministic
         # parity mode); "http" fetches each scheduled URL live through
         # sources.httpfetch.fetch_http (kwargs via ``http_fetch``) — the
@@ -373,7 +380,12 @@ class CrawlJob:
         # html is consumed by the extraction UDF and nothing after it —
         # dropping it before the cache keeps ~half the cached bytes (5 KB
         # payload/row) out of memory and out of every downstream read
-        extracted = with_extraction(work).drop("html")
+        if self.extract_cache:
+            # E11: payload-hash cache table — unchanged payloads across
+            # rounds/recrawls skip the Arrow kernel (extraction.py docstring)
+            extracted = with_extraction_cached(work, self.cat).drop("html")
+        else:
+            extracted = with_extraction(work).drop("html")
         extracted = with_quality_score(
             extracted, "extracted.text").cache()
 
