@@ -2238,6 +2238,62 @@ SELECT sl.doc_id, sl.lang, sl.mean_logprob,
 FROM sl JOIN th USING (lang)"""
 
 
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    bag models (256 buckets via leading md5 hex digits), nano-quantized
+    log importance ratios, deterministic Gumbel-top-k selection of 100 docs.
+    Target distribution = doc_id % 7 == 0; raw = the rest. The oracle
+    recomputes models, weights, Gumbel keys and ranking relationally."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 7 == 0)
+    raw = d.filter(F.col("doc_id") % 7 != 0)
+    return Q.dsir_sample(raw, target, k=100, hash_digits=2)
+
+
+SQL_DSIR_SAMPLE = f"""
+WITH tk AS (SELECT doc_id, {OG.tokens_sql('text')} AS t FROM documents),
+gr AS (
+  SELECT doc_id,
+    unnest(list_concat(t, {OG.kgrams_sql('t', 2)})) AS g
+  FROM tk
+),
+gb AS (SELECT doc_id, {OG.hex_int_sql('md5(g)', 1, 2)} AS b FROM gr),
+tc AS (SELECT b, count(*) AS tcnt FROM gb WHERE doc_id % 7 = 0 GROUP BY b),
+rc AS (SELECT b, count(*) AS rcnt FROM gb WHERE doc_id % 7 != 0 GROUP BY b),
+tt AS (SELECT sum(tcnt) AS tot_t FROM tc),
+tr AS (SELECT sum(rcnt) AS tot_r FROM rc),
+model AS (
+  SELECT coalesce(tc.b, rc.b) AS b,
+    CAST(floor((ln((coalesce(tcnt, 0) + 1) / (tot_t + 256))
+              - ln((coalesce(rcnt, 0) + 1) / (tot_r + 256))) * 1e9)
+         AS BIGINT) AS lograt_nano
+  FROM tc FULL JOIN rc ON tc.b = rc.b, tt, tr
+),
+sc AS (
+  SELECT gb.doc_id, count(*) AS n_grams,
+         CAST(sum(m.lograt_nano) AS BIGINT) AS logw_nano
+  FROM gb JOIN model m USING (b) WHERE gb.doc_id % 7 != 0
+  GROUP BY gb.doc_id
+),
+allraw AS (SELECT doc_id FROM documents WHERE doc_id % 7 != 0),
+gk AS (
+  SELECT a.doc_id, coalesce(n_grams, 0) AS n_grams,
+    coalesce(logw_nano, 0) AS logw_nano,
+    CAST(floor(-ln(-ln(
+      ({OG.hex_int_sql("md5('dsir:' || CAST(a.doc_id AS VARCHAR))", 1, 12)}
+       + 0.5) / 281474976710656.0)) * 1e9) AS BIGINT) AS gumbel_nano
+  FROM allraw a LEFT JOIN sc ON a.doc_id = sc.doc_id
+)
+SELECT doc_id, n_grams, logw_nano, gumbel_nano,
+  logw_nano + gumbel_nano AS key_nano,
+  CAST(row_number() OVER (ORDER BY (logw_nano + gumbel_nano) DESC, doc_id)
+       AS INT) AS rank
+FROM gk
+ORDER BY key_nano DESC, doc_id LIMIT 100"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: the 10 smallest-md5(doc_id) docs
     per source, ranked — the data-mixing per-domain cap sample. Runs the
@@ -2425,6 +2481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fulltext_ranked": q_fulltext_ranked,
     "exact_substring_spans": q_exact_substring_spans,
     "exact_substring_removal": q_exact_substring_removal,  # ESS step 2
+    "dsir_sample": q_dsir_sample,                # DSIR importance resampling
     "asof_join": q_asof_join,                    # J8 (oracle: native ASOF)
     "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,  # deletable-filter D4
     "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
@@ -2454,7 +2511,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "url_blocklist": q_url_blocklist,
     "entity_extract": q_entity_extract,
-    "extraction_stats": q_extraction_stats,
     "project_monthly": q_project_monthly,
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2469,6 +2525,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seen_antijoin": q_seen_antijoin,            # plain-join variant of D4
     "seen_antijoin_bloom": q_seen_antijoin_bloom,  # driver-bitmap variant
     "politeness_schedule": q_politeness_schedule,  # unpruned variant of P4
+    "extraction_stats": q_extraction_stats,      # A-family (green r01-r03)
     "size_distribution": q_size_distribution,    # CASE-bucket agg (green r01-r03)
     "sliding_window_count": q_sliding_window_count,  # P6 (green r01-r03)
     "lineitem_rollup": q_lineitem_rollup,        # A2 rollup (green r01-r03)
@@ -2554,6 +2611,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "exact_substring_spans": SQL_EXACT_SUBSTRING_SPANS,
     "exact_substring_removal": SQL_EXACT_SUBSTRING_REMOVAL,
+    "dsir_sample": SQL_DSIR_SAMPLE,
     "asof_join": SQL_ASOF_JOIN,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,
     "lm_buckets": SQL_LM_BUCKETS,

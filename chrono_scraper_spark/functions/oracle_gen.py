@@ -276,3 +276,14 @@ def simhash_bits_concat_sql() -> str:
     """Reassemble the 64 sign bits into the bit string (b0 leftmost)."""
     return " || ".join(
         f"CASE WHEN b{b} > 0 THEN '1' ELSE '0' END" for b in range(64))
+
+
+def hex_int_sql(hx: str, start: int, n: int) -> str:
+    """Integer value of ``n`` hex digits of ``hx`` starting at 1-based
+    ``start`` — DuckDB twin of operators.quality._hex_int (n ≤ 15)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hx}, {start + i}, 1)) - 1) "
+        f"* {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"

@@ -439,3 +439,108 @@ def lm_buckets(scored: DataFrame, strata_col: str = "lang",
                     .when(F.col(score_col) >= F.element_at("_t", 1),
                           "middle")
                     .otherwise("tail").alias("bucket")))
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169)
+# --------------------------------------------------------------------------
+
+def _hex_int(col: Column, start: int, n: int) -> Column:
+    """Integer value of ``n`` hex digits of a hex string starting at 1-based
+    ``start`` — the portable md5→int idiom (n ≤ 15 keeps it in a long)."""
+    return F.conv(F.substring(col, start, n), 16, 10).cast("long")
+
+
+def _dsir_grams(text_col: str) -> Column:
+    """Unigrams + bigrams (the paper's hashed n-gram feature set)."""
+    toks = T.tokens(F.col(text_col))
+    return F.concat(toks, kgrams(toks, 2))
+
+
+def dsir_importance(raw: DataFrame, target: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    hash_digits: int = 2,
+                    gumbel_seed: str = "dsir") -> DataFrame:
+    """Per-document DSIR importance weights: hashed-ngram bag models of the
+    target and raw distributions, log importance ratio summed over each raw
+    document's gram occurrences, plus a deterministic Gumbel perturbation
+    for top-k sampling (Gumbel-max trick ⇒ sampling without replacement
+    ∝ importance weight).
+
+    Feature space: unigram+bigram tokens hashed into ``16**hash_digits``
+    buckets via the leading md5 hex digits (portable to the DuckDB oracle).
+    Models are add-one smoothed over the full bucket space. All log-ratio
+    arithmetic is nano-quantized to integers (``floor(ln(·)·1e9)``) so doc
+    scores are order-independent, partitioning-independent, and
+    bit-identical across engines — the same convention as
+    ``unigram_logprob``.
+
+    Output per raw doc: ``n_grams``, ``logw_nano`` (Σ occurrences×log-ratio),
+    ``gumbel_nano`` (from md5(seed:doc_id), exactly-representable dyadic u),
+    ``key_nano`` (= logw + gumbel; the Gumbel-top-k sort key).
+
+    Scale shape: two bucket-cardinality aggregations (≤ 16**hash_digits
+    rows each) fit the models; the model is **broadcast** back; scoring is
+    explode → broadcast-join → one groupBy on the doc id (map-side partial
+    sums of longs). The corpus text itself is never shuffled. Selection
+    should use ``dsir_sample`` (TakeOrdered top-k, no global sort).
+    """
+    n_buckets = 16 ** hash_digits
+    bucket = lambda g: _hex_int(F.md5(g), 1, hash_digits)  # noqa: E731
+
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        return (df.select(F.explode(_dsir_grams(text_col)).alias("g"))
+                .select(bucket(F.col("g")).alias("b"))
+                .groupBy("b").agg(F.count(F.lit(1)).alias("cnt")))
+
+    tc, rc = bucket_counts(target), bucket_counts(raw)
+    tot_t = tc.agg(F.sum("cnt").alias("t")).select("t")
+    tot_r = rc.agg(F.sum("cnt").alias("r")).select("r")
+    # add-one smoothing over the FULL bucket space; only buckets observed
+    # somewhere matter (a gram scored below always hits a raw-side bucket)
+    model = (tc.withColumnRenamed("cnt", "tcnt")
+             .join(rc.withColumnRenamed("cnt", "rcnt"), "b", "full")
+             .crossJoin(F.broadcast(tot_t)).crossJoin(F.broadcast(tot_r))
+             .select(
+                 "b",
+                 F.floor(
+                     (F.log((F.coalesce("tcnt", F.lit(0)) + 1)
+                            / (F.col("t") + n_buckets))
+                      - F.log((F.coalesce("rcnt", F.lit(0)) + 1)
+                              / (F.col("r") + n_buckets))) * 1e9)
+                 .cast("long").alias("lograt_nano")))
+
+    per_gram = (raw.select(F.col(id_col),
+                           F.explode_outer(_dsir_grams(text_col)).alias("g"))
+                .withColumn("b", bucket(F.col("g")))
+                .join(F.broadcast(model), "b", "left"))
+    scored = per_gram.groupBy(id_col).agg(
+        F.count("g").alias("n_grams"),
+        F.coalesce(F.sum("lograt_nano"), F.lit(0)).alias("logw_nano"))
+
+    # Gumbel key from an exactly-representable dyadic rational: u =
+    # (first-12-hex-digits-of-md5 + 0.5) / 16^12 ∈ (0,1) exactly, so both
+    # engines evaluate -ln(-ln(u)) on identical doubles.
+    u = ((_hex_int(F.md5(F.concat(F.lit(gumbel_seed + ":"),
+                                  F.col(id_col).cast("string"))), 1, 12)
+          + F.lit(0.5)) / F.lit(float(16 ** 12)))
+    return (scored
+            .withColumn("gumbel_nano",
+                        F.floor(-F.log(-F.log(u)) * 1e9).cast("long"))
+            .withColumn("key_nano",
+                        F.col("logw_nano") + F.col("gumbel_nano")))
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                hash_digits: int = 2,
+                gumbel_seed: str = "dsir") -> DataFrame:
+    """Gumbel-top-k DSIR selection: the ``k`` raw docs with the largest
+    ``key_nano`` (deterministic tie-break on the id). Executes as
+    TakeOrdered (distributed per-partition top-k + driver merge of k·P
+    rows) — NO global sort task, so it survives a 10^10-doc corpus."""
+    scored = dsir_importance(raw, target, id_col, text_col,
+                             hash_digits, gumbel_seed)
+    top = scored.orderBy(F.col("key_nano").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("key_nano").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

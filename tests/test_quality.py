@@ -291,3 +291,56 @@ def test_lm_buckets_terciles_per_lang(spark):
     plan = (Q.lm_buckets(scored)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan and "Window" not in plan
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling
+# --------------------------------------------------------------------------
+
+def _dsir_corpora(spark):
+    """Target speaks 'alpha' vocabulary; raw has 4 alpha-docs and 4 docs of
+    disjoint 'zeta' vocabulary. Long docs so log-weights dominate Gumbel."""
+    alpha = " ".join(f"alpha{i % 7} beta{i % 5}" for i in range(40))
+    zeta = " ".join(f"zeta{i % 7} eta{i % 5}" for i in range(40))
+    target = spark.createDataFrame(
+        [(100 + i, alpha) for i in range(6)], "doc_id int, text string")
+    raw = spark.createDataFrame(
+        [(i, alpha if i < 4 else zeta) for i in range(8)],
+        "doc_id int, text string")
+    return raw, target
+
+
+def test_dsir_selects_target_like_docs(spark):
+    raw, target = _dsir_corpora(spark)
+    top = Q.dsir_sample(raw, target, k=4)
+    assert {r["doc_id"] for r in top.collect()} == {0, 1, 2, 3}
+    assert [r["rank"] for r in top.orderBy("rank").collect()] == [1, 2, 3, 4]
+
+
+def test_dsir_weights_order_and_determinism(spark):
+    raw, target = _dsir_corpora(spark)
+    s1 = {r["doc_id"]: r for r in
+          Q.dsir_importance(raw, target).collect()}
+    s2 = {r["doc_id"]: r for r in
+          Q.dsir_importance(raw.repartition(7), target).collect()}
+    assert len(s1) == 8
+    for i in s1:  # partitioning-independent, bit-identical
+        assert s1[i]["logw_nano"] == s2[i]["logw_nano"]
+        assert s1[i]["key_nano"] == s2[i]["key_nano"]
+    # every alpha doc outweighs every zeta doc
+    assert min(s1[i]["logw_nano"] for i in range(4)) > \
+        max(s1[i]["logw_nano"] for i in range(4, 8))
+    # empty doc scores 0 grams / 0 weight
+    empty = spark.createDataFrame([(99, "")], "doc_id int, text string")
+    row = Q.dsir_importance(empty, target).collect()[0]
+    assert row["n_grams"] == 0 and row["logw_nano"] == 0
+
+
+def test_dsir_plan_broadcast_model_and_takeordered(spark):
+    raw, target = _dsir_corpora(spark)
+    scored_plan = Q.dsir_importance(raw, target)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in scored_plan  # model side broadcast
+    top_plan = Q.dsir_sample(raw, target, k=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in top_plan  # no global sort
