@@ -1574,6 +1574,62 @@ def q_embedding_near_dups(spark, sf_dir):
     return out.select("a", "b", F.round("cosine", 3).alias("cosine"))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over embeddings + planted clones: md5-
+    seeded 16-centroid codebook, zero-shuffle broadcast argmax assignment,
+    within-cluster pairwise cosine ≥ 0.95 → keep-first-by-id. A clone is
+    identical to its source vector, so it lands in the same cluster with
+    cosine 1.0 and must be dropped with dup_of = source id. The oracle
+    recomputes codebook, assignment, pair graph and keep rule relationally."""
+    emb = _t(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    both = emb.select("vec_id", "embedding").unionByName(clones)
+    return TD.semdedup(both, n_centroids=16, threshold=0.95)
+
+
+SQL_SEMDEDUP = """
+WITH eboth AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+cb AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT)
+         AS centroid_id, v AS cv
+  FROM eboth
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+asg AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(e.v, c.cv)
+          / (sqrt(list_dot_product(e.v, e.v))
+             * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+        c.centroid_id ASC) AS rnk
+    FROM eboth e CROSS JOIN cb c)
+  WHERE rnk = 1
+),
+pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+    round(list_dot_product(l.v, r.v)
+      / (sqrt(list_dot_product(l.v, l.v))
+         * sqrt(list_dot_product(r.v, r.v))), 6) AS c6
+  FROM asg l JOIN asg r
+    ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+),
+dups AS (
+  SELECT b AS vec_id, min(a) AS dup_of, max(c6) AS max_cos
+  FROM pairs WHERE c6 >= 0.95 GROUP BY b
+)
+SELECT asg.vec_id, asg.centroid_id,
+  d.dup_of IS NULL AS is_kept, d.dup_of, d.max_cos
+FROM asg LEFT JOIN dups d ON asg.vec_id = d.vec_id"""
+
+
 SQL_EMBEDDING_NEAR_DUPS = """
 WITH eboth AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2482,6 +2538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substring_spans": q_exact_substring_spans,
     "exact_substring_removal": q_exact_substring_removal,  # ESS step 2
     "dsir_sample": q_dsir_sample,                # DSIR importance resampling
+    "semdedup": q_semdedup,                      # embedding-cluster dedup
     "asof_join": q_asof_join,                    # J8 (oracle: native ASOF)
     "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,  # deletable-filter D4
     "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
@@ -2498,7 +2555,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_stats": q_daily_stats,
     "status_percentiles": q_status_percentiles,
     "domain_profile": q_domain_profile,
-    "domain_similarity": q_domain_similarity,
     "interval_merge": q_interval_merge,
     "gap_detect": q_gap_detect,
     "events_tumbling": q_events_tumbling,
@@ -2526,6 +2582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seen_antijoin_bloom": q_seen_antijoin_bloom,  # driver-bitmap variant
     "politeness_schedule": q_politeness_schedule,  # unpruned variant of P4
     "extraction_stats": q_extraction_stats,      # A-family (green r01-r03)
+    "domain_similarity": q_domain_similarity,    # J4 theta (green r01-r03)
     "size_distribution": q_size_distribution,    # CASE-bucket agg (green r01-r03)
     "sliding_window_count": q_sliding_window_count,  # P6 (green r01-r03)
     "lineitem_rollup": q_lineitem_rollup,        # A2 rollup (green r01-r03)
@@ -2612,6 +2669,7 @@ ORACLES: dict[str, str] = {
     "exact_substring_spans": SQL_EXACT_SUBSTRING_SPANS,
     "exact_substring_removal": SQL_EXACT_SUBSTRING_REMOVAL,
     "dsir_sample": SQL_DSIR_SAMPLE,
+    "semdedup": SQL_SEMDEDUP,
     "asof_join": SQL_ASOF_JOIN,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,
     "lm_buckets": SQL_LM_BUCKETS,

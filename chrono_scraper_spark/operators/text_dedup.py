@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textops import fingerprint, minhash_signature, shingles, tokens
@@ -625,3 +625,66 @@ def remove_duplicate_spans(docs: DataFrame, spans: DataFrame,
     return joined.select(
         id_col,
         F.concat_ws(" ", F.transform(kept, lambda x: x.t)).alias("text"))
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+# --------------------------------------------------------------------------
+
+def semdedup(corpus: DataFrame, n_centroids: int = 16,
+             threshold: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Semantic dedup over an embedding column: cluster with a deterministic
+    coarse codebook, then within each cluster drop every vector that is
+    ≥ ``threshold`` cosine-similar to a lower-id vector (keep-first-by-id).
+
+    SemDeDup's published recipe is k-means clusters + within-cluster
+    pairwise cosine with a sequential keep rule (lowest centroid
+    similarity). Two disclosed deviations keep the op deterministic and
+    relational: (1) clusters come from the IVF-style seed codebook (corpus
+    points in md5 order — portable to the DuckDB oracle, unlike xxhash64);
+    (2) the representative of a duplicate group is the smallest id — the
+    same canonical-min convention as ``exact_duplicates``.
+
+    Scale shape: codebook selection is TakeOrdered (n rows to the driver);
+    assignment is the zero-shuffle broadcast-codebook argmax
+    (``ann.ivf_assign``); the only corpus shuffle is the self-join on
+    ``centroid_id``, whose cost is Σ c_k² — SemDeDup's own cost model.
+    At 10^9 docs, scale ``n_centroids`` ∝ N (the paper uses 11k clusters
+    for 100M) so clusters stay bounded; AQE splits residual skew.
+
+    Output: one row per input vector — ``centroid_id``, ``is_kept``,
+    ``dup_of`` (smallest lower-id duplicate, null when kept), ``max_cos``
+    (rounded; null when no duplicate edge).
+    """
+    from .ann import ivf_assign  # local import: ann already imports us
+
+    v = F.col(vec_col).cast("array<double>")
+    seeds = (corpus
+             .select(F.col(id_col).alias("_seed_id"), v.alias("centroid_vec"))
+             .orderBy(F.md5(F.col("_seed_id").cast("string")),
+                      F.col("_seed_id"))
+             .limit(n_centroids))
+    w = Window.orderBy(F.md5(F.col("_seed_id").cast("string")),
+                       F.col("_seed_id"))
+    cents = (seeds.withColumn("centroid_id", F.row_number().over(w))
+             .select("centroid_id", "centroid_vec"))
+
+    asg = ivf_assign(corpus.select(F.col(id_col), v.alias("_v")),
+                     cents, n_probe=1, id_col=id_col, vec_col="_v")
+    lhs = asg.select(F.col(id_col).alias("_a"), F.col("_v").alias("_av"),
+                     "centroid_id")
+    rhs = asg.select(F.col(id_col).alias("_b"), F.col("_v").alias("_bv"),
+                     "centroid_id")
+    pairs = (lhs.join(rhs, "centroid_id")
+             .filter(F.col("_a") < F.col("_b"))
+             .withColumn("_cos", F.round(cosine(F.col("_av"),
+                                                F.col("_bv")), 6))
+             .filter(F.col("_cos") >= threshold))
+    dups = pairs.groupBy(F.col("_b").alias(id_col)).agg(
+        F.min("_a").alias("dup_of"), F.max("_cos").alias("max_cos"))
+    return (asg.select(id_col, "centroid_id")
+            .join(dups, id_col, "left")
+            .select(id_col, "centroid_id",
+                    F.col("dup_of").isNull().alias("is_kept"),
+                    "dup_of", "max_cos"))

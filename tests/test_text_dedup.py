@@ -288,3 +288,41 @@ def test_remove_duplicate_spans(spark, span_docs):
     assert out[1] == _UNIQ_B
     assert out[4] == ""               # fully duplicated doc → empty
     assert out[3] == "tiny doc here"  # untouched short doc
+
+
+# --------------------------------------------------------------------------
+# SemDeDup
+# --------------------------------------------------------------------------
+
+def test_semdedup_drops_planted_clones(spark):
+    import math
+    vecs = []
+    for i in range(40):  # distinct directions
+        a = 2 * math.pi * i / 40
+        # fixed z: adjacent directions stay ~0.99 cosine, below threshold
+        vecs.append((i, [math.cos(a), math.sin(a), 0.5]))
+    clones = [(100 + i, vecs[i][1]) for i in range(0, 40, 10)]
+    df = spark.createDataFrame(vecs + clones,
+                               "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r for r in
+           TD.semdedup(df, n_centroids=8, threshold=0.999).collect()}
+    assert len(out) == 44
+    for i in range(0, 40, 10):       # every clone dropped, source kept
+        assert out[100 + i]["is_kept"] is False
+        assert out[100 + i]["dup_of"] == i
+        assert out[100 + i]["max_cos"] == 1.0
+        assert out[i]["is_kept"] is True
+    # non-cloned vectors all kept at this threshold
+    assert sum(not r["is_kept"] for r in out.values()) == 4
+
+
+def test_semdedup_plan_broadcasts_codebook(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id int, embedding array<double>")
+    plan = TD.semdedup(df, n_centroids=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # assignment is the one-row broadcast codebook (nested-loop of 1 row);
+    # the pair join is an equi-join on centroid_id, never a full cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("CartesianProduct") == 0
