@@ -575,6 +575,50 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def q_events_sessionize(spark, sf_dir):
+    """T-family extension: gap-based sessionization via Spark's native
+    ``session_window`` (30-min inactivity gap per user) — the same operator
+    Structured Streaming uses for stateful session aggregation, run here in
+    batch. Spark semantics (probed): events merge when the gap is ≤ 30 min;
+    ``end`` = last event + gap. Oracle: classic lag/gap-islands CTE."""
+    ev = _t(spark, sf_dir, "events")
+    out = (ev.withColumn("ts", F.col("ts").cast("timestamp"))
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                    "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.min("event_id").alias("first_event_id"),
+                F.max("event_id").alias("last_event_id")))
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events", "first_event_id", "last_event_id")
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events,
+  min(event_id) AS first_event_id,
+  max(event_id) AS last_event_id
+FROM s GROUP BY user_id, sid"""
+
+
 def q_asof_join(spark, sf_dir):
     """J8 as-of join (operators/asof.py — union+window, one shuffle, no
     range explosion): each event joined to the latest at-or-before
@@ -2539,6 +2583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substring_removal": q_exact_substring_removal,  # ESS step 2
     "dsir_sample": q_dsir_sample,                # DSIR importance resampling
     "semdedup": q_semdedup,                      # embedding-cluster dedup
+    "events_sessionize": q_events_sessionize,    # native session_window
     "asof_join": q_asof_join,                    # J8 (oracle: native ASOF)
     "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,  # deletable-filter D4
     "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
@@ -2554,7 +2599,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_analytics": q_cdx_analytics,
     "daily_stats": q_daily_stats,
     "status_percentiles": q_status_percentiles,
-    "domain_profile": q_domain_profile,
     "interval_merge": q_interval_merge,
     "gap_detect": q_gap_detect,
     "events_tumbling": q_events_tumbling,
@@ -2583,6 +2627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "politeness_schedule": q_politeness_schedule,  # unpruned variant of P4
     "extraction_stats": q_extraction_stats,      # A-family (green r01-r03)
     "domain_similarity": q_domain_similarity,    # J4 theta (green r01-r03)
+    "domain_profile": q_domain_profile,          # A8 string agg (green r01-r03)
     "size_distribution": q_size_distribution,    # CASE-bucket agg (green r01-r03)
     "sliding_window_count": q_sliding_window_count,  # P6 (green r01-r03)
     "lineitem_rollup": q_lineitem_rollup,        # A2 rollup (green r01-r03)
@@ -2670,6 +2715,7 @@ ORACLES: dict[str, str] = {
     "exact_substring_removal": SQL_EXACT_SUBSTRING_REMOVAL,
     "dsir_sample": SQL_DSIR_SAMPLE,
     "semdedup": SQL_SEMDEDUP,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "asof_join": SQL_ASOF_JOIN,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,
     "lm_buckets": SQL_LM_BUCKETS,
