@@ -2394,6 +2394,63 @@ FROM gk
 ORDER BY key_nano DESC, doc_id LIMIT 100"""
 
 
+def q_line_dedup(spark, sf_dir):
+    """In-document exact line dedup (quality.dedup_lines_within_doc):
+    docs with doc_id % 3 == 0 get their own first line re-appended, so the
+    operator must drop exactly that planted duplicate (plus any natural
+    ones); value-checked via md5 of the rebuilt text."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    first = F.element_at(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\n"), 1)
+    d2 = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat_ws("\n", F.col("text"), first))
+        .otherwise(F.col("text")))
+    out = Q.dedup_lines_within_doc(d2)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.length("clean_text").cast("long").alias("clean_chars"),
+        "n_lines_removed")
+
+
+SQL_LINE_DEDUP = r"""
+WITH d2 AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+    THEN text || chr(10) || string_split(text, chr(10))[1]
+    ELSE text END AS text
+  FROM documents
+),
+lt AS (
+  SELECT doc_id,
+    list_filter(string_split(coalesce(text, ''), chr(10)),
+                x -> length(trim(x)) > 0) AS ln
+  FROM d2
+),
+h AS (
+  SELECT doc_id, ln,
+    list_transform(ln,
+      x -> md5(trim(regexp_replace(lower(x), '\s+', ' ', 'g')))) AS hs
+  FROM lt
+),
+k AS (
+  SELECT doc_id, ln,
+    list_filter(
+      list_transform(range(1, len(ln) + 1),
+        i -> CASE WHEN list_position(hs, hs[i]) = i THEN ln[i] END),
+      x -> x IS NOT NULL) AS kept
+  FROM h
+)
+SELECT doc_id,
+  md5(array_to_string(kept, chr(10))) AS clean_md5,
+  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_chars,
+  CAST(len(ln) - len(kept) AS BIGINT) AS n_lines_removed
+FROM k"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: the 10 smallest-md5(doc_id) docs
     per source, ranked — the data-mixing per-domain cap sample. Runs the
@@ -2584,6 +2641,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_sample": q_dsir_sample,                # DSIR importance resampling
     "semdedup": q_semdedup,                      # embedding-cluster dedup
     "events_sessionize": q_events_sessionize,    # native session_window
+    "line_dedup": q_line_dedup,                  # in-doc line dedup
     "asof_join": q_asof_join,                    # J8 (oracle: native ASOF)
     "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,  # deletable-filter D4
     "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
@@ -2611,7 +2669,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "url_blocklist": q_url_blocklist,
     "entity_extract": q_entity_extract,
-    "project_monthly": q_project_monthly,
     "ann_topk_lsh": q_ann_topk_lsh,
     "embedding_near_dups": q_embedding_near_dups,
     "simhash_pairs": q_simhash_pairs,
@@ -2628,6 +2685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extraction_stats": q_extraction_stats,      # A-family (green r01-r03)
     "domain_similarity": q_domain_similarity,    # J4 theta (green r01-r03)
     "domain_profile": q_domain_profile,          # A8 string agg (green r01-r03)
+    "project_monthly": q_project_monthly,        # A-rollup (green r01-r03)
     "size_distribution": q_size_distribution,    # CASE-bucket agg (green r01-r03)
     "sliding_window_count": q_sliding_window_count,  # P6 (green r01-r03)
     "lineitem_rollup": q_lineitem_rollup,        # A2 rollup (green r01-r03)
@@ -2716,6 +2774,7 @@ ORACLES: dict[str, str] = {
     "dsir_sample": SQL_DSIR_SAMPLE,
     "semdedup": SQL_SEMDEDUP,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "line_dedup": SQL_LINE_DEDUP,
     "asof_join": SQL_ASOF_JOIN,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,
     "lm_buckets": SQL_LM_BUCKETS,

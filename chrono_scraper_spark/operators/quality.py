@@ -544,3 +544,42 @@ def dsir_sample(raw: DataFrame, target: DataFrame, k: int,
     top = scored.orderBy(F.col("key_nano").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("key_nano").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# --------------------------------------------------------------------------
+# within-document exact line dedup (Dolma/C4 in-doc repetition removal)
+# --------------------------------------------------------------------------
+
+def dedup_lines_within_doc(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Drop exact-duplicate normalized lines AFTER their first occurrence
+    within each document (the in-document counterpart of the cross-corpus
+    C4 boilerplate rule — catches nav blocks, repeated CTAs, scraper
+    stutter). Same line conventions as ``line_frequencies`` /
+    ``strip_boilerplate_lines``: blank/whitespace-only lines are dropped
+    unconditionally and excluded from both counts; duplicate identity is
+    md5 of the lowercased whitespace-collapsed line.
+
+    ZERO-SHUFFLE: a per-row codegen projection. Line hashes are let-bound
+    (``_let``) so the keep test — ``array_position(hashes, hashes[i]) ==
+    i`` (first occurrence keeps its slot) — scans the row's own hash array
+    instead of recomputing the md5 transform per element (the O(n²·md5)
+    inlining trap documented on ``winnow_fingerprints``).
+    """
+    lines = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
+        lambda ln: F.length(F.trim(ln)) > 0)
+    norm = lambda ln: F.md5(  # noqa: E731
+        F.trim(F.regexp_replace(F.lower(ln), r"\s+", " ")))
+    kept = T._let(lines, lambda L: T._let(
+        F.transform(L, norm),
+        lambda H: F.filter(
+            L, lambda ln, i: F.array_position(
+                H, F.element_at(H, i + 1)) == (i + 1).cast("long"))))
+    return (docs
+            .withColumn("_kept", kept)
+            .withColumn("_nl", F.size(lines))
+            .select(id_col,
+                    F.concat_ws("\n", F.col("_kept")).alias("clean_text"),
+                    (F.col("_nl") - F.size("_kept")).cast("long")
+                    .alias("n_lines_removed")))

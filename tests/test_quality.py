@@ -344,3 +344,27 @@ def test_dsir_plan_broadcast_model_and_takeordered(spark):
     top_plan = Q.dsir_sample(raw, target, k=4)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in top_plan  # no global sort
+
+
+def test_dedup_lines_within_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha one\nbeta two\nAlpha   One\ngamma\n\n  \nbeta two"),
+         (2, "solo line"),
+         (3, "")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           Q.dedup_lines_within_doc(docs).collect()}
+    # normalized dups dropped (case/whitespace-insensitive), first kept;
+    # blank lines excluded from both counts
+    assert out[1]["clean_text"] == "alpha one\nbeta two\ngamma"
+    assert out[1]["n_lines_removed"] == 2
+    assert out[2]["clean_text"] == "solo line"
+    assert out[2]["n_lines_removed"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_removed"] == 0
+
+
+def test_dedup_lines_plan_is_shuffle_free(spark):
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id int, text string")
+    plan = Q.dedup_lines_within_doc(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
