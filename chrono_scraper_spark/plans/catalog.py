@@ -289,5 +289,23 @@ class SnapshotCatalog:
         return {"expired_versions": drop,
                 "deleted_fragments": sorted(doomed)}
 
+    def rollback(self, table: str, version: int) -> dict:
+        """Iceberg ``rollback_to_snapshot`` analog: commit a NEW snapshot
+        whose fragment list is a byte-for-byte copy of ``version``'s — the
+        table's current state becomes the old state, but history is
+        preserved (the rolled-back-over snapshots stay time-travelable
+        until ``expire_snapshots``), exactly like Iceberg's rollback, which
+        is itself a new snapshot with the old snapshot's manifest list."""
+        m = self.manifest(table, version)
+        if m is None:
+            raise FileNotFoundError(f"{table} has no snapshot v{version}")
+        prev = self.current_version(table)
+        new_version = (prev or 0) + 1
+        return self._commit_manifest(
+            table, list(m["fragments"]), version=new_version, prev=prev,
+            operation="rollback",
+            properties={"rolled_back_to": version},
+            row_count=m.get("row_count", -1))
+
     def drop(self, table: str) -> None:
         shutil.rmtree(self._tdir(table), ignore_errors=True)

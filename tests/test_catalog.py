@@ -171,3 +171,27 @@ def test_expire_keeps_fragments_still_referenced(spark, tmp_path):
     assert out["expired_versions"] == [1, 2]
     assert out["deleted_fragments"] == []          # all still referenced
     assert cat.read("t").count() == 15
+
+
+def test_rollback_restores_state_preserving_history(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.commit("t", spark.createDataFrame([(1,)], "a int"), operation="init")
+    cat.append("t", spark.createDataFrame([(2,)], "a int"))
+    cat.append("t", spark.createDataFrame([(3,)], "a int"))
+    assert {r["a"] for r in cat.read("t").collect()} == {1, 2, 3}
+
+    info = cat.rollback("t", 1)
+    assert info["operation"] == "rollback"
+    assert info["properties"]["rolled_back_to"] == 1
+    # current state is v1's content, committed as a NEW version
+    assert cat.current_version("t") == 4
+    assert {r["a"] for r in cat.read("t").collect()} == {1}
+    # history preserved: the rolled-over snapshots still time-travel
+    assert {r["a"] for r in cat.read("t", version=3).collect()} == {1, 2, 3}
+    # appends continue from the rolled-back state
+    cat.append("t", spark.createDataFrame([(9,)], "a int"))
+    assert {r["a"] for r in cat.read("t").collect()} == {1, 9}
+    # unknown version refuses
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        cat.rollback("t", 99)
