@@ -88,3 +88,56 @@ def test_fingerprint_whitespace_invariant(spark, texts):
     for i, t in enumerate(texts):
         norm = re.sub(r"\s+", " ", t.strip().lower())
         assert got[i] == hashlib.md5(norm.encode()).hexdigest()
+
+
+@SET
+@given(st.data())
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    import pandas as pd
+
+    from chrono_scraper_spark.operators.asof import asof_join
+
+    n_keys = data.draw(st.integers(1, 3))
+    left_rows = data.draw(st.lists(
+        st.tuples(st.integers(0, n_keys - 1), st.integers(0, 1000)),
+        min_size=1, max_size=30))
+    right_rows = data.draw(st.lists(
+        st.tuples(st.integers(0, n_keys - 1), st.integers(0, 1000),
+                  st.integers(-99, 99)),
+        min_size=0, max_size=30))
+    # pandas merge_asof keeps ONE row per equal right (k, ts); the engine
+    # keeps the last-in-window one — dedup right keys to align semantics
+    seen, rr = set(), []
+    for k, ts, v in right_rows:
+        if (k, ts) not in seen:
+            seen.add((k, ts))
+            rr.append((k, ts, v))
+
+    left = spark.createDataFrame(
+        [(i, k, pd.Timestamp(ts, unit="s").to_pydatetime())
+         for i, (k, ts) in enumerate(left_rows)],
+        "lid int, k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(k, pd.Timestamp(ts, unit="s").to_pydatetime(), v)
+         for k, ts, v in rr],
+        "k int, ts timestamp, v int") if rr else spark.createDataFrame(
+        [], "k int, ts timestamp, v int")
+    got = {r["lid"]: (r["asof_v"], r["asof_ts"])
+           for r in asof_join(left, right, on=["k"]).collect()}
+
+    lpd = pd.DataFrame([(i, k, pd.Timestamp(ts, unit="s"))
+                        for i, (k, ts) in enumerate(left_rows)],
+                       columns=["lid", "k", "ts"]).sort_values("ts",
+                                                               kind="stable")
+    rpd = pd.DataFrame(rr, columns=["k", "ts", "v"])
+    rpd["k"] = rpd["k"].astype("int64")
+    rpd["ts"] = pd.to_datetime(rpd["ts"], unit="s")
+    rpd = rpd.sort_values("ts", kind="stable")
+    exp = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+    assert len(got) == len(left_rows)
+    for _, row in exp.iterrows():
+        g_v, g_ts = got[row["lid"]]
+        if pd.isna(row["v"]):
+            assert g_v is None and g_ts is None
+        else:
+            assert g_v == row["v"]
