@@ -537,8 +537,13 @@ def with_extraction_cached(
     real purpose at scale is bounding the cache join's build side.
 
     At 100 TB the win is the steady-state recrawl: the per-page Python
-    kernel (the dominant per-URL CPU cost) runs only for the changed-content
-    fraction; unchanged pages cost one hash-join probe.
+    kernel runs only for the changed-content fraction; unchanged pages cost
+    one hash-join probe. MEASURED caveat (scripts/bench_extract_cache.py,
+    BENCH.md): the pinned contract kernel is so cheap (~13 us/page) that
+    recompute beats the cache join (~41 us/page fixed) — hence
+    ``CrawlJob(extract_cache=False)`` by default. The cache is for the
+    real library cascade (``kernel="real"``): at trafilatura-class cost
+    (10-100 ms/page) a hit is worth ~its full kernel cost.
     """
     import time as _time
 
