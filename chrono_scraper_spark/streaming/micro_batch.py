@@ -155,3 +155,20 @@ def windowed_capture_counts(stream: DataFrame,
                  F.approx_count_distinct("url").alias("n_urls"))
             .select(F.col("w.start").alias("window_start"), "host",
                     "n_captures", "n_urls"))
+
+
+def sessionized_host_activity(stream: DataFrame,
+                              watermark: str = "2 days",
+                              gap: str = "30 minutes") -> DataFrame:
+    """Stateful session windows per host: captures closer than ``gap``
+    merge into one session (native ``session_window`` — variable-length
+    state-store windows; the watermark closes sessions and evicts state).
+    The batch twin (same expression over a static frame) is the oracle in
+    test_streaming; only watermark-closed sessions are emitted in append
+    mode, exactly the streaming-deployment contract."""
+    return (stream.withWatermark("warc_ts", watermark)
+            .groupBy(F.session_window("warc_ts", gap).alias("w"), "host")
+            .agg(F.count(F.lit(1)).alias("n_captures"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "host", "n_captures"))

@@ -144,3 +144,34 @@ def test_streaming_crawl_budget_carryover_exact_parity(spark, tmp_path):
     assert _content_state(batch.cat) == _content_state(sjob.cat)
     assert sorted(sjob.completed_rounds()) == sorted(
         batch.completed_rounds())
+
+
+def test_sessionized_host_activity_matches_batch(spark, tmp_path,
+                                                 stream_corpus):
+    stream = MB.read_pages_stream(spark, stream_corpus)
+    agg = MB.sessionized_host_activity(stream, watermark="1 hour",
+                                       gap="30 minutes")
+    q = (agg.writeStream.format("memory").queryName("sessagg")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["session_start"], r["session_end"], r["host"], r["n_captures"])
+           for r in spark.sql("select * from sessagg").collect()}
+
+    from pyspark.sql import functions as F
+    batch = spark.read.parquet(stream_corpus)
+    exp_all = {(r["session_start"], r["session_end"], r["host"],
+                r["n_captures"])
+               for r in (batch
+                         .groupBy(F.session_window("warc_ts", "30 minutes")
+                                  .alias("w"), "host")
+                         .agg(F.count(F.lit(1)).alias("n_captures"))
+                         .select(F.col("w.start").alias("session_start"),
+                                 F.col("w.end").alias("session_end"),
+                                 "host", "n_captures")).collect()}
+    # append mode emits only watermark-closed sessions; every emitted
+    # session must be byte-identical to its batch twin, and the bounded
+    # corpus must close most of them (max ts - 1 h watermark)
+    assert got and got <= exp_all
+    assert len(got) >= len(exp_all) * 0.5
