@@ -2451,6 +2451,38 @@ SELECT doc_id,
 FROM k"""
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing: documents concatenated in doc_id order
+    into a token stream cut into 512-token sequences; per doc the absolute
+    stream offset + first/last sequence id. The engine computes the global
+    prefix sum with the two-phase range-partition/offset-broadcast shape
+    (no one-partition window); the oracle is a plain window cumsum."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return Q.pack_sequences(d, seq_len=512)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH sized AS (
+  SELECT doc_id,
+    CAST({OG.token_count_ws_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_tok
+  FROM sized
+)
+SELECT doc_id, n_tokens, start_tok,
+  CAST(start_tok // 512 AS BIGINT) AS first_seq,
+  CAST(CASE WHEN n_tokens = 0 THEN start_tok // 512
+       ELSE (start_tok + n_tokens - 1) // 512 END AS BIGINT) AS last_seq
+FROM cum"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: the 10 smallest-md5(doc_id) docs
     per source, ranked — the data-mixing per-domain cap sample. Runs the
@@ -2642,6 +2674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup": q_semdedup,                      # embedding-cluster dedup
     "events_sessionize": q_events_sessionize,    # native session_window
     "line_dedup": q_line_dedup,                  # in-doc line dedup
+    "pack_sequences": q_pack_sequences,          # training-seq packing
     "asof_join": q_asof_join,                    # J8 (oracle: native ASOF)
     "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,  # deletable-filter D4
     "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
@@ -2775,6 +2808,7 @@ ORACLES: dict[str, str] = {
     "semdedup": SQL_SEMDEDUP,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "line_dedup": SQL_LINE_DEDUP,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "asof_join": SQL_ASOF_JOIN,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,
     "lm_buckets": SQL_LM_BUCKETS,

@@ -583,3 +583,74 @@ def dedup_lines_within_doc(docs: DataFrame, id_col: str = "doc_id",
                     F.concat_ws("\n", F.col("_kept")).alias("clean_text"),
                     (F.col("_nl") - F.size("_kept")).cast("long")
                     .alias("n_lines_removed")))
+
+
+# --------------------------------------------------------------------------
+# training-sequence packing (GPT-style contiguous token stream)
+# --------------------------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   tokens_fn=None) -> DataFrame:
+    """Pack documents (in ``id_col`` order) into a contiguous token stream
+    cut into fixed ``seq_len`` training sequences — the standard
+    concat-and-chunk batching for LM training. Output per doc: its token
+    count, its absolute offset in the stream (``start_tok``) and the
+    first/last sequence ids it lands in (docs may span boundaries, exactly
+    like the packed-stream convention).
+
+    The global exclusive prefix sum does NOT use a one-partition window:
+    range-partition on the id, sort within partitions, collect ONE long
+    per partition (the partition token subtotal), broadcast the exclusive
+    partition offsets, and assign per-row offsets in a map-only
+    ``mapInPandas`` cumsum — the same two-phase shape as
+    ``politeness.with_global_order``. One range exchange total; the
+    collect is O(#partitions), never rows.
+    """
+    from pyspark.sql import types as ST
+
+    count_tokens = tokens_fn or T.token_count_ws
+    sized = (docs
+             .select(F.col(id_col), count_tokens(F.col(text_col))
+                     .cast("long").alias("n_tokens"))
+             .repartitionByRange(id_col)
+             .sortWithinPartitions(id_col)
+             .cache())
+    parts = (sized.groupBy(F.spark_partition_id().alias("__pid"))
+             .agg(F.sum("n_tokens").alias("s"))
+             .orderBy("__pid").collect())
+    offsets, acc = {}, 0
+    for row in parts:
+        offsets[row["__pid"]] = acc
+        acc += row["s"]
+
+    out_schema = ST.StructType(
+        list(sized.schema.fields) + [ST.StructField("start_tok",
+                                                    ST.LongType())])
+
+    def _assign(batches):
+        from pyspark import TaskContext
+
+        pos = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            ends = pdf["n_tokens"].cumsum() + pos
+            pdf["start_tok"] = ends - pdf["n_tokens"]
+            pos = int(ends.iloc[-1]) if len(pdf) else pos
+            yield pdf
+
+    packed = sized.mapInPandas(_assign, out_schema)
+    first = F.expr(f"start_tok DIV {seq_len}")
+    last = F.when(
+        F.col("n_tokens") == 0, first).otherwise(
+        F.expr(f"(start_tok + n_tokens - 1) DIV {seq_len}"))
+    out = packed.select(
+        id_col, "n_tokens", "start_tok",
+        first.alias("first_seq"), last.alias("last_seq"))
+    # the cache must outlive the returned frame: the offsets were computed
+    # against THIS materialized range partitioning (repartitionByRange
+    # samples boundaries — a recompute could repartition differently).
+    # Callers unpersist via the handle once output is materialized, same
+    # convention as with_global_order.
+    out._pack_cache = sized
+    return out

@@ -368,3 +368,41 @@ def test_dedup_lines_plan_is_shuffle_free(spark):
     plan = Q.dedup_lines_within_doc(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_prefix_sum_multi_partition(spark):
+    # 40 docs spread over many range partitions; token counts chosen so
+    # the stream offsets are easy to state in closed form
+    rows = [(i, " ".join(["w"] * (i % 7))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string") \
+        .repartition(8)
+    out = {r["doc_id"]: r for r in
+           Q.pack_sequences(docs, seq_len=5).collect()}
+    assert len(out) == 40
+    acc = 0
+    for i in range(40):
+        n = i % 7
+        r = out[i]
+        assert r["n_tokens"] == n
+        assert r["start_tok"] == acc, (i, r["start_tok"], acc)
+        assert r["first_seq"] == acc // 5
+        expect_last = acc // 5 if n == 0 else (acc + n - 1) // 5
+        assert r["last_seq"] == expect_last
+        acc += n
+
+
+def test_pack_sequences_spanning_doc_and_single_exchange(spark):
+    # one doc longer than seq_len spans multiple sequences
+    docs = spark.createDataFrame(
+        [(1, " ".join(["t"] * 12)), (2, "a b"), (3, "")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           Q.pack_sequences(docs, seq_len=4).collect()}
+    assert (out[1]["first_seq"], out[1]["last_seq"]) == (0, 2)
+    assert (out[2]["start_tok"], out[2]["first_seq"]) == (12, 3)
+    assert out[3]["n_tokens"] == 0 and out[3]["first_seq"] == 3
+    # exactly one exchange in the whole plan: the range partitioning
+    plan = Q.pack_sequences(docs, seq_len=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # range exchange (+AQE read)
+    assert "rangepartitioning" in plan.lower()
