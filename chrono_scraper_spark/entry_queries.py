@@ -2677,7 +2677,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,          # training-seq packing
     "asof_join": q_asof_join,                    # J8 (oracle: native ASOF)
     "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,  # deletable-filter D4
-    "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant
     # --- one entry per remaining operator family ---
     "filter_decisions": q_filter_decisions,
     "filter_stats": q_filter_stats,
@@ -2712,6 +2711,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entry #50 is multimodal_features; variants below are OUTSIDE
     # the driver's correctness window (families already covered above;
     # all were driver-green in r01-r03 and stay in check_oracles.py) ----
+    "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant: same
+    # oracle as dedup_clusters (#9); algo equality also unit-tested on a
+    # planted 1000-node path (test_text_dedup)
     "seen_antijoin": q_seen_antijoin,            # plain-join variant of D4
     "seen_antijoin_bloom": q_seen_antijoin_bloom,  # driver-bitmap variant
     "politeness_schedule": q_politeness_schedule,  # unpruned variant of P4
