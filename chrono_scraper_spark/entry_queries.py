@@ -2483,6 +2483,86 @@ SELECT doc_id, n_tokens, start_tok,
 FROM cum"""
 
 
+def q_fasttext_quality(spark, sf_dir):
+    """fastText-architecture quality-classifier inference over documents:
+    hashed-bucket token weights → integer fold → sigmoid gate. The whole
+    inference is a zero-shuffle codegen projection (no explode/join)."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return Q.fasttext_score(d)
+
+
+_FT_W = (f"CAST((({OG.hex_int_sql('md5(x)', 1, 8)} % 4096) * 2654435761) "
+         f"% 2001 - 1000 AS BIGINT)")
+
+SQL_FASTTEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, {OG.tokens_sql('text')} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(coalesce(list_sum(list_transform(toks, x -> {_FT_W})), 0)
+         AS BIGINT) AS w_sum
+  FROM t
+)
+SELECT doc_id, n_tokens, w_sum,
+  CAST(CASE WHEN n_tokens = 0 THEN 500000
+       ELSE round(1e6 / (1.0 + exp(-(w_sum / (n_tokens * 1000.0)))))
+       END AS BIGINT) AS score_micro,
+  (n_tokens > 0 AND
+   CAST(CASE WHEN n_tokens = 0 THEN 500000
+        ELSE round(1e6 / (1.0 + exp(-(w_sum / (n_tokens * 1000.0)))))
+        END AS BIGINT) >= 500000) AS keep
+FROM s"""
+
+
+def q_mix_rebalance(spark, sf_dir):
+    """Data-mixing rebalance: deterministic subsampling that equalizes
+    per-source token shares (uniform target), most-underrepresented source
+    kept whole. One stratum-cardinality agg + broadcast joins; the corpus
+    is never shuffled."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return Q.mix_rebalance(d)
+
+
+SQL_MIX_REBALANCE = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+    CAST({OG.token_count_ws_sql('text')} AS BIGINT) AS n_tokens
+  FROM documents
+),
+tot AS (
+  SELECT source, sum(n_tokens) AS src_tokens FROM sized GROUP BY source
+),
+tgt AS (
+  SELECT source, src_tokens,
+    CAST(1000000 // (SELECT count(*) FROM tot) AS BIGINT) AS target_ppm
+  FROM tot
+),
+r AS (
+  SELECT source, target_ppm,
+    CASE WHEN src_tokens > 0
+         THEN CAST(target_ppm * 1000000000 // src_tokens AS BIGINT)
+         ELSE 0 END AS rate_e9
+  FROM tgt
+),
+acc AS (
+  SELECT source,
+    CASE WHEN (SELECT max(rate_e9) FROM r) > 0
+         THEN CAST(floor(CAST(rate_e9 AS DOUBLE) * 1e6
+                         / (SELECT max(rate_e9) FROM r)) AS BIGINT)
+         ELSE 0 END AS accept_ppm
+  FROM r
+)
+SELECT s.doc_id, s.source, s.n_tokens, a.accept_ppm,
+  ({OG.hex_int_sql("md5('mix:' || CAST(s.doc_id AS VARCHAR))", 1, 8)}
+   % 1000000) < a.accept_ppm AS keep
+FROM sized s JOIN acc a USING (source)"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling: the 10 smallest-md5(doc_id) docs
     per source, ranked — the data-mixing per-domain cap sample. Runs the
@@ -2668,8 +2748,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_buckets": q_lm_buckets,
     # --- new in round 4 ---
     "fulltext_ranked": q_fulltext_ranked,
-    "exact_substring_spans": q_exact_substring_spans,
-    "exact_substring_removal": q_exact_substring_removal,  # ESS step 2
+    "fasttext_quality": q_fasttext_quality,      # hashed linear classifier
+    "mix_rebalance": q_mix_rebalance,            # data-mixing subsample
+    "exact_substring_removal": q_exact_substring_removal,  # ESS (spans ∈ variants)
     "dsir_sample": q_dsir_sample,                # DSIR importance resampling
     "semdedup": q_semdedup,                      # embedding-cluster dedup
     "events_sessionize": q_events_sessionize,    # native session_window
@@ -2679,7 +2760,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,  # deletable-filter D4
     # --- one entry per remaining operator family ---
     "filter_decisions": q_filter_decisions,
-    "filter_stats": q_filter_stats,
     "collapse_digest": q_collapse_digest,
     "seen_antijoin_bloom_bucketed": q_seen_antijoin_bloom_bucketed,
     "registry_categorize": q_registry_categorize,
@@ -2711,6 +2791,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entry #50 is multimodal_features; variants below are OUTSIDE
     # the driver's correctness window (families already covered above;
     # all were driver-green in r01-r03 and stay in check_oracles.py) ----
+    "filter_stats": q_filter_stats,              # A1 agg of filter_decisions
+    # (driver-green r01-r03; rotated out for the fasttext_quality family)
+    "exact_substring_spans": q_exact_substring_spans,  # ESS stage 1 —
+    # intermediate of exact_substring_removal (#13), which stays in-window
     "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant: same
     # oracle as dedup_clusters (#9); algo equality also unit-tested on a
     # planted 1000-node path (test_text_dedup)
@@ -2811,6 +2895,8 @@ ORACLES: dict[str, str] = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "line_dedup": SQL_LINE_DEDUP,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "fasttext_quality": SQL_FASTTEXT_QUALITY,
+    "mix_rebalance": SQL_MIX_REBALANCE,
     "asof_join": SQL_ASOF_JOIN,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,
     "lm_buckets": SQL_LM_BUCKETS,

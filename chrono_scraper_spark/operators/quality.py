@@ -654,3 +654,117 @@ def pack_sequences(docs: DataFrame, seq_len: int,
     # convention as with_global_order.
     out._pack_cache = sized
     return out
+
+
+# --------------------------------------------------------------------------
+# fastText-style hashed linear quality classifier
+# --------------------------------------------------------------------------
+
+FASTTEXT_BUCKETS = 4096
+FASTTEXT_THRESHOLD_MICRO = 500_000
+
+
+def fasttext_score(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   n_buckets: int = FASTTEXT_BUCKETS,
+                   threshold_micro: int = FASTTEXT_THRESHOLD_MICRO,
+                   ) -> DataFrame:
+    """fastText-architecture quality classifier inference (Joulin et al.
+    2016): tokens → hashed embedding buckets → mean of bucket weights →
+    sigmoid — the standard LLM-data quality gate (CCNet/LLaMA-style
+    "looks-like-Wikipedia" filters run exactly this shape at corpus scale).
+
+    The model here is a deterministic stand-in (bucket weight derived from
+    the bucket id by a Weyl multiplier, milli-quantized to [-1000, 1000]);
+    swapping in trained weights is a broadcast map lookup with the same
+    plan. What is real and load-bearing is the Spark shape: the entire
+    inference is a **zero-shuffle column projection** (md5 bucket hash,
+    lambda-transform weight lookup, long-sum fold, one sigmoid), fully
+    whole-stage-codegen, so it streams at scan speed over 100 TB — no
+    explode, no join, no Python.
+
+    Parity: the token weight sum is an integer (milli-units) long fold —
+    order-independent, bit-identical to the oracle; the only float ops are
+    one division and one sigmoid at the end (IEEE-identical across
+    engines to < 1e-10, quantized to micro).
+    """
+    toks = T.tokens(F.col(text_col))
+    weight = lambda t: (  # noqa: E731
+        (_hex_int(F.md5(t), 1, 8) % n_buckets)
+        * F.lit(2654435761) % 2001 - 1000).cast("long")
+    step1 = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(F.transform(toks, weight), F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("w_sum"))
+    logit = F.col("w_sum") / (F.col("n_tokens") * 1000.0)
+    score_micro = F.when(F.col("n_tokens") == 0, F.lit(500_000)) \
+        .otherwise(F.round(F.lit(1e6) / (F.lit(1.0) + F.exp(-logit)))) \
+        .cast("long")
+    return step1.select(
+        id_col, "n_tokens", "w_sum",
+        score_micro.alias("score_micro"),
+        ((F.col("n_tokens") > 0)
+         & (score_micro >= threshold_micro)).alias("keep"))
+
+
+# --------------------------------------------------------------------------
+# corpus mixing: rebalance source shares by deterministic subsampling
+# --------------------------------------------------------------------------
+
+def mix_rebalance(docs: DataFrame, target_ppm: dict[str, int] | None = None,
+                  strata_col: str = "source", id_col: str = "doc_id",
+                  text_col: str = "text", seed: str = "mix") -> DataFrame:
+    """Data-mixing rebalance: subsample each stratum (source/domain/lang)
+    so the SURVIVING corpus's token shares match ``target_ppm`` (parts per
+    million per stratum; default uniform over observed strata), without
+    upsampling — the most-underrepresented stratum is kept whole and every
+    other stratum's acceptance probability scales down proportionally.
+
+    Per-doc accept decisions are deterministic (md5(seed:doc_id) as the
+    uniform draw), so the sample is reproducible across runs, engines and
+    partitionings — the property a resumable 100 TB mixing job needs.
+
+    Plan shape: one map-side-combined agg at stratum cardinality (≤ a few
+    thousand rows for any real corpus), the stratum table closed over
+    driver-side arithmetic-free broadcast joins, and the corpus itself is
+    touched by exactly one zero-shuffle projection — never shuffled.
+
+    Integer/ulp parity: per-stratum rates are exact bigint rationals
+    scaled to 1e9 (``r = target_ppm·1e9 DIV src_tokens``); the final
+    normalization is one IEEE double multiply+divide (correctly rounded in
+    both engines), floored to ppm.
+    """
+    sized = docs.select(
+        F.col(id_col), F.col(strata_col),
+        T.token_count_ws(F.col(text_col)).cast("long").alias("n_tokens"))
+    tot = sized.groupBy(strata_col).agg(
+        F.sum("n_tokens").alias("src_tokens"))
+    if target_ppm is None:
+        n_strata = tot.agg(F.count("*").alias("n_strata"))
+        tgt = tot.crossJoin(F.broadcast(n_strata)).withColumn(
+            "target_ppm", F.expr("1000000 DIV n_strata")).drop("n_strata")
+    else:
+        tmap = tot.sparkSession.createDataFrame(
+            list(target_ppm.items()), f"{strata_col} string, target_ppm long")
+        tgt = tot.join(F.broadcast(tmap), strata_col, "inner")
+    r = tgt.withColumn(
+        "rate_e9",
+        F.when(F.col("src_tokens") > 0,
+               F.expr("target_ppm * 1000000000L DIV src_tokens"))
+        .otherwise(F.lit(0)).cast("long"))
+    rmax = r.agg(F.max("rate_e9").alias("rmax"))
+    acc = (r.crossJoin(F.broadcast(rmax))
+           .withColumn(
+               "accept_ppm",
+               F.when(F.col("rmax") > 0,
+                      F.floor(F.col("rate_e9").cast("double") * 1e6
+                              / F.col("rmax")))
+               .otherwise(F.lit(0)).cast("long"))
+           .select(strata_col, "src_tokens", "target_ppm", "accept_ppm"))
+    draw = _hex_int(F.md5(F.concat(F.lit(seed + ":"),
+                                   F.col(id_col).cast("string"))),
+                    1, 8) % 1_000_000
+    return (sized.join(F.broadcast(acc), strata_col)
+            .select(id_col, strata_col, "n_tokens", "accept_ppm",
+                    (draw < F.col("accept_ppm")).alias("keep")))

@@ -406,3 +406,69 @@ def test_pack_sequences_spanning_doc_and_single_exchange(spark):
         .executedPlan().toString()
     assert plan.count("Exchange") <= 2  # range exchange (+AQE read)
     assert "rangepartitioning" in plan.lower()
+
+
+def test_fasttext_score_semantics_and_zero_shuffle(spark):
+    docs = spark.createDataFrame(
+        [(1, "Word word WORD"), (2, ""), (3, None), (4, "alpha beta gamma")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in Q.fasttext_score(docs).collect()}
+    # identical tokens → w_sum = 3 × single-token weight; score matches
+    # the closed-form sigmoid
+    import math
+    w1 = out[1]["w_sum"]
+    assert w1 % 3 == 0 and out[1]["n_tokens"] == 3
+    expect = round(1e6 / (1 + math.exp(-(w1 / 3000.0))))
+    assert out[1]["score_micro"] == expect
+    # empty / null docs: neutral score, never kept
+    for d in (2, 3):
+        assert out[d]["n_tokens"] == 0
+        assert out[d]["score_micro"] == 500000 and not out[d]["keep"]
+    assert out[4]["keep"] == (out[4]["score_micro"] >= 500000)
+    plan = Q.fasttext_score(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
+
+
+def test_mix_rebalance_uniform_target(spark):
+    # src a: 60 tokens, src b: 30, src c: 10 → uniform target keeps c
+    # whole (most underrepresented), downsamples a to ~1/6, b to ~1/3
+    rows = []
+    did = 0
+    for src, docs_n, words in (("a", 6, 10), ("b", 3, 10), ("c", 1, 10)):
+        for _ in range(docs_n):
+            rows.append((did, src, " ".join(["w"] * words)))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = Q.mix_rebalance(df).collect()
+    acc = {r["source"]: r["accept_ppm"] for r in out}
+    assert acc["c"] == 1_000_000          # kept whole
+    assert acc["a"] == 166_666            # floor(1e6 * (1/60)/(1/10) / ... )
+    assert acc["b"] == 333_333
+    assert len(out) == 10                 # every doc present with keep flag
+    # deterministic: second run identical decisions
+    out2 = Q.mix_rebalance(df).collect()
+    assert sorted((r["doc_id"], r["keep"]) for r in out) == \
+        sorted((r["doc_id"], r["keep"]) for r in out2)
+
+
+def test_mix_rebalance_explicit_target_and_empty_stratum(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "b", "x y z"), (3, "empty", "")],
+        "doc_id int, source string, text string")
+    # explicit 3:1 target between a and b; 'empty' has 0 tokens → rate 0
+    out = {r["source"]: r for r in Q.mix_rebalance(
+        df, target_ppm={"a": 750_000, "b": 250_000, "empty": 0}).collect()}
+    assert out["a"]["accept_ppm"] == 1_000_000
+    assert out["b"]["accept_ppm"] == 333_333
+    assert out["empty"]["accept_ppm"] == 0 and not out["empty"]["keep"]
+
+
+def test_mix_rebalance_plan_broadcasts_strata(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")],
+        "doc_id int, source string, text string")
+    plan = Q.mix_rebalance(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan    # corpus is never shuffled for joins
