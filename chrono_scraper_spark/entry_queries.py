@@ -2483,6 +2483,48 @@ SELECT doc_id, n_tokens, start_tok,
 FROM cum"""
 
 
+def q_pack_emit(spark, sf_dir):
+    """Materialized packed training batches: one row per 512-token
+    sequence with hashed-vocab input_ids, tail padded. Doc-span slices +
+    one seq_id shuffle — never a per-token explode on the engine side;
+    the oracle IS the per-token explode (fine at sf0.01, fatal at scale)."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = Q.pack_emit(d, seq_len=512)
+    # engine op returns array<long>; contract row serializes it (the
+    # registry's array convention — cf. minhash_signatures)
+    return out.select("seq_id", "n_filled",
+                      F.concat_ws("|", F.col("input_ids").cast(
+                          "array<string>")).alias("input_ids"))
+
+
+SQL_PACK_EMIT = f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({{toks}},
+    x -> CAST({{hx}} % 32768 AS BIGINT)) AS ids
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n,
+    CAST(coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_tok
+  FROM toks
+),
+tok AS (
+  SELECT CAST((c.start_tok + t.i) // 512 AS BIGINT) AS seq_id,
+         c.start_tok + t.i AS pos, c.ids[CAST(t.i AS INT) + 1] AS tid
+  FROM cum c, unnest(range(0, c.n)) AS t(i)
+)
+SELECT seq_id, CAST(count(*) AS BIGINT) AS n_filled,
+  array_to_string(list(tid ORDER BY pos) ||
+    list_transform(range(512 - count(*)), x -> CAST(0 AS BIGINT)), '|')
+    AS input_ids
+FROM tok GROUP BY seq_id""".format(
+    toks=OG.tokens_sql("text"), hx=OG.hex_int_sql("md5(x)", 1, 8))
+
+
 def q_fasttext_quality(spark, sf_dir):
     """fastText-architecture quality-classifier inference over documents:
     hashed-bucket token weights → integer fold → sigmoid gate. The whole
@@ -2791,6 +2833,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- entry #50 is multimodal_features; variants below are OUTSIDE
     # the driver's correctness window (families already covered above;
     # all were driver-green in r01-r03 and stay in check_oracles.py) ----
+    "pack_emit": q_pack_emit,                    # packed input_ids batches
+    # (packing family covered in-window by pack_sequences #18)
     "filter_stats": q_filter_stats,              # A1 agg of filter_decisions
     # (driver-green r01-r03; rotated out for the fasttext_quality family)
     "exact_substring_spans": q_exact_substring_spans,  # ESS stage 1 —
@@ -2896,6 +2940,7 @@ ORACLES: dict[str, str] = {
     "line_dedup": SQL_LINE_DEDUP,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "fasttext_quality": SQL_FASTTEXT_QUALITY,
+    "pack_emit": SQL_PACK_EMIT,
     "mix_rebalance": SQL_MIX_REBALANCE,
     "asof_join": SQL_ASOF_JOIN,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,

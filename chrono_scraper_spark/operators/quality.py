@@ -589,30 +589,24 @@ def dedup_lines_within_doc(docs: DataFrame, id_col: str = "doc_id",
 # training-sequence packing (GPT-style contiguous token stream)
 # --------------------------------------------------------------------------
 
-def pack_sequences(docs: DataFrame, seq_len: int,
-                   id_col: str = "doc_id", text_col: str = "text",
-                   tokens_fn=None) -> DataFrame:
-    """Pack documents (in ``id_col`` order) into a contiguous token stream
-    cut into fixed ``seq_len`` training sequences — the standard
-    concat-and-chunk batching for LM training. Output per doc: its token
-    count, its absolute offset in the stream (``start_tok``) and the
-    first/last sequence ids it lands in (docs may span boundaries, exactly
-    like the packed-stream convention).
+def _with_stream_offsets(sized: DataFrame, id_col: str) -> DataFrame:
+    """Global exclusive prefix sum of ``n_tokens`` in ``id_col`` order,
+    WITHOUT a one-partition window: range-partition on the id, sort within
+    partitions, collect ONE long per partition (the partition token
+    subtotal), broadcast the exclusive partition offsets, and assign
+    per-row offsets in a map-only ``mapInPandas`` cumsum — the same
+    two-phase shape as ``politeness.with_global_order``. One range
+    exchange total; the collect is O(#partitions), never rows.
 
-    The global exclusive prefix sum does NOT use a one-partition window:
-    range-partition on the id, sort within partitions, collect ONE long
-    per partition (the partition token subtotal), broadcast the exclusive
-    partition offsets, and assign per-row offsets in a map-only
-    ``mapInPandas`` cumsum — the same two-phase shape as
-    ``politeness.with_global_order``. One range exchange total; the
-    collect is O(#partitions), never rows.
+    Returns ``sized`` + ``start_tok``; the frame carries the materialized
+    cache on ``_pack_cache`` (the offsets were computed against THIS
+    range partitioning — repartitionByRange samples boundaries, so a
+    recompute could repartition differently; callers unpersist the handle
+    once output is materialized, same convention as with_global_order).
     """
     from pyspark.sql import types as ST
 
-    count_tokens = tokens_fn or T.token_count_ws
-    sized = (docs
-             .select(F.col(id_col), count_tokens(F.col(text_col))
-                     .cast("long").alias("n_tokens"))
+    sized = (sized
              .repartitionByRange(id_col)
              .sortWithinPartitions(id_col)
              .cache())
@@ -639,7 +633,26 @@ def pack_sequences(docs: DataFrame, seq_len: int,
             pos = int(ends.iloc[-1]) if len(pdf) else pos
             yield pdf
 
-    packed = sized.mapInPandas(_assign, out_schema)
+    out = sized.mapInPandas(_assign, out_schema)
+    out._pack_cache = sized
+    return out
+
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   tokens_fn=None) -> DataFrame:
+    """Pack documents (in ``id_col`` order) into a contiguous token stream
+    cut into fixed ``seq_len`` training sequences — the standard
+    concat-and-chunk batching for LM training. Output per doc: its token
+    count, its absolute offset in the stream (``start_tok``) and the
+    first/last sequence ids it lands in (docs may span boundaries, exactly
+    like the packed-stream convention). Prefix-sum shape: see
+    ``_with_stream_offsets``.
+    """
+    count_tokens = tokens_fn or T.token_count_ws
+    packed = _with_stream_offsets(
+        docs.select(F.col(id_col), count_tokens(F.col(text_col))
+                    .cast("long").alias("n_tokens")), id_col)
     first = F.expr(f"start_tok DIV {seq_len}")
     last = F.when(
         F.col("n_tokens") == 0, first).otherwise(
@@ -647,12 +660,62 @@ def pack_sequences(docs: DataFrame, seq_len: int,
     out = packed.select(
         id_col, "n_tokens", "start_tok",
         first.alias("first_seq"), last.alias("last_seq"))
-    # the cache must outlive the returned frame: the offsets were computed
-    # against THIS materialized range partitioning (repartitionByRange
-    # samples boundaries — a recompute could repartition differently).
-    # Callers unpersist via the handle once output is materialized, same
-    # convention as with_global_order.
-    out._pack_cache = sized
+    out._pack_cache = packed._pack_cache
+    return out
+
+
+def pack_emit(docs: DataFrame, seq_len: int, vocab: int = 32768,
+              pad_id: int = 0, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Materialize the packed training batches: the token stream (docs
+    concatenated in ``id_col`` order, tokens hashed to ``vocab`` ids) cut
+    into fixed-length sequences → one row per sequence
+    ``(seq_id, n_filled, input_ids)``, the tail sequence padded with
+    ``pad_id`` — i.e. the actual `input_ids` tensor feed, not just the
+    offsets.
+
+    Plan (no per-token explode): after the two-phase prefix sum
+    (``_with_stream_offsets``), each doc emits one row per sequence it
+    SPANS (≈ n_docs + total_tokens/seq_len rows, each carrying an
+    `array_slice` of the doc's id array — never one row per token), then
+    one shuffle on ``seq_id`` reassembles each sequence with
+    ``sort_array(collect_list(struct(start_tok, piece)))`` + ``flatten``.
+    Shuffle volume is exactly the token-id stream once — the lower bound
+    for any repacking — and each reduce group is ≤ seq_len ids plus a
+    handful of struct headers.
+    """
+    ids = F.transform(
+        T.tokens(F.col(text_col)),
+        lambda t: (_hex_int(F.md5(t), 1, 8) % vocab).cast("long"))
+    packed = _with_stream_offsets(
+        docs.select(F.col(id_col), ids.alias("ids"))
+        .withColumn("n_tokens", F.size("ids").cast("long")), id_col)
+    first = F.expr(f"start_tok DIV {seq_len}")
+    last = F.expr(f"(start_tok + n_tokens - 1) DIV {seq_len}")
+    spans = (packed.filter(F.col("n_tokens") > 0)
+             .select("ids", "start_tok", "n_tokens",
+                     F.explode(F.sequence(first, last)).alias("seq_id"))
+             .select(
+                 "seq_id", "start_tok",
+                 F.expr(f"slice(ids, "
+                        f"greatest(seq_id * {seq_len} - start_tok, 0L) + 1, "
+                        f"least((seq_id + 1) * {seq_len} - start_tok, "
+                        f"n_tokens) - "
+                        f"greatest(seq_id * {seq_len} - start_tok, 0L))")
+                 .alias("piece")))
+    assembled = (spans.groupBy("seq_id")
+                 .agg(F.flatten(F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("start_tok", "piece"))),
+                     lambda s: s["piece"])).alias("filled")))
+    out = assembled.select(
+        "seq_id",
+        F.size("filled").cast("long").alias("n_filled"),
+        F.concat(
+            F.col("filled"),
+            F.expr(f"array_repeat(CAST({pad_id} AS BIGINT), "
+                   f"{seq_len} - size(filled))")).alias("input_ids"))
+    out._pack_cache = packed._pack_cache
     return out
 
 

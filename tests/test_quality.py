@@ -472,3 +472,39 @@ def test_mix_rebalance_plan_broadcasts_strata(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan    # corpus is never shuffled for joins
+
+
+def test_pack_emit_matches_flat_stream(spark):
+    import hashlib
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(i % 9))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string") \
+        .repartition(8)
+    L, V = 7, 50
+    out = {r["seq_id"]: r for r in Q.pack_emit(docs, seq_len=L, vocab=V,
+                                               pad_id=-1).collect()}
+    # flat python recompute of the hashed token stream in doc_id order
+    stream = []
+    for i in range(30):
+        for j in range(i % 9):
+            t = f"w{i}x{j}"
+            stream.append(int(hashlib.md5(t.encode()).hexdigest()[:8],
+                              16) % V)
+    n_seqs = -(-len(stream) // L)
+    assert set(out) == set(range(n_seqs))
+    for s in range(n_seqs):
+        want = stream[s * L:(s + 1) * L]
+        fill = len(want)
+        want = want + [-1] * (L - fill)
+        assert out[s]["input_ids"] == want, s
+        assert out[s]["n_filled"] == fill
+
+
+def test_pack_emit_plan_no_per_token_explode(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = Q.pack_emit(docs, seq_len=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # exactly one Generate (the doc->spanned-seq explode); the token ids
+    # travel as array slices, never as one row per token
+    assert plan.count("Generate") == 1
+    assert "rangepartitioning" in plan.lower()      # prefix-sum exchange
+    assert "hashpartitioning(seq_id" in plan        # reassembly shuffle
