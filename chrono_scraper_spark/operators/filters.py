@@ -203,6 +203,39 @@ def pass_all_decision() -> Column:
     return _decision(C.STATUS_PENDING, "passed_all_filters", 0.6, None, 5)
 
 
+# Unresolved decision expression cache. Building the ~120-pattern chain
+# costs thousands of Py4J round-trips (~3-4 s of pure driver time per
+# call); the finished expression is name-based (`F.col(url_col)` etc.) and
+# immutable, so it is reusable verbatim across any DataFrame with those
+# column names — analysis resolves a copy, never mutates the original.
+# Keyed by the names + chain config; lives for the JVM's lifetime.
+_DECISION_EXPR_CACHE: dict[tuple, Column] = {}
+
+
+def _decision_expr(url_col: str, length_col: str, digest_col: str,
+                   include_attachments: bool, has_seen: bool) -> Column:
+    key = (url_col, length_col, digest_col, include_attachments, has_seen)
+    cached = _DECISION_EXPR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    url = F.col(url_col)
+    length = F.col(length_col)
+    digest_seen = (F.coalesce(F.col("__digest_seen"), F.lit(False))
+                   if has_seen else F.lit(False))
+    decision = F.coalesce(
+        never_show_extension_decision(url),
+        list_page_pattern_decision(url),
+        list_page_heuristic_decision(url),
+        already_processed_decision(digest_seen, F.col(digest_col)),
+        attachment_decision(url, include_attachments),
+        size_decision(length),
+        high_value_decision(url, length),
+        pass_all_decision(),
+    )
+    _DECISION_EXPR_CACHE[key] = decision
+    return decision
+
+
 def with_filter_decision(
     frontier: DataFrame,
     seen_digests: DataFrame | None = None,
@@ -218,9 +251,6 @@ def with_filter_decision(
     content hashes (D3). Broadcast when small; Spark falls back to a shuffle
     join automatically above the broadcast threshold.
     """
-    url = F.col(url_col)
-    length = F.col(length_col)
-
     if seen_digests is not None:
         seen = seen_digests.select(
             F.col("digest").alias("__seen_digest")
@@ -230,20 +260,9 @@ def with_filter_decision(
         frontier = frontier.join(
             seen, frontier[digest_col] == seen["__seen_digest"], "left"
         ).drop("__seen_digest")
-        digest_seen = F.coalesce(F.col("__digest_seen"), F.lit(False))
-    else:
-        digest_seen = F.lit(False)
 
-    decision = F.coalesce(
-        never_show_extension_decision(url),
-        list_page_pattern_decision(url),
-        list_page_heuristic_decision(url),
-        already_processed_decision(digest_seen, F.col(digest_col)),
-        attachment_decision(url, include_attachments),
-        size_decision(length),
-        high_value_decision(url, length),
-        pass_all_decision(),
-    )
+    decision = _decision_expr(url_col, length_col, digest_col,
+                              include_attachments, seen_digests is not None)
     out = frontier.withColumn("decision", decision)
     if seen_digests is not None:
         out = out.drop("__digest_seen")
