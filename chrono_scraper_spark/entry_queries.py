@@ -2593,7 +2593,9 @@ r AS (
 ),
 acc AS (
   SELECT source,
-    CASE WHEN (SELECT max(rate_e9) FROM r) > 0
+    CASE WHEN rate_e9 = (SELECT max(rate_e9) FROM r) AND rate_e9 > 0
+         THEN 1000000
+         WHEN (SELECT max(rate_e9) FROM r) > 0
          THEN CAST(floor(CAST(rate_e9 AS DOUBLE) * 1e6
                          / (SELECT max(rate_e9) FROM r)) AS BIGINT)
          ELSE 0 END AS accept_ppm

@@ -820,9 +820,15 @@ def mix_rebalance(docs: DataFrame, target_ppm: dict[str, int] | None = None,
     acc = (r.crossJoin(F.broadcast(rmax))
            .withColumn(
                "accept_ppm",
-               F.when(F.col("rmax") > 0,
-                      F.floor(F.col("rate_e9").cast("double") * 1e6
-                              / F.col("rmax")))
+               # rate == rmax must yield EXACTLY 1e6 (kept whole): the
+               # double product rate·1e6 (~1e21) rounds below 2^53
+               # granularity and can floor to 999999 — caught by the
+               # mix_rebalance property test
+               F.when((F.col("rate_e9") == F.col("rmax"))
+                      & (F.col("rate_e9") > 0), F.lit(1_000_000))
+               .when(F.col("rmax") > 0,
+                     F.floor(F.col("rate_e9").cast("double") * 1e6
+                             / F.col("rmax")))
                .otherwise(F.lit(0)).cast("long"))
            .select(strata_col, "src_tokens", "target_ppm", "accept_ppm"))
     draw = _hex_int(F.md5(F.concat(F.lit(seed + ":"),

@@ -141,3 +141,98 @@ def test_asof_join_matches_pandas_merge_asof(spark, data):
             assert g_v is None and g_ts is None
         else:
             assert g_v == row["v"]
+
+
+def _hash_id(tok: str, vocab: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % vocab
+
+
+def _py_tokens(text: str) -> list[str]:
+    # Python-re twin of textops.TOKEN_SPLIT_RE ([^\p{L}\p{N}]+, Java
+    # syntax): the _text alphabet is ASCII, so letter/digit runs suffice
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+@SET
+@given(st.data())
+def test_pack_emit_equals_flat_stream(spark, data):
+    docs = data.draw(st.lists(_text, min_size=1, max_size=25))
+    L = data.draw(st.integers(2, 9))
+    V = data.draw(st.integers(5, 200))
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id int, text string").repartition(5)
+    from chrono_scraper_spark.operators.quality import pack_emit
+
+    out = {r["seq_id"]: r for r in
+           pack_emit(df, seq_len=L, vocab=V, pad_id=-1).collect()}
+    stream = [_hash_id(t, V) for txt in docs for t in _py_tokens(txt)]
+    n_seqs = -(-len(stream) // L)
+    assert set(out) == set(range(n_seqs))
+    for s in range(n_seqs):
+        want = stream[s * L:(s + 1) * L]
+        want = want + [-1] * (L - len(want))
+        assert out[s]["input_ids"] == want
+
+
+@SET
+@given(st.data())
+def test_fasttext_score_matches_python(spark, data):
+    import math
+
+    docs = data.draw(st.lists(_text, min_size=1, max_size=30))
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id int, text string")
+    from chrono_scraper_spark.operators.quality import fasttext_score
+
+    out = {r["doc_id"]: r for r in fasttext_score(df).collect()}
+    for i, txt in enumerate(docs):
+        toks = _py_tokens(txt)
+        w = sum((_hash_id(t, 4096) * 2654435761) % 2001 - 1000
+                for t in toks)
+        assert out[i]["n_tokens"] == len(toks)
+        assert out[i]["w_sum"] == w
+        if toks:
+            expect = round(1e6 / (1 + math.exp(-(w / (len(toks) * 1000.0)))))
+            assert out[i]["score_micro"] == expect
+        else:
+            assert out[i]["score_micro"] == 500000 and not out[i]["keep"]
+
+
+@SET
+@given(st.data())
+def test_mix_rebalance_invariants(spark, data):
+    rows = data.draw(st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]),
+                  st.integers(0, 12)),
+        min_size=1, max_size=40))
+    df = spark.createDataFrame(
+        [(i, src, " ".join(["w"] * n)) for i, (src, n) in enumerate(rows)],
+        "doc_id int, source string, text string")
+    from chrono_scraper_spark.operators.quality import mix_rebalance
+
+    out = mix_rebalance(df).collect()
+    assert len(out) == len(rows)                     # every doc, flagged
+    acc = {}
+    for r in out:
+        acc.setdefault(r["source"], set()).add(r["accept_ppm"])
+    # one rate per stratum; rates within [0, 1e6]; if any stratum has
+    # tokens, the max-rate stratum is kept whole
+    rates = {}
+    for src, s in acc.items():
+        assert len(s) == 1
+        (rates[src],) = s
+        assert 0 <= rates[src] <= 1_000_000
+    tok_per_src = {}
+    for src, n in rows:
+        tok_per_src[src] = tok_per_src.get(src, 0) + n
+    if any(v > 0 for v in tok_per_src.values()):
+        assert max(rates[s] for s in rates
+                   if tok_per_src.get(s, 0) > 0) == 1_000_000
+    # kept docs are exactly those whose md5 draw clears the stratum rate
+    import hashlib
+    for r in out:
+        draw = int(hashlib.md5(f"mix:{r['doc_id']}".encode())
+                   .hexdigest()[:8], 16) % 1_000_000
+        assert r["keep"] == (draw < r["accept_ppm"])
