@@ -2525,6 +2525,32 @@ FROM tok GROUP BY seq_id""".format(
     toks=OG.tokens_sql("text"), hx=OG.hex_int_sql("md5(x)", 1, 8))
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary construction (tokenizer counting pass): top-500 corpus
+    tokens by (count desc, token), stable ids. Explode → map-side-combined
+    hash agg → TakeOrderedAndProject; the rank window only ever sees the
+    500 survivors."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return Q.build_vocab(d, size=500)
+
+
+SQL_VOCAB_TOPK = f"""
+WITH c AS (
+  SELECT u.t AS token, count(*) AS n
+  FROM documents, unnest({OG.tokens_sql('text')}) AS u(t)
+  GROUP BY u.t
+),
+top AS (
+  SELECT token, n FROM c ORDER BY n DESC, token LIMIT 500
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
+         AS token_id,
+       token, CAST(n AS BIGINT) AS n
+FROM top"""
+
+
 def q_fasttext_quality(spark, sf_dir):
     """fastText-architecture quality-classifier inference over documents:
     hashed-bucket token weights → integer fold → sigmoid gate. The whole
@@ -2836,6 +2862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the driver's correctness window (families already covered above;
     # all were driver-green in r01-r03 and stay in check_oracles.py) ----
     "pack_emit": q_pack_emit,                    # packed input_ids batches
+    "vocab_topk": q_vocab_topk,                  # tokenizer counting pass
     # (packing family covered in-window by pack_sequences #18)
     "filter_stats": q_filter_stats,              # A1 agg of filter_decisions
     # (driver-green r01-r03; rotated out for the fasttext_quality family)
@@ -2943,6 +2970,7 @@ ORACLES: dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "fasttext_quality": SQL_FASTTEXT_QUALITY,
     "pack_emit": SQL_PACK_EMIT,
+    "vocab_topk": SQL_VOCAB_TOPK,
     "mix_rebalance": SQL_MIX_REBALANCE,
     "asof_join": SQL_ASOF_JOIN,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,

@@ -837,3 +837,32 @@ def mix_rebalance(docs: DataFrame, target_ppm: dict[str, int] | None = None,
     return (sized.join(F.broadcast(acc), strata_col)
             .select(id_col, strata_col, "n_tokens", "accept_ppm",
                     (draw < F.col("accept_ppm")).alias("keep")))
+
+
+# --------------------------------------------------------------------------
+# vocabulary construction (tokenizer training's counting pass)
+# --------------------------------------------------------------------------
+
+def build_vocab(docs: DataFrame, size: int, min_count: int = 1,
+                text_col: str = "text") -> DataFrame:
+    """Frequency-ranked vocabulary over the corpus — the counting pass of
+    tokenizer/vocab training: token → corpus count, top ``size`` by
+    (count desc, token asc) with stable ids 0..size-1 (ties broken
+    lexicographically, so ids are deterministic across runs/engines).
+
+    Plan: explode → hash-agg with map-side partials (the shuffle carries
+    one (token, partial_count) pair per distinct token per partition, not
+    per occurrence), then the top-``size`` cut is TakeOrderedAndProject —
+    no global sort materializes beyond the k survivors. Vocab sizes are
+    ≤ a few 100k at any corpus scale, so the final rank window over the
+    k survivors is trivially small.
+    """
+    counts = (docs
+              .select(F.explode(T.tokens(F.col(text_col))).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("n"))
+              .filter(F.col("n") >= min_count))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(size)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return top.select(
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        "token", F.col("n").cast("long").alias("n"))

@@ -508,3 +508,16 @@ def test_pack_emit_plan_no_per_token_explode(spark):
     assert plan.count("Generate") == 1
     assert "rangepartitioning" in plan.lower()      # prefix-sum exchange
     assert "hashpartitioning(seq_id" in plan        # reassembly shuffle
+
+
+def test_build_vocab_rank_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c d"), (3, "")],
+        "doc_id int, text string").select("text")
+    out = [(r["token_id"], r["token"], r["n"])
+           for r in Q.build_vocab(docs, size=3).orderBy("token_id").collect()]
+    # a:3, b:3 (tie -> 'a' first), c:2, d:1 cut by size
+    assert out == [(0, "a", 3), (1, "b", 3), (2, "c", 2)]
+    plan = Q.build_vocab(docs, size=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan   # no global sort of the counts
