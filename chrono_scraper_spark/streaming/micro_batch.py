@@ -172,3 +172,19 @@ def sessionized_host_activity(stream: DataFrame,
             .select(F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "host", "n_captures"))
+
+
+def dedup_url_stream(stream: DataFrame,
+                     watermark: str = "7 days") -> DataFrame:
+    """Streaming twin of the D4 URL-seen dedup: first sighting of each
+    ``(url, warc_ts)`` snapshot key passes, replays are dropped —
+    ``dropDuplicatesWithinWatermark``, so the state store holds one key
+    per snapshot seen within the watermark horizon and evicts anything
+    older (bounded state; the batch seen-set is unbounded by design,
+    the stream can't be). A replayed CDX page arriving > watermark late
+    is re-emitted — downstream the idempotent catalog MERGE (D6) makes
+    that harmless, which is exactly the reference's at-least-once +
+    idempotent-insert contract (incremental_scraping.py's allowed-lateness
+    window backstopped by the unique (url, ts) index)."""
+    return (stream.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["url", "warc_ts"]))

@@ -175,3 +175,38 @@ def test_sessionized_host_activity_matches_batch(spark, tmp_path,
     # corpus must close most of them (max ts - 1 h watermark)
     assert got and got <= exp_all
     assert len(got) >= len(exp_all) * 0.5
+
+
+def test_dedup_url_stream_drops_replays(spark, tmp_path):
+    # two micro-batch files: batch 1 has an internal dup; batch 2 replays
+    # two batch-1 keys and adds one new one — output = 4 distinct keys
+    import datetime as dt
+
+    d = tmp_path / "in"
+    d.mkdir()
+    t0 = dt.datetime(2021, 6, 1, 12, 0, 0)
+    rows1 = [("https://a/x", t0), ("https://a/x", t0),
+             ("https://a/y", t0), ("https://b/z", t0)]
+    rows2 = [("https://a/x", t0), ("https://b/z", t0),
+             ("https://b/w", t0)]
+    schema = "url string, warc_ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(str(d / "b1"))
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.parquet(str(d / "b2"))
+
+    from chrono_scraper_spark.streaming.micro_batch import dedup_url_stream
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(d / "*")))
+    out = dedup_url_stream(stream)
+    q = (out.writeStream.format("memory").queryName("dedup_sink")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["url"],) for r in
+                 spark.sql("select url from dedup_sink").collect())
+    assert got == [("https://a/x",), ("https://a/y",),
+                   ("https://b/w",), ("https://b/z",)]
