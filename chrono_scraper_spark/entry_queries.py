@@ -2525,6 +2525,37 @@ FROM tok GROUP BY seq_id""".format(
     toks=OG.tokens_sql("text"), hx=OG.hex_int_sql("md5(x)", 1, 8))
 
 
+def q_shard_assign(spark, sf_dir):
+    """Deterministic corpus export sharding: byte-offset prefix sum →
+    fixed-size shard ids (what drives whole-shard output tasks at write
+    time). Engine: two-phase prefix sum; oracle: window cumsum."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return Q.assign_shards(d, shard_bytes=65536)
+
+
+SQL_SHARD_ASSIGN = """
+WITH sized AS (
+  SELECT doc_id,
+    CAST(length(coalesce(text, '')) AS BIGINT) AS n_bytes
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_bytes,
+    CAST(coalesce(sum(n_bytes) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start_byte
+  FROM sized
+)
+SELECT doc_id, n_bytes, start_byte,
+  CAST(start_byte // 65536 AS BIGINT) AS shard,
+  CASE WHEN n_bytes = 0 THEN false
+       ELSE start_byte // 65536 != (start_byte + n_bytes - 1) // 65536
+       END AS straddles
+FROM cum"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Vocabulary construction (tokenizer counting pass): top-500 corpus
     tokens by (count desc, token), stable ids. Explode → map-side-combined
@@ -2863,6 +2894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # all were driver-green in r01-r03 and stay in check_oracles.py) ----
     "pack_emit": q_pack_emit,                    # packed input_ids batches
     "vocab_topk": q_vocab_topk,                  # tokenizer counting pass
+    "shard_assign": q_shard_assign,              # corpus export sharding
     # (packing family covered in-window by pack_sequences #18)
     "filter_stats": q_filter_stats,              # A1 agg of filter_decisions
     # (driver-green r01-r03; rotated out for the fasttext_quality family)
@@ -2971,6 +3003,7 @@ ORACLES: dict[str, str] = {
     "fasttext_quality": SQL_FASTTEXT_QUALITY,
     "pack_emit": SQL_PACK_EMIT,
     "vocab_topk": SQL_VOCAB_TOPK,
+    "shard_assign": SQL_SHARD_ASSIGN,
     "mix_rebalance": SQL_MIX_REBALANCE,
     "asof_join": SQL_ASOF_JOIN,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,

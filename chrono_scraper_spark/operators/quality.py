@@ -866,3 +866,31 @@ def build_vocab(docs: DataFrame, size: int, min_count: int = 1,
     return top.select(
         (F.row_number().over(w) - 1).cast("long").alias("token_id"),
         "token", F.col("n").cast("long").alias("n"))
+
+
+def assign_shards(docs: DataFrame, shard_bytes: int,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  ) -> DataFrame:
+    """Deterministic output sharding: docs in ``id_col`` order stream into
+    fixed-size byte shards (the "write ~1 GB parquet shards" step of a
+    corpus export) — per doc its byte offset, shard id, and whether it
+    straddles a shard boundary. Same two-phase prefix-sum shape as
+    ``pack_sequences`` (one range exchange; the collect is O(#partitions));
+    the shard id then drives `.repartition(shard)`/partitionBy at write
+    time so each output task owns whole shards.
+    """
+    packed = _with_stream_offsets(
+        docs.select(F.col(id_col),
+                    F.length(F.coalesce(F.col(text_col), F.lit("")))
+                    .cast("long").alias("n_tokens")), id_col)
+    start = F.col("start_tok")
+    out = packed.select(
+        id_col, F.col("n_tokens").alias("n_bytes"),
+        start.alias("start_byte"),
+        F.expr(f"start_tok DIV {shard_bytes}").alias("shard"),
+        (F.when(F.col("n_tokens") == 0, F.lit(False)).otherwise(
+            F.expr(f"start_tok DIV {shard_bytes} != "
+                   f"(start_tok + n_tokens - 1) DIV {shard_bytes}")))
+        .alias("straddles"))
+    out._pack_cache = packed._pack_cache
+    return out

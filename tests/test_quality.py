@@ -521,3 +521,19 @@ def test_build_vocab_rank_and_ties(spark):
     plan = Q.build_vocab(docs, size=3)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "TakeOrderedAndProject" in plan   # no global sort of the counts
+
+
+def test_assign_shards_offsets_and_straddle(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 10), (2, "y" * 10), (3, ""), (4, "z" * 25)],
+        "doc_id int, text string").repartition(3)
+    out = {r["doc_id"]: r for r in
+           Q.assign_shards(docs, shard_bytes=16).collect()}
+    assert (out[1]["start_byte"], out[1]["shard"]) == (0, 0)
+    assert out[1]["straddles"] is False
+    assert (out[2]["start_byte"], out[2]["shard"]) == (10, 0)
+    assert out[2]["straddles"] is True          # 10..19 crosses byte 16
+    assert (out[3]["start_byte"], out[3]["shard"],
+            out[3]["straddles"]) == (20, 1, False)
+    assert (out[4]["start_byte"], out[4]["shard"]) == (20, 1)
+    assert out[4]["straddles"] is True          # 20..44 crosses byte 32
