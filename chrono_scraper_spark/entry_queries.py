@@ -45,6 +45,7 @@ from chrono_scraper_spark.operators.dedup import (
     categorize_against_registry,
     collapse_digest,
     cuckoo_prefilter_anti_join,
+    snapshot_diff,
 )
 from chrono_scraper_spark.operators.filters import filter_stats, with_filter_decision
 from chrono_scraper_spark.operators.index import build_inverted_terms, tokenize
@@ -935,6 +936,45 @@ def q_dedup_clusters_star(spark, sf_dir):
     pairs = TD.minhash_near_duplicates(docs, n_hashes=12, bands=6,
                                        threshold=0.5)
     return TD.dedup_clusters(pairs, algo="star")
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware representative selection after near-dup clustering:
+    per transitive similarity cluster keep the LONGEST doc (ties → lowest
+    id) — the keep rule production dedup actually applies, vs
+    dedup_clusters' min-id canonical. Singletons (docs in no candidate
+    pair) survive as their own keeps. Subsumes the minhash_pairs +
+    connected-components checks (same mh_pairs/reach CTEs in the oracle)."""
+    docs = _docs_with_clones(spark, sf_dir) \
+        .withColumn("quality", F.length("text"))
+    pairs = TD.minhash_near_duplicates(docs, n_hashes=12, bands=6,
+                                       threshold=0.5)
+    return TD.dedup_keep_best(docs, pairs, quality_col="quality")
+
+
+SQL_DEDUP_KEEP_BEST = f"""WITH RECURSIVE {_SQL_MINHASH_CTES},
+cc_edges AS (
+  SELECT a AS src, b AS dst FROM mh_pairs
+  UNION
+  SELECT b AS src, a AS dst FROM mh_pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM cc_edges
+  UNION
+  SELECT e.src, reach.r FROM cc_edges e JOIN reach ON reach.node = e.dst
+),
+comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach
+         GROUP BY node),
+q AS (
+  SELECT d.doc_id, len(d.text) AS quality,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM docs2 d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY quality DESC, doc_id) = 1 AS keep
+FROM q"""
 
 
 _ESS_K = 8  # window length for the contract query (docs are short at sf0.01)
@@ -2556,6 +2596,135 @@ SELECT doc_id, n_bytes, start_byte,
 FROM cum"""
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Incremental-crawl snapshot diff (the CDC shape of the url_seen
+    table between two catalog versions): two deterministic snapshots of
+    the same url space — old omits doc_id%5==4 (→ added), new omits
+    doc_id%5==0 (→ removed), doc_id%7==0 pages change content between
+    crawls (→ changed) — full-outer joined and classified. All four
+    classes are populated at every sf."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    url = F.concat(F.lit("https://site"),
+                   (F.col("doc_id") % 40).cast("string"),
+                   F.lit(".com/doc-"), F.col("doc_id").cast("string"))
+    old = (d.filter(F.col("doc_id") % 5 != 4)
+           .select(url.alias("url"), F.md5("text").alias("digest")))
+    new = (d.filter(F.col("doc_id") % 5 != 0)
+           .select(url.alias("url"),
+                   F.md5(F.when(F.col("doc_id") % 7 == 0,
+                                F.concat(F.col("text"), F.lit("!")))
+                         .otherwise(F.col("text"))).alias("digest")))
+    return snapshot_diff(old, new)
+
+
+SQL_CRAWL_DIFF = """
+WITH old AS (
+  SELECT 'https://site' || CAST(doc_id % 40 AS VARCHAR) || '.com/doc-'
+         || CAST(doc_id AS VARCHAR) AS url,
+         md5(text) AS digest
+  FROM documents WHERE doc_id % 5 != 4
+),
+new AS (
+  SELECT 'https://site' || CAST(doc_id % 40 AS VARCHAR) || '.com/doc-'
+         || CAST(doc_id AS VARCHAR) AS url,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END)
+           AS digest
+  FROM documents WHERE doc_id % 5 != 0
+)
+SELECT coalesce(o.url, n.url) AS url,
+  o.digest AS old_digest, n.digest AS new_digest,
+  CASE WHEN o.url IS NULL THEN 'added'
+       WHEN n.url IS NULL THEN 'removed'
+       WHEN o.digest = n.digest THEN 'unchanged'
+       ELSE 'changed' END AS change
+FROM old o FULL OUTER JOIN new n ON o.url = n.url"""
+
+
+_WP_TOP = 25
+_WP_ALPHABET = "abcdefghijklmnopqrstuvwxz"  # 'y' deliberately absent: words
+# containing it that miss the top-25 whole-word cut take the [UNK] path
+
+
+def q_wordpiece_encode(spark, sf_dir):
+    """Tokenizer application (the apply half; vocab_topk is the counting
+    half): greedy longest-match-first WordPiece encode of every document
+    against a corpus-derived vocab (top-25 whole words + an incomplete
+    single-char alphabet, '##' continuations, whole-word [UNK]).
+    Engine: broadcast-frozenset codebook + one Arrow-batched pandas UDF
+    pass, zero shuffles. Oracle: the same greedy loop as a recursive CTE
+    with a LATERAL longest-match probe, run once per DISTINCT word."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = Q.wordpiece_vocab(d, top_words=_WP_TOP, alphabet=_WP_ALPHABET)
+    return Q.wordpiece_encode(d, vocab)
+
+
+_WP_ALPHA_SQL = ", ".join(f"('{c}')" for c in _WP_ALPHABET)
+
+SQL_WORDPIECE_ENCODE = f"""WITH RECURSIVE
+c AS (
+  SELECT u.t AS token, count(*) AS n
+  FROM documents, unnest({OG.tokens_sql('text')}) AS u(t)
+  GROUP BY u.t
+),
+topw AS (SELECT token FROM c ORDER BY n DESC, token LIMIT {_WP_TOP}),
+alpha(ch) AS (SELECT * FROM (VALUES {_WP_ALPHA_SQL})),
+vocab(piece) AS (
+  SELECT token FROM topw
+  UNION SELECT ch FROM alpha
+  UNION SELECT '##' || ch FROM alpha
+),
+toks AS (SELECT doc_id, {OG.tokens_sql('text')} AS tk FROM documents),
+occ AS (
+  SELECT doc_id, generate_subscripts(tk, 1) AS widx, unnest(tk) AS word
+  FROM toks
+),
+words AS (SELECT DISTINCT word FROM occ),
+wenc(word, pos, piece, ord, fail) AS (
+  SELECT word, CAST(1 AS BIGINT), CAST(NULL AS VARCHAR), 0,
+         len(word) > 100
+  FROM words
+  UNION ALL
+  SELECT s.word,
+         CASE WHEN m.best IS NULL THEN CAST(len(s.word) + 1 AS BIGINT)
+              ELSE s.pos + m.eff END,
+         m.best, s.ord + 1, m.best IS NULL
+  FROM wenc s LEFT JOIN LATERAL (
+    SELECT v.piece AS best,
+           CAST(CASE WHEN s.pos = 1 THEN len(v.piece)
+                     ELSE len(v.piece) - 2 END AS BIGINT) AS eff
+    FROM vocab v
+    WHERE (s.pos = 1 AND substr(v.piece, 1, 2) != '##'
+           AND substr(s.word, 1, len(v.piece)) = v.piece)
+       OR (s.pos > 1 AND substr(v.piece, 1, 2) = '##'
+           AND substr(s.word, CAST(s.pos AS INT), len(v.piece) - 2)
+               = substr(v.piece, 3))
+    ORDER BY eff DESC LIMIT 1
+  ) m ON true
+  WHERE s.pos <= len(s.word) AND NOT s.fail
+),
+wres AS (
+  SELECT word,
+    CASE WHEN bool_or(fail) THEN '[UNK]'
+         ELSE string_agg(piece, ' ' ORDER BY ord) END AS pieces,
+    CASE WHEN bool_or(fail) THEN 1 ELSE count(piece) END AS np,
+    CASE WHEN bool_or(fail) THEN 1 ELSE 0 END AS unk
+  FROM wenc GROUP BY word
+),
+de AS (
+  SELECT o.doc_id, o.widx, r.pieces, r.np, r.unk
+  FROM occ o JOIN wres r USING (word)
+)
+SELECT d.doc_id,
+  CAST(coalesce(sum(de.np), 0) AS BIGINT) AS n_pieces,
+  CAST(coalesce(sum(de.unk), 0) AS BIGINT) AS n_unk_words,
+  md5(coalesce(string_agg(de.pieces, ' ' ORDER BY de.widx), ''))
+    AS piece_sig
+FROM documents d LEFT JOIN de ON de.doc_id = d.doc_id
+GROUP BY d.doc_id"""
+
+
 def q_vocab_topk(spark, sf_dir):
     """Vocabulary construction (tokenizer counting pass): top-500 corpus
     tokens by (count desc, token), stable ids. Explode → map-side-combined
@@ -2862,7 +3031,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- one entry per remaining operator family ---
     "filter_decisions": q_filter_decisions,
     "collapse_digest": q_collapse_digest,
-    "seen_antijoin_bloom_bucketed": q_seen_antijoin_bloom_bucketed,
+    "crawl_diff": q_crawl_diff,  # T10 CDC snapshot diff — first oracle
+    # row for the incremental family (previously unit-only)
     "registry_categorize": q_registry_categorize,
     "politeness_schedule_pruned": q_politeness_schedule_pruned,
     "crawl_order": q_crawl_order,
@@ -2876,9 +3046,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stats": q_doc_stats,
     "langid": q_langid,
     "exact_dups": q_exact_dups,
-    "minhash_pairs": q_minhash_pairs,
+    "dedup_keep_best": q_dedup_keep_best,  # quality-aware keep rule; its
+    # oracle embeds minhash_pairs' mh_pairs CTE + the components closure
     "facet_counts": q_facet_counts,
-    "fulltext_proximity": q_fulltext_proximity,
+    "wordpiece_encode": q_wordpiece_encode,  # tokenizer application
     "pii_redact": q_pii_redact,
     "url_blocklist": q_url_blocklist,
     "entity_extract": q_entity_extract,
@@ -2896,6 +3067,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,                  # tokenizer counting pass
     "shard_assign": q_shard_assign,              # corpus export sharding
     # (packing family covered in-window by pack_sequences #18)
+    "minhash_pairs": q_minhash_pairs,            # stage-1 intermediate of
+    # dedup_keep_best/dedup_clusters (same mh_pairs CTE; green r01-r03)
+    "fulltext_proximity": q_fulltext_proximity,  # proximity rule alone —
+    # subsumed by fulltext_ranked's full rule chain (green in r03)
+    "seen_antijoin_bloom_bucketed": q_seen_antijoin_bloom_bucketed,
+    # (D4 family stays in-window via seen_antijoin_cuckoo — both variants
+    # share SQL_SEEN_ANTI_JOIN, so the driver row was hash-redundant)
     "filter_stats": q_filter_stats,              # A1 agg of filter_decisions
     # (driver-green r01-r03; rotated out for the fasttext_quality family)
     "exact_substring_spans": q_exact_substring_spans,  # ESS stage 1 —
@@ -3004,6 +3182,9 @@ ORACLES: dict[str, str] = {
     "pack_emit": SQL_PACK_EMIT,
     "vocab_topk": SQL_VOCAB_TOPK,
     "shard_assign": SQL_SHARD_ASSIGN,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "crawl_diff": SQL_CRAWL_DIFF,
+    "wordpiece_encode": SQL_WORDPIECE_ENCODE,
     "mix_rebalance": SQL_MIX_REBALANCE,
     "asof_join": SQL_ASOF_JOIN,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,

@@ -202,3 +202,33 @@ def in_batch_dedup(frontier: DataFrame, keys: list[str] = SEEN_KEY) -> DataFrame
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
+                  digest_col: str = "digest") -> DataFrame:
+    """Incremental-crawl snapshot diff: classify every key across two crawl
+    snapshots as ``added`` (new only), ``removed`` (old only), ``changed``
+    (both, digest differs) or ``unchanged`` — the recrawl-planning
+    primitive (what to refetch, what to retire) and the CDC shape of
+    D6's url_seen table between two catalog versions.
+
+    Scale shape: one full-outer sort-merge join on the key; when both
+    snapshots are written bucketed on the key (the url_seen layout) the
+    exchange disappears entirely. No window, no driver state. A
+    null-digest row counts as a digest value (a failed fetch recorded in
+    the snapshot), so added/removed classification stays total.
+
+    Output: one row per key — ``old_digest``, ``new_digest``, ``change``.
+    """
+    o = old.select(F.col(key_col), F.col(digest_col).alias("old_digest"),
+                   F.lit(True).alias("_in_old"))
+    n = new.select(F.col(key_col), F.col(digest_col).alias("new_digest"),
+                   F.lit(True).alias("_in_new"))
+    j = o.join(n, key_col, "full_outer")
+    return j.select(
+        key_col, "old_digest", "new_digest",
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+         .when(F.col("_in_new").isNull(), F.lit("removed"))
+         .when(F.col("old_digest").eqNullSafe(F.col("new_digest")),
+               F.lit("unchanged"))
+         .otherwise(F.lit("changed")).alias("change"))

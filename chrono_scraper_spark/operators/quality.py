@@ -46,6 +46,7 @@ the corpus-curation ops an LLM training-data pipeline runs at 100 TB:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -894,3 +895,119 @@ def assign_shards(docs: DataFrame, shard_bytes: int,
         .alias("straddles"))
     out._pack_cache = packed._pack_cache
     return out
+
+
+# --------------------------------------------------------------------------
+# WordPiece tokenizer application (the "apply vocab" half of tokenization;
+# build_vocab above is the counting half)
+# --------------------------------------------------------------------------
+
+_WP_CONT = "##"
+
+
+def wordpiece_vocab(docs: DataFrame, top_words: int = 25,
+                    text_col: str = "text",
+                    alphabet: str = "abcdefghijklmnopqrstuvwxyz",
+                    ) -> DataFrame:
+    """A deterministic WordPiece vocabulary: the ``top_words`` most
+    frequent corpus tokens kept whole (``build_vocab``'s count-desc,
+    token-asc rank) plus an ``alphabet`` of single characters in both
+    initial (``c``) and continuation (``##c``) form — the character
+    fallback that makes greedy matching total over the alphabet. Words
+    containing out-of-alphabet characters (and not frequent enough to be
+    whole pieces) become ``[UNK]``, exactly HuggingFace WordPiece's
+    whole-word unk rule. Returns one ``piece`` column, distinct."""
+    spark = docs.sparkSession
+    top = build_vocab(docs, size=top_words, text_col=text_col) \
+        .select(F.col("token").alias("piece"))
+    chars = spark.createDataFrame(
+        [(c,) for c in alphabet] + [(_WP_CONT + c,) for c in alphabet],
+        "piece string")
+    return top.unionByName(chars).distinct()
+
+
+def _wp_greedy(word: str, vocab: frozenset, max_chars: int):
+    """Greedy longest-match-first WordPiece encode of one word; None on
+    failure (→ whole-word [UNK]). Pure function — unit-testable without
+    Spark; the pandas UDF below maps it over Arrow batches."""
+    if len(word) > max_chars:
+        return None
+    pieces, pos = [], 0
+    while pos < len(word):
+        end, cur = len(word), None
+        while end > pos:
+            sub = word[pos:end]
+            if pos > 0:
+                sub = _WP_CONT + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return None
+        pieces.append(cur)
+        pos = end
+    return pieces
+
+
+def wordpiece_encode(docs: DataFrame, vocab: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     unk: str = "[UNK]",
+                     max_word_chars: int = 100) -> DataFrame:
+    """Apply a WordPiece vocabulary to the corpus: greedy longest-match-
+    first subword split per word (HF WordPiece semantics — ``##``
+    continuation pieces, whole-word ``[UNK]`` when any position fails or
+    the word exceeds ``max_word_chars``).
+
+    Scale shape: the vocab is a bounded codebook (≤ a few 100k pieces at
+    any corpus scale — same broadcast discipline as the IVF codebook), so
+    it is collected once and shipped to executors as a broadcast
+    frozenset; pre-tokenization stays JVM-side (``textops.tokens``, the
+    exact tokens ``build_vocab`` counted); the encode itself is one
+    Arrow-batched pandas UDF pass — zero shuffles, the hot loop is a set
+    probe per (pos, end) candidate, O(word_len²) worst-case with
+    word_len ≤ ``max_word_chars``. Real tokenizers are native libraries
+    driven exactly this way (mapInPandas/pandas UDF over a broadcast
+    tokenizer file); this is the library-free analog with identical
+    plumbing.
+
+    Output: one row per doc — ``n_pieces``, ``n_unk_words``,
+    ``piece_sig`` (md5 of the space-joined piece stream, value-checking
+    the exact sequence)."""
+    from pyspark.sql import types as ST
+    from pyspark.sql.functions import pandas_udf
+
+    pieces = frozenset(
+        r["piece"] for r in vocab.select("piece").collect())
+    bc = docs.sparkSession.sparkContext.broadcast(pieces)
+
+    out_t = ST.StructType([
+        ST.StructField("pieces", ST.StringType()),
+        ST.StructField("n_pieces", ST.LongType()),
+        ST.StructField("n_unk_words", ST.LongType()),
+    ])
+
+    @pandas_udf(out_t)
+    def _encode(tok_ser: pd.Series) -> pd.DataFrame:  # pragma: no cover
+        vo = bc.value
+        rows = []
+        for toks in tok_ser:
+            out, unks = [], 0
+            for w in (toks if toks is not None else []):
+                ps = _wp_greedy(w, vo, max_word_chars)
+                if ps is None:
+                    out.append(unk)
+                    unks += 1
+                else:
+                    out.extend(ps)
+            rows.append((" ".join(out), len(out), unks))
+        return pd.DataFrame(rows,
+                            columns=["pieces", "n_pieces", "n_unk_words"])
+
+    return (docs
+            .select(F.col(id_col), T.tokens(F.col(text_col)).alias("_tk"))
+            .withColumn("_e", _encode("_tk"))
+            .select(id_col,
+                    F.col("_e.n_pieces").alias("n_pieces"),
+                    F.col("_e.n_unk_words").alias("n_unk_words"),
+                    F.md5(F.col("_e.pieces")).alias("piece_sig")))

@@ -688,3 +688,42 @@ def semdedup(corpus: DataFrame, n_centroids: int = 16,
             .select(id_col, "centroid_id",
                     F.col("dup_of").isNull().alias("is_kept"),
                     "dup_of", "max_cos"))
+
+
+# --------------------------------------------------------------------------
+# cluster-representative selection (the keep step after near-dup clustering)
+# --------------------------------------------------------------------------
+
+def dedup_keep_best(docs: DataFrame, pairs: DataFrame,
+                    quality_col: str = "quality", id_col: str = "doc_id",
+                    algo: str = "label") -> DataFrame:
+    """Quality-aware representative selection: after near-dup clustering,
+    keep — per transitive similarity cluster — the highest-``quality_col``
+    doc (ties → lowest id), not the min-id doc that ``dedup_clusters``
+    canonicalizes. This is the keep rule production dedup actually runs
+    (e.g. keep the longest / highest-scoring page of a boilerplate clone
+    family); docs that appear in no candidate pair survive as singleton
+    keeps.
+
+    Scale shape: components come from ``connected_components`` (bounded
+    rounds); the docs⋈components join is on the id — components cover
+    only the near-dup minority of the corpus, so AQE typically broadcasts
+    the component side; the keep window partitions by cluster_id and
+    clusters are small by construction (no mega-partition window).
+
+    Output: one row per doc — ``cluster_id``, ``cluster_size``, ``keep``.
+    """
+    comp = connected_components(pairs, a_col="a", b_col="b", algo=algo) \
+        .withColumnRenamed("node", id_col)
+    j = (docs.select(F.col(id_col), F.col(quality_col).alias("_q"))
+         .join(comp, id_col, "left")
+         .select(id_col, "_q",
+                 F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")))
+    w = Window.partitionBy("cluster_id")
+    rank = F.row_number().over(
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("_q"), F.asc(id_col)))
+    return j.select(
+        id_col, "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (rank == 1).alias("keep"))

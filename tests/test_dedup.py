@@ -78,3 +78,17 @@ def test_categorize_against_registry(spark):
     assert got[("https://a.com/y", "20200101000000")] == "already_processing"
     assert got[("https://b.com/z", "20200201000000")] == "to_scrape"
     assert got[("https://a.com/x", "20200102000000")] == "to_scrape"
+
+
+def test_snapshot_diff_four_classes(spark):
+    from chrono_scraper_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", "d3"), ("u5", None)],
+        "url string, digest string")
+    new = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "dX"), ("u4", "d4"), ("u5", None)],
+        "url string, digest string")
+    out = {r["url"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    assert out == {"u1": "unchanged", "u2": "changed", "u3": "removed",
+                   "u4": "added", "u5": "unchanged"}  # null==null digests

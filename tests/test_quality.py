@@ -537,3 +537,53 @@ def test_assign_shards_offsets_and_straddle(spark):
             out[3]["straddles"]) == (20, 1, False)
     assert (out[4]["start_byte"], out[4]["shard"]) == (20, 1)
     assert out[4]["straddles"] is True          # 20..44 crosses byte 32
+
+
+def test_wp_greedy_pure():
+    vocab = frozenset(
+        ["archive", "arch", "ive", "##ive", "##hive",
+         "a", "r", "c", "h", "i", "v", "e",
+         "##a", "##r", "##c", "##h", "##i", "##v", "##e"])
+    # longest-match-first: whole word wins over prefix pieces
+    assert Q._wp_greedy("archive", vocab, 100) == ["archive"]
+    # '##s' absent → the trailing char fails → whole-word None
+    assert Q._wp_greedy("archives", vocab, 100) is None
+    # greedy picks the longest continuation at each step
+    assert Q._wp_greedy("archhive", vocab, 100) == ["arch", "##hive"]
+    # unmatched char → whole-word failure (None)
+    assert Q._wp_greedy("arq", vocab, 100) is None
+    # over-length rule
+    assert Q._wp_greedy("a" * 101, vocab, 100) is None
+    assert Q._wp_greedy("a", vocab, 100) == ["a"]
+
+
+def test_wordpiece_encode_engine(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat the"), (2, "catx"), (3, None)],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("c",), ("a",), ("t",),
+         ("##a",), ("##t",), ("##c",)],
+        "piece string")
+    out = {r["doc_id"]: r for r in
+           Q.wordpiece_encode(docs, vocab).collect()}
+    # doc 1: 'the' 'cat' 'the' → 3 pieces, 0 unk
+    assert (out[1]["n_pieces"], out[1]["n_unk_words"]) == (3, 0)
+    # doc 2: 'catx' fails at 'x' → whole-word [UNK] (1 piece, 1 unk)
+    assert (out[2]["n_pieces"], out[2]["n_unk_words"]) == (1, 1)
+    # doc 3: null text → empty stream
+    assert (out[3]["n_pieces"], out[3]["n_unk_words"]) == (0, 0)
+    import hashlib
+    assert out[3]["piece_sig"] == hashlib.md5(b"").hexdigest()
+    assert out[1]["piece_sig"] == \
+        hashlib.md5(b"the cat the").hexdigest()
+
+
+def test_wordpiece_vocab_recipe(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "bb aa cc")], "doc_id long, text string")
+    pieces = {r["piece"] for r in
+              Q.wordpiece_vocab(docs, top_words=2, alphabet="ab")
+              .collect()}
+    # top-2 words by (count desc, token asc): aa(3), bb(2); alphabet both forms
+    assert pieces == {"aa", "bb", "a", "b", "##a", "##b"}

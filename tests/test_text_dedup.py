@@ -326,3 +326,30 @@ def test_semdedup_plan_broadcasts_codebook(spark):
     # the pair join is an equi-join on centroid_id, never a full cartesian
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("CartesianProduct") == 0
+
+
+def test_dedup_keep_best_quality_rule(spark):
+    # cluster {1,2,3} via pairs; 4 is a singleton. Quality: 2 wins (len 9);
+    # tie between 1 and 3 at len 5 is irrelevant (2 beats both).
+    docs = spark.createDataFrame(
+        [(1, "aaaaa"), (2, "bbbbbbbbb"), (3, "ccccc"), (4, "dd")],
+        "doc_id long, text string").withColumn(
+            "quality", F.length("text"))
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    out = {r["doc_id"]: r for r in
+           TD.dedup_keep_best(docs, pairs, quality_col="quality").collect()}
+    assert out[2]["keep"] is True and out[2]["cluster_size"] == 3
+    assert out[1]["keep"] is False and out[3]["keep"] is False
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == out[3]["cluster_id"]
+    assert out[4]["keep"] is True and out[4]["cluster_size"] == 1
+    assert out[4]["cluster_id"] == 4
+
+
+def test_dedup_keep_best_tie_breaks_lowest_id(spark):
+    docs = spark.createDataFrame(
+        [(7, "xxxx"), (5, "yyyy")], "doc_id long, text string") \
+        .withColumn("quality", F.length("text"))
+    pairs = spark.createDataFrame([(5, 7)], "a long, b long")
+    out = {r["doc_id"]: r for r in
+           TD.dedup_keep_best(docs, pairs, quality_col="quality").collect()}
+    assert out[5]["keep"] is True and out[7]["keep"] is False
