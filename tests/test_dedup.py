@@ -92,3 +92,14 @@ def test_snapshot_diff_four_classes(spark):
     out = {r["url"]: r["change"] for r in snapshot_diff(old, new).collect()}
     assert out == {"u1": "unchanged", "u2": "changed", "u3": "removed",
                    "u4": "added", "u5": "unchanged"}  # null==null digests
+
+
+def test_snapshot_diff_plan_single_full_outer_join(spark):
+    from chrono_scraper_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame([("u", "d")], "url string, digest string")
+    new = spark.createDataFrame([("u", "d")], "url string, digest string")
+    plan = snapshot_diff(old, new)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "FullOuter" in plan
+    assert plan.count("SortMergeJoin") == 1  # one key join, no window

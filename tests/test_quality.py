@@ -587,3 +587,11 @@ def test_wordpiece_vocab_recipe(spark):
               .collect()}
     # top-2 words by (count desc, token asc): aa(3), bb(2); alphabet both forms
     assert pieces == {"aa", "bb", "a", "b", "##a", "##b"}
+
+
+def test_wordpiece_encode_plan_zero_exchanges(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a",), ("b",)], "piece string")
+    plan = Q.wordpiece_encode(docs, vocab)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 0  # broadcast codebook, map-only pass
