@@ -1011,3 +1011,109 @@ def wordpiece_encode(docs: DataFrame, vocab: DataFrame,
                     F.col("_e.n_pieces").alias("n_pieces"),
                     F.col("_e.n_unk_words").alias("n_unk_words"),
                     F.md5(F.col("_e.pieces")).alias("piece_sig")))
+
+
+# --------------------------------------------------------------------------
+# fastText-style classifier TRAINING (pyspark.ml bridge to fasttext_score's
+# zero-shuffle inference shape)
+# --------------------------------------------------------------------------
+
+def fasttext_train(labeled: DataFrame, label_col: str = "label",
+                   text_col: str = "text",
+                   n_buckets: int = FASTTEXT_BUCKETS,
+                   max_iter: int = 60, reg_param: float = 0.0,
+                   ) -> tuple[list[int], int]:
+    """Train the hashed-bucket quality classifier with Spark MLlib and
+    export weights for the zero-shuffle inference path
+    (``fasttext_score_trained``): tokens → md5 bucket counts (the SAME
+    bucket function inference uses) → dense count vector
+    (``array_to_vector``, JVM-side) → ``LogisticRegression``.
+
+    Labeled quality-classifier corpora are small by construction (curated
+    positive/negative seeds, 10⁴-10⁶ docs — CCNet trains on Wikipedia
+    refs), so a dense ``n_buckets`` feature vector per labeled doc is the
+    right trade: the featurize pass is one Arrow-batched ``mapInPandas``
+    (numpy bincount per doc, no explode/shuffle), and MLlib's LBFGS does
+    the iterations. The 100 TB-scale half of the system is INFERENCE,
+    which stays a zero-shuffle codegen projection over the exported
+    weights.
+
+    Returns ``(weights_milli, bias_milli)`` — per-bucket weights and the
+    intercept, milli-quantized exactly like ``fasttext_score``'s
+    deterministic stand-in, so the trained model swaps into the same
+    integer-fold plan."""
+    import numpy as np
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as ST
+
+    bucket = lambda t: (_hex_int(F.md5(t), 1, 8) % n_buckets)  # noqa: E731
+    feats = labeled.select(
+        F.col(label_col).cast("double").alias("label"),
+        T.tokens(F.col(text_col)).alias("_tk")
+    ).select(
+        "label",
+        F.transform("_tk", lambda t: bucket(t).cast("int")).alias("_b"))
+
+    out_schema = ST.StructType([
+        ST.StructField("label", ST.DoubleType()),
+        ST.StructField("counts", ST.ArrayType(ST.DoubleType())),
+    ])
+
+    def _featurize(batches):  # pragma: no cover — executor-side
+        import pandas as _pd
+
+        # mean-of-buckets (fastText) form: counts normalized by token
+        # count, so the learned logit is Σ w_b·(count_b/n) + b — exactly
+        # the mean-weight fold the inference projection computes
+        for pdf in batches:
+            counts = [
+                np.bincount(np.asarray(b, dtype=np.int64),
+                            minlength=n_buckets).astype(float) / len(b)
+                if len(b) else np.zeros(n_buckets)
+                for b in pdf["_b"]
+            ]
+            yield _pd.DataFrame({"label": pdf["label"],
+                                 "counts": counts})
+
+    train = (feats.mapInPandas(_featurize, out_schema)
+             .select("label",
+                     array_to_vector("counts").alias("features")))
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg_param)
+    model = lr.fit(train)
+    w = model.coefficients.toArray()
+    weights_milli = [int(round(x * 1000.0)) for x in w]
+    return weights_milli, int(round(float(model.intercept) * 1000.0))
+
+
+def fasttext_score_trained(docs: DataFrame, weights_milli: list[int],
+                           bias_milli: int = 0, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           threshold_micro: int = FASTTEXT_THRESHOLD_MICRO,
+                           ) -> DataFrame:
+    """``fasttext_score`` with TRAINED weights: identical zero-shuffle
+    codegen projection (md5 bucket → weight lookup → long fold → one
+    sigmoid), but the per-bucket weight comes from an inline weights
+    array (``element_at`` on a literal array — the broadcast-codebook
+    pattern in expression form; at a few thousand buckets the array is
+    KBs of plan, streamed at scan speed over any corpus size)."""
+    n_buckets = len(weights_milli)
+    arr = F.array(*[F.lit(int(x)).cast("long") for x in weights_milli])
+    toks = T.tokens(F.col(text_col))
+    weight = lambda t: F.element_at(  # noqa: E731
+        arr, (_hex_int(F.md5(t), 1, 8) % n_buckets).cast("int") + 1)
+    step1 = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(F.transform(toks, weight), F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("w_sum"))
+    logit = ((F.col("w_sum") / F.greatest(F.col("n_tokens"), F.lit(1))
+              + F.lit(bias_milli)) / 1000.0)
+    score_micro = F.when(F.col("n_tokens") == 0, F.lit(500_000)) \
+        .otherwise(F.round(F.lit(1e6) / (F.lit(1.0) + F.exp(-logit)))) \
+        .cast("long")
+    return step1.select(
+        id_col, "n_tokens", "w_sum",
+        score_micro.alias("score_micro"),
+        ((F.col("n_tokens") > 0)
+         & (score_micro >= threshold_micro)).alias("keep"))

@@ -595,3 +595,23 @@ def test_wordpiece_encode_plan_zero_exchanges(spark):
     plan = Q.wordpiece_encode(docs, vocab)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 0  # broadcast codebook, map-only pass
+
+
+def test_fasttext_train_and_trained_inference(spark):
+    good = ["excellent", "insight", "coherent", "thorough", "reasoned"]
+    bad = ["zzspam", "clickzz", "zzbuy", "zzfree", "zznow"]
+    rows = []
+    for i in range(40):
+        rows.append((i, 1.0, " ".join(good[(i + j) % 5] for j in range(8))))
+        rows.append((100 + i, 0.0,
+                     " ".join(bad[(i + j) % 5] for j in range(8))))
+    df = spark.createDataFrame(rows, "doc_id long, label double, text string")
+    w, b = Q.fasttext_train(df, n_buckets=4096, max_iter=40)
+    assert len(w) == 4096
+    scored = Q.fasttext_score_trained(df.select("doc_id", "text"), w, b)
+    out = {r["doc_id"]: r["keep"] for r in scored.collect()}
+    assert all(out[i] for i in range(40))           # good kept
+    assert not any(out[100 + i] for i in range(40))  # bad dropped
+    plan = Q.fasttext_score_trained(df.select("doc_id", "text"), w, b) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan    # inference stays a codegen projection
