@@ -37,6 +37,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CURRENT = "_current"
 _MANIFESTS = "_manifests"
+# sentinel: distinguishes "no expect_version supplied" from "expected no
+# table yet" (None) in merge_not_matched
+_UNSET = object()
 
 
 class SnapshotCatalog:
@@ -96,6 +99,36 @@ class SnapshotCatalog:
             return [self._data_dir(table, version)]
         return [os.path.join(self.root, r) for r in rels]
 
+    def _fragment_row_count(self, frag_abs: str) -> int:
+        """Row count of one fragment dir from parquet FOOTERS only — a local
+        metadata read, no Spark job (Iceberg stores per-file record counts in
+        its manifests; parquet footers carry the same number)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for dirpath, _dirs, files in os.walk(frag_abs):
+            for name in files:
+                if name.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(dirpath, name)).metadata.num_rows
+        return total
+
+    def row_count(self, table: str, version: int | None = None) -> int:
+        """Snapshot record count WITHOUT a Spark count job: the manifest's
+        ``row_count`` when the committer recorded it, else the sum of the
+        snapshot fragments' parquet-footer counts (pure metadata — O(#files)
+        local reads, never O(rows)). Iceberg analog: snapshot summary's
+        ``total-records``."""
+        version = version if version is not None else self.current_version(table)
+        if version is None:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        m = self.manifest(table, version)
+        rc = m.get("row_count", -1) if m else -1
+        if rc is not None and rc >= 0:
+            return rc
+        return sum(self._fragment_row_count(p)
+                   for p in self._fragments(table, version))
+
     def read(self, table: str, version: int | None = None) -> DataFrame:
         """Current (or time-travel) snapshot read = union of the manifest's
         fragment files. Iceberg:
@@ -152,6 +185,16 @@ class SnapshotCatalog:
         writer.parquet(data_dir)
         return os.path.relpath(data_dir, self.root)
 
+    def _delta_row_count(self, table: str, prev: int | None,
+                         new_frag_rel: str) -> int:
+        """Cumulative record count for a delta commit: parent snapshot count
+        (manifest-recorded, or footer-summed once for legacy snapshots) plus
+        the new fragment's footer count. O(#new files) local metadata reads
+        in steady state — never a Spark job."""
+        base = self.row_count(table, prev) if prev is not None else 0
+        return base + self._fragment_row_count(
+            os.path.join(self.root, new_frag_rel))
+
     def _commit_manifest(self, table: str, fragments: list[str], *,
                          version: int, prev: int | None, operation: str,
                          properties: dict | None,
@@ -189,12 +232,15 @@ class SnapshotCatalog:
         """OVERWRITE commit: ``df`` becomes the table's entire next snapshot
         (one fragment). Iceberg: ``df.writeTo(table).overwritePartitions()``.
 
-        ``row_count``: caller-provided when already known; -1 (unknown)
-        otherwise — recounting would cost one extra job per commit, and
-        Iceberg gets snapshot record counts from file metadata for free."""
+        ``row_count``: caller-provided when already known; otherwise read
+        from the written fragment's parquet footers — a local metadata read,
+        no extra Spark job (Iceberg gets snapshot record counts from file
+        metadata the same way)."""
         prev = self.current_version(table)
         version = (prev or 0) + 1
         frag = self._write_fragment(table, version, df, partition_by)
+        if row_count is None:
+            row_count = self._fragment_row_count(os.path.join(self.root, frag))
         return self._commit_manifest(table, [frag], version=version,
                                      prev=prev, operation=operation,
                                      properties=properties,
@@ -213,12 +259,15 @@ class SnapshotCatalog:
         return self._commit_manifest(table, rel_prev + [frag],
                                      version=version, prev=prev,
                                      operation=operation,
-                                     properties=properties, row_count=None)
+                                     properties=properties,
+                                     row_count=self._delta_row_count(
+                                         table, prev, frag))
 
     def merge_not_matched(self, table: str, new_rows: DataFrame,
                           keys: list[str], *, operation: str = "merge",
                           properties: dict | None = None,
-                          assume_unique: bool = False) -> dict:
+                          assume_unique: bool = False,
+                          expect_version: "int | None" = _UNSET) -> dict:
         """``MERGE INTO table USING new ON keys WHEN NOT MATCHED THEN INSERT``
         (reference semantics: ON CONFLICT DO NOTHING,
         cdx_deduplication_service.py:229-238) as a MERGE-ON-READ delta: the
@@ -229,13 +278,30 @@ class SnapshotCatalog:
 
         ``assume_unique=True`` skips the delta-side key dedup shuffle when
         the caller guarantees key uniqueness (e.g. output of a groupBy on
-        the keys)."""
+        the keys).
+
+        ``expect_version``: the snapshot version (or None for "no table
+        yet") the caller computed the delta AGAINST, when that computation
+        already proves key-newness — e.g. the crawl round's url_seen delta
+        is the survivors of an anti-join on exactly that pinned snapshot.
+        If the table is still at ``expect_version``, the existing-key scan
+        is skipped entirely and commit cost is strictly O(delta) — the
+        per-round full-table probe (O(10^10 rows) at target scale) is gone.
+        If the table has ADVANCED (a torn-round replay re-running the
+        commit), the guarantee no longer covers the gap and the exact
+        anti-join runs as before — same idempotency, fast path only when
+        provably safe. Iceberg analog: a MERGE whose snapshot-id check
+        passes can fast-append validated-new rows."""
         if not assume_unique:
             new_rows = new_rows.dropDuplicates(keys)
         prev = self.current_version(table)
         if prev is not None:
-            existing = self.read(table)
-            fresh = new_rows.join(existing.select(*keys), keys, "left_anti")
+            if expect_version is not _UNSET and expect_version == prev:
+                fresh = new_rows
+            else:
+                existing = self.read(table)
+                fresh = new_rows.join(existing.select(*keys), keys,
+                                      "left_anti")
         else:
             fresh = new_rows
         version = (prev or 0) + 1
@@ -245,7 +311,9 @@ class SnapshotCatalog:
         return self._commit_manifest(table, rel_prev + [frag],
                                      version=version, prev=prev,
                                      operation=operation,
-                                     properties=properties, row_count=None)
+                                     properties=properties,
+                                     row_count=self._delta_row_count(
+                                         table, prev, frag))
 
     def compact(self, table: str, *, properties: dict | None = None) -> dict:
         """Fold the fragment chain into one fragment (Iceberg

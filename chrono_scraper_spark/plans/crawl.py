@@ -233,9 +233,16 @@ class CrawlJob:
             counters["discovered"] = 0
 
         # dedup vs the committed URL-seen set (D4): Bloom pre-filter above
-        # threshold, plain anti-join below
+        # threshold, plain anti-join below. The strategy pick + Bloom sizing
+        # need the seen-set cardinality — taken from the pinned snapshot's
+        # manifest/footer metadata (catalog.row_count), NOT a count job: a
+        # per-round COUNT over a 10^10-row table would be an O(table) scan
+        # every round (Iceberg reads total-records from snapshot metadata
+        # the same way).
         seen = self._read_pinned("url_seen", prev, SEEN_SCHEMA)
-        seen_n = seen.count()
+        seen_ver = prev.get("url_seen")
+        seen_n = (self.cat.row_count("url_seen", seen_ver)
+                  if seen_ver is not None else 0)
         if seen_n > BLOOM_THRESHOLD:
             import os as _os
 
@@ -472,6 +479,15 @@ class CrawlJob:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        # Key-newness of each delta is already proven by the round-start
+        # anti-join against url_seen@pinned (a key that ever terminalized is
+        # in url_seen; fetch_log keys carry the fresh round_idx), so when a
+        # table still sits at its pinned version the merge skips the
+        # existing-key probe — commit cost O(delta), not O(accumulated
+        # table). A torn-round replay advances the version and the merge
+        # falls back to the exact anti-join (same converged state).
+        # filtered_log (above) keeps the probe unconditionally: filtered
+        # keys never enter url_seen and may re-present across rounds.
         commit_jobs = [
             ("fetch_log", fetch_rows, ["round_idx", *FRONTIER_KEY]),
             ("url_seen", seen_rows, FRONTIER_KEY),
@@ -482,7 +498,8 @@ class CrawlJob:
             futs = [
                 pool.submit(self.cat.merge_not_matched, table, df, keys,
                             properties={"round_idx": round_idx},
-                            assume_unique=True)
+                            assume_unique=True,
+                            expect_version=prev.get(table))
                 for table, df, keys in commit_jobs
             ]
             for f in futs:

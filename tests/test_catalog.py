@@ -195,3 +195,58 @@ def test_rollback_restores_state_preserving_history(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         cat.rollback("t", 99)
+
+
+def test_row_count_from_metadata_no_spark_job(spark, tmp_path):
+    """Snapshot record counts come from manifests / parquet footers (the
+    Iceberg total-records analog) — exact across commit kinds, including the
+    merge anti-join's dropped duplicates, and available per pinned version."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    m1 = cat.commit("t", spark.createDataFrame(
+        [(i, "x") for i in range(7)], "id int, v string"), operation="append")
+    assert m1["row_count"] == 7
+    assert cat.row_count("t") == 7
+    cat.append("t", spark.createDataFrame([(100, "y"), (101, "y")],
+                                          "id int, v string"))
+    assert cat.row_count("t") == 9
+    # merge: 2 of 3 keys already exist -> only 1 genuinely-new row lands
+    cat.merge_not_matched("t", spark.createDataFrame(
+        [(0, "dup"), (6, "dup"), (200, "new")], "id int, v string"), ["id"])
+    assert cat.row_count("t") == 10
+    assert cat.row_count("t", version=m1["version"]) == 7  # time travel
+    # footer fallback path: blank out the recorded count
+    import json as _json
+    mp = cat._manifest_path("t", cat.current_version("t"))
+    m = _json.load(open(mp))
+    m["row_count"] = -1
+    _json.dump(m, open(mp, "w"))
+    assert cat.row_count("t") == 10
+    # compact preserves the exact count
+    cat.compact("t")
+    assert cat.row_count("t") == 10
+    assert cat.read("t").count() == 10
+
+
+def test_merge_expect_version_fast_path_and_replay_fallback(spark, tmp_path):
+    """expect_version skips the existing-key probe only while the table still
+    sits at the snapshot the delta was computed against; a replayed commit
+    (version advanced) falls back to the exact anti-join and converges."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    m0 = cat.merge_not_matched("t", base, ["id"], expect_version=None)
+    assert {r["id"] for r in cat.read("t").collect()} == {1, 2}
+    # normal round: delta proven-new vs version m0 -> fast path
+    delta = spark.createDataFrame([(3, "c")], "id int, v string")
+    m1 = cat.merge_not_matched("t", delta, ["id"],
+                               expect_version=m0["version"])
+    assert {r["id"] for r in cat.read("t").collect()} == {1, 2, 3}
+    # torn-round replay: same delta re-commits against the ADVANCED table —
+    # stale expect_version forces the key probe, nothing duplicates
+    cat.merge_not_matched("t", delta, ["id"], expect_version=m0["version"])
+    got = [r["id"] for r in cat.read("t").collect()]
+    assert sorted(got) == [1, 2, 3]
+    # replay of the FIRST commit (expected None, table now exists): probe runs
+    cat.merge_not_matched("t", base, ["id"], expect_version=None)
+    assert sorted(r["id"] for r in cat.read("t").collect()) == [1, 2, 3]
+    assert cat.row_count("t") == 3
+    assert m1["row_count"] == 3
