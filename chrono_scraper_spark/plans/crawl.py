@@ -274,7 +274,16 @@ class CrawlJob:
         pending = decided.filter(F.col("decision.status") == C.STATUS_PENDING)
         _tick("discover_dedup_decide")
 
-        # record filtered rows once (reference keeps FILTERED_* ScrapePages)
+        # record filtered rows once (reference keeps FILTERED_* ScrapePages).
+        # Batch rounds prove key-newness: a key filtered once leaves the
+        # frontier permanently (only deferred/retryable rows carry forward,
+        # and those were pending, not filtered), so the delta cannot collide
+        # with earlier rounds and the merge may skip the existing-key probe
+        # while the table sits at its pinned version. Streaming rounds
+        # (injected ``discovered``) can re-present an already-filtered
+        # capture, so they keep the unconditional probe.
+        from .catalog import _UNSET as _CAT_UNSET
+
         self.cat.merge_not_matched(
             "filtered_log",
             filtered.select(
@@ -287,6 +296,8 @@ class CrawlJob:
             ),
             FRONTIER_KEY, properties={"round_idx": round_idx},
             assume_unique=True,
+            expect_version=(prev.get("filtered_log") if discovered is None
+                            else _CAT_UNSET),
         )
         _tick("commit_filtered_log")
 
