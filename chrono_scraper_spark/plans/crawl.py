@@ -83,6 +83,7 @@ class CrawlJob:
         failure_rate_trip: float | None = None,
         fetch_mode: str = "replay",
         http_fetch: dict | None = None,
+        live_robots: bool = False,
         extract_cache: bool = False,
     ):
         self.spark = spark
@@ -132,6 +133,18 @@ class CrawlJob:
             raise ValueError(f"fetch_mode must be replay|http: {fetch_mode}")
         self.fetch_mode = fetch_mode
         self.http_fetch = dict(http_fetch or {})
+        # P10 live composition: fetch each candidate host's robots.txt over
+        # the same HTTP stage each round (reference: RobotFileParser per
+        # host) and apply the parsed rules INSTEAD of the static
+        # ``robots_rules`` frame. Rules merge with any static frame would be
+        # ambiguous, so live mode requires robots_rules=None. Per-round
+        # refetch = a zero-TTL robots cache; a TTL'd catalog table is the
+        # production knob (same shape as the extraction cache).
+        if live_robots and fetch_mode != "http":
+            raise ValueError("live_robots requires fetch_mode='http'")
+        if live_robots and robots_rules is not None:
+            raise ValueError("live_robots replaces robots_rules; pass one")
+        self.live_robots = live_robots
 
     # ------------------------------------------------------------------ state
     def completed_rounds(self) -> list[int]:
@@ -256,8 +269,19 @@ class CrawlJob:
         elif seen_n > 0:
             cands = anti_join_seen(cands, seen, FRONTIER_KEY)
 
-        # robots hook (north_rule; allow-all default keeps reference parity)
-        cands = robots_filter(cands, self.robots_rules)
+        # robots hook (north_rule; allow-all default keeps reference parity).
+        # live_robots: one robots.txt GET per distinct candidate host through
+        # the same keep-alive fetch stage, parsed to rules for THIS round —
+        # the host-cardinality fetch is negligible next to the page fetch.
+        if self.live_robots:
+            from ..operators.politeness import parse_robots
+            from ..sources.httpfetch import fetch_robots
+
+            rules = parse_robots(
+                fetch_robots(cands, **self.http_fetch))
+        else:
+            rules = self.robots_rules
+        cands = robots_filter(cands, rules)
 
         # filter-decision chain (F1-F7), annotating not dropping
         decided = with_filter_decision(

@@ -217,6 +217,40 @@ def fetch_http(
     return scheduled.mapInPandas(run, schema=out_schema)
 
 
+def fetch_robots(frontier: DataFrame, *, scheme: str = "https",
+                 ts14_value: str = "robots",
+                 **fetch_kw) -> DataFrame:
+    """P10 live composition: ONE robots.txt GET per DISTINCT host in
+    ``frontier`` → ``(host, body string)`` rows for
+    ``politeness.parse_robots`` (reference: RobotFileParser fetched per
+    project host before scheduling).
+
+    Cardinality is hosts, not URLs, so the fetch is tiny next to the page
+    fetch stage; rows ride the same keep-alive pools / retry / pacing as
+    ``fetch_http`` (kwargs forwarded, e.g. ``url_template`` for loopback
+    tests — robots requests present ``ts14={ts14_value}``).
+
+    Failure semantics follow RFC 9309 §2.3.1 like the reference's
+    allow-on-error parser wrapper: 2xx → parse the body; unreachable /
+    4xx → ALLOW-all (body NULL → parse_robots emits no rules for the
+    host); 5xx after retries → DISALLOW-all (a synthetic
+    ``User-agent: *`` / ``Disallow: /`` body)."""
+    reqs = (frontier.select("host").distinct()
+            .withColumn("url", F.concat(F.lit(scheme + "://"), F.col("host"),
+                                        F.lit("/robots.txt")))
+            .withColumn("ts14", F.lit(ts14_value)))
+    fetched = fetch_http(reqs, **fetch_kw)
+    disallow_all = "User-agent: *\nDisallow: /"
+    return fetched.select(
+        "host",
+        F.when(F.col("html").isNotNull(),
+               F.col("html").cast("string"))
+         .when((F.col("http_status") >= 500) | (F.col("http_status") == 429),
+               F.lit(disallow_all))
+         .otherwise(F.lit(None).cast("string")).alias("body"),
+    ).filter(F.col("body").isNotNull())
+
+
 def replay_url_template(archive_host: str = "web.archive.org") -> str:
     """The reference's wayback content-URL shape
     (wayback_machine.py / content_extraction_service content_url): the

@@ -199,3 +199,88 @@ def test_crawl_e2e_http_mode_matches_replay(spark, tmp_path, server):
         return log, seen, pages
 
     assert state(live.cat) == state(replay.cat)
+
+
+def test_fetch_robots_rfc9309_semantics(spark, server):
+    """fetch_robots: 2xx body parsed; 404/unreachable -> allow-all (no row);
+    persistent 5xx -> synthetic disallow-all (RFC 9309 §2.3.1)."""
+    from chrono_scraper_spark.operators.politeness import (
+        parse_robots,
+        robots_filter,
+    )
+    from chrono_scraper_spark.sources.httpfetch import fetch_robots
+
+    store, base = server
+    store.pages[("robots", "https://ra.example/robots.txt")] = (
+        b"User-agent: *\nDisallow: /private/")
+    store.force_status["/robots/https://rc.example/robots.txt"] = 503
+    fr = spark.createDataFrame(
+        [("https://ra.example/ok", "/ok", "ra.example", "t1"),
+         ("https://ra.example/private/x", "/private/x", "ra.example", "t2"),
+         ("https://rb.example/any", "/any", "rb.example", "t3"),
+         ("https://rc.example/any", "/any", "rc.example", "t4")],
+        "url string, path string, host string, ts14 string")
+    robots = fetch_robots(fr, url_template=TEMPLATE.format(base=base),
+                          max_retries=0)
+    bodies = {r["host"]: r["body"] for r in robots.collect()}
+    assert "Disallow: /private/" in bodies["ra.example"]
+    assert "rb.example" not in bodies            # 404 -> allow-all, no row
+    assert bodies["rc.example"].endswith("Disallow: /")  # 5xx -> deny-all
+    kept = {r["url"] for r in robots_filter(fr, parse_robots(robots)).collect()}
+    assert kept == {"https://ra.example/ok", "https://rb.example/any"}
+
+
+def test_crawl_live_robots_matches_static_rules(spark, tmp_path, server):
+    """live_robots: per-round robots.txt fetch through the HTTP stage yields
+    EXACTLY the catalog state of a replay crawl given the same rules as a
+    static frame — the transport changes, the round contract doesn't."""
+    from chrono_scraper_spark.operators.politeness import parse_robots
+
+    store, base = server
+    corpus = str(tmp_path / "pages")
+    generate_pages(spark, 40, partitions=4).write.parquet(corpus)
+    for r in spark.read.parquet(corpus).selectExpr(
+            "url", "date_format(warc_ts,'yyyyMMddHHmmss') ts14",
+            "html").collect():
+        store.pages[(r["ts14"], r["url"])] = bytes(r["html"])
+    robots_body = "User-agent: *\nDisallow: /articles/entry-0"
+    store.pages[("robots", "https://mega.example.com/robots.txt")] = (
+        robots_body.encode())
+
+    seeds = spark.createDataFrame(
+        [(1, r"https://.*", "regex", None, None, None)],
+        "project_id int, domain_name string, match_type string, "
+        "url_path string, from_date date, to_date date")
+    kw = dict(rps=0.2, burst=3, round_seconds=60.0, salt_target_rows=10)
+
+    static_rules = parse_robots(spark.createDataFrame(
+        [("mega.example.com", robots_body)], "host string, body string"))
+    replay = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "rrob")),
+                      corpus, seeds, robots_rules=static_rules, **kw)
+    replay.run(max_rounds=50)
+    live = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "lrob")),
+                    corpus, seeds, fetch_mode="http", live_robots=True,
+                    http_fetch={"url_template": TEMPLATE.format(base=base),
+                                "max_retries": 1},
+                    **kw)
+    live.run(max_rounds=50)
+
+    def state(cat):
+        seen = {(r["url"], r["ts14"]): (r["status"], r["first_seen_round"])
+                for r in cat.read("url_seen").collect()}
+        pages = {(r["url"], r["ts14"]): r["text_md5"]
+                 for r in cat.read("pages_out").select(
+                     "url", "ts14",
+                     F.md5(F.col("extracted_text")).alias("text_md5"))
+                 .collect()}
+        return seen, pages
+
+    assert state(replay.cat) == state(live.cat)
+    # the disallowed url was never fetched as a page, and robots was
+    disallowed = "https://mega.example.com/articles/entry-0"
+    assert all(disallowed + "\n" not in h and not h.endswith(disallowed)
+               for h in store.hits if "/robots/" not in h)
+    assert any(h == "/robots/https://mega.example.com/robots.txt"
+               for h in store.hits)
+    assert not any((r["url"], ) == (disallowed,)
+                   for r in live.cat.read("url_seen").collect())
