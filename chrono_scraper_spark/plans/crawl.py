@@ -182,7 +182,16 @@ class CrawlJob:
 
     def _seen_digests(self, prev: dict) -> DataFrame:
         """D3: digests of already-completed pages (drives the
-        already_processed filter branch), pinned to the previous round."""
+        already_processed filter branch), pinned to the previous round.
+
+        Reads the dedicated ``seen_digests`` table the round commits
+        maintain (already distinct; one fragment per round) — the former
+        derivation ran ``fetch_log → filter completed → distinct`` every
+        round, an O(accumulated-table) shuffle at 10^10 scale. Falls back
+        to that derivation for catalogs written before the table existed."""
+        ver = prev.get("seen_digests")
+        if ver is not None:
+            return self.cat.read("seen_digests", version=ver)
         log = self._read_pinned(
             "fetch_log", prev,
             "digest string, fetch_status string")
@@ -523,19 +532,29 @@ class CrawlJob:
         # falls back to the exact anti-join (same converged state).
         # filtered_log (above) keeps the probe unconditionally: filtered
         # keys never enter url_seen and may re-present across rounds.
+        # seen_digests: the decision chain's already_processed set as its
+        # own incrementally-deduped table (read next round WITHOUT the old
+        # per-round fetch_log→distinct shuffle). A digest in the pinned set
+        # can't re-complete (its candidates get already_processed), so the
+        # delta is proven-new; within-round duplicates are possible only in
+        # streaming (a new capture sharing a deferred row's digest), hence
+        # assume_unique=False — the dedup shuffle is delta-sized.
+        digest_rows = (completed.select("digest")
+                       .filter(F.col("digest").isNotNull()))
         commit_jobs = [
-            ("fetch_log", fetch_rows, ["round_idx", *FRONTIER_KEY]),
-            ("url_seen", seen_rows, FRONTIER_KEY),
-            ("pages_out", pages_out, FRONTIER_KEY),
-            ("inverted_terms", inv, ["term", "url_canon", "ts14"]),
+            ("fetch_log", fetch_rows, ["round_idx", *FRONTIER_KEY], True),
+            ("url_seen", seen_rows, FRONTIER_KEY, True),
+            ("pages_out", pages_out, FRONTIER_KEY, True),
+            ("inverted_terms", inv, ["term", "url_canon", "ts14"], True),
+            ("seen_digests", digest_rows, ["digest"], False),
         ]
         with ThreadPoolExecutor(max_workers=len(commit_jobs)) as pool:
             futs = [
                 pool.submit(self.cat.merge_not_matched, table, df, keys,
                             properties={"round_idx": round_idx},
-                            assume_unique=True,
+                            assume_unique=uniq,
                             expect_version=prev.get(table))
-                for table, df, keys in commit_jobs
+                for table, df, keys, uniq in commit_jobs
             ]
             for f in futs:
                 f.result()
@@ -566,7 +585,7 @@ class CrawlJob:
                           for r in part_counts]),
               json.dumps({t: self.cat.current_version(t)
                           for t in ("fetch_log", "url_seen", "pages_out",
-                                    "inverted_terms",
+                                    "inverted_terms", "seen_digests",
                                     "frontier", "filtered_log")}))],
             "round_idx int, counters string, partition_lineage string, "
             "table_versions string",
@@ -576,7 +595,7 @@ class CrawlJob:
         if (self.compact_every
                 and round_idx % self.compact_every == self.compact_every - 1):
             for t in ("url_seen", "inverted_terms", "fetch_log",
-                      "pages_out", "filtered_log"):
+                      "pages_out", "filtered_log", "seen_digests"):
                 if self.cat.exists(t):
                     self.cat.compact(t, properties={"round_idx": round_idx})
                     # NOTE: disk reclaim (cat.expire_snapshots, keep_last=1)
