@@ -84,6 +84,7 @@ class CrawlJob:
         fetch_mode: str = "replay",
         http_fetch: dict | None = None,
         live_robots: bool = False,
+        robots_ttl_s: float | None = None,
         extract_cache: bool = False,
     ):
         self.spark = spark
@@ -137,14 +138,17 @@ class CrawlJob:
         # the same HTTP stage each round (reference: RobotFileParser per
         # host) and apply the parsed rules INSTEAD of the static
         # ``robots_rules`` frame. Rules merge with any static frame would be
-        # ambiguous, so live mode requires robots_rules=None. Per-round
-        # refetch = a zero-TTL robots cache; a TTL'd catalog table is the
-        # production knob (same shape as the extraction cache).
+        # ambiguous, so live mode requires robots_rules=None. Default
+        # robots_ttl_s=None refetches every round (zero-TTL); setting a TTL
+        # maintains the ``robots_cache`` catalog table so only
+        # missing/expired hosts refetch (the production knob, same shape as
+        # the extraction cache).
         if live_robots and fetch_mode != "http":
             raise ValueError("live_robots requires fetch_mode='http'")
         if live_robots and robots_rules is not None:
             raise ValueError("live_robots replaces robots_rules; pass one")
         self.live_robots = live_robots
+        self.robots_ttl_s = robots_ttl_s
 
     # ------------------------------------------------------------------ state
     def completed_rounds(self) -> list[int]:
@@ -282,12 +286,41 @@ class CrawlJob:
         # live_robots: one robots.txt GET per distinct candidate host through
         # the same keep-alive fetch stage, parsed to rules for THIS round —
         # the host-cardinality fetch is negligible next to the page fetch.
+        # robots_ttl_s: TTL'd robots_cache catalog table — only hosts whose
+        # entry is missing/expired refetch (allow-all 404s are cached as
+        # NULL bodies so they don't refetch every round); the refreshed
+        # cache commits BEFORE use, so a torn-round replay reads the same
+        # bodies instead of refetching a possibly-changed live file.
         if self.live_robots:
             from ..operators.politeness import parse_robots
             from ..sources.httpfetch import fetch_robots
 
-            rules = parse_robots(
-                fetch_robots(cands, **self.http_fetch))
+            if self.robots_ttl_s is None:
+                robots_bodies = fetch_robots(cands, **self.http_fetch)
+            else:
+                import time as _t
+
+                now = float(_t.time())
+                hosts = cands.select("host").distinct()
+                cache = self.cat.read_or_empty(
+                    "robots_cache",
+                    "host string, body string, fetched_at_unix double")
+                fresh = cache.filter(
+                    F.col("fetched_at_unix") >= now - self.robots_ttl_s)
+                missing = hosts.join(fresh.select("host"), "host",
+                                     "left_anti")
+                fetched = fetch_robots(
+                    missing, keep_missing=True, **self.http_fetch,
+                ).withColumn("fetched_at_unix", F.lit(now))
+                new_cache = fresh.unionByName(fetched)
+                self.cat.commit("robots_cache", new_cache,
+                                operation="overwrite",
+                                properties={"round_idx": round_idx})
+                robots_bodies = (self.cat.read("robots_cache")
+                                 .join(hosts, "host", "left_semi")
+                                 .filter(F.col("body").isNotNull())
+                                 .select("host", "body"))
+            rules = parse_robots(robots_bodies)
         else:
             rules = self.robots_rules
         cands = robots_filter(cands, rules)

@@ -218,7 +218,7 @@ def fetch_http(
 
 
 def fetch_robots(frontier: DataFrame, *, scheme: str = "https",
-                 ts14_value: str = "robots",
+                 ts14_value: str = "robots", keep_missing: bool = False,
                  **fetch_kw) -> DataFrame:
     """P10 live composition: ONE robots.txt GET per DISTINCT host in
     ``frontier`` → ``(host, body string)`` rows for
@@ -234,21 +234,27 @@ def fetch_robots(frontier: DataFrame, *, scheme: str = "https",
     allow-on-error parser wrapper: 2xx → parse the body; unreachable /
     4xx → ALLOW-all (body NULL → parse_robots emits no rules for the
     host); 5xx after retries → DISALLOW-all (a synthetic
-    ``User-agent: *`` / ``Disallow: /`` body)."""
+    ``User-agent: *`` / ``Disallow: /`` body).
+
+    ``keep_missing=True`` keeps allow-all hosts as ``body NULL`` rows —
+    a robots CACHE needs the negative result recorded, or 404 hosts
+    refetch every round (parse_robots yields no rules for a NULL body, so
+    downstream semantics are identical)."""
     reqs = (frontier.select("host").distinct()
             .withColumn("url", F.concat(F.lit(scheme + "://"), F.col("host"),
                                         F.lit("/robots.txt")))
             .withColumn("ts14", F.lit(ts14_value)))
     fetched = fetch_http(reqs, **fetch_kw)
     disallow_all = "User-agent: *\nDisallow: /"
-    return fetched.select(
+    out = fetched.select(
         "host",
         F.when(F.col("html").isNotNull(),
                F.col("html").cast("string"))
          .when((F.col("http_status") >= 500) | (F.col("http_status") == 429),
                F.lit(disallow_all))
          .otherwise(F.lit(None).cast("string")).alias("body"),
-    ).filter(F.col("body").isNotNull())
+    )
+    return out if keep_missing else out.filter(F.col("body").isNotNull())
 
 
 def replay_url_template(archive_host: str = "web.archive.org") -> str:

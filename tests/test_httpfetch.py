@@ -284,3 +284,65 @@ def test_crawl_live_robots_matches_static_rules(spark, tmp_path, server):
                for h in store.hits)
     assert not any((r["url"], ) == (disallowed,)
                    for r in live.cat.read("url_seen").collect())
+
+
+def test_crawl_robots_ttl_cache_fetches_once(spark, tmp_path, server):
+    """robots_ttl_s: first round populates robots_cache (allow-all 404s
+    recorded as NULL-body rows); later rounds fetch NO robots; final
+    catalog state matches the zero-TTL live_robots run."""
+    store, base = server
+    corpus = str(tmp_path / "pages")
+    generate_pages(spark, 40, partitions=4).write.parquet(corpus)
+    for r in spark.read.parquet(corpus).selectExpr(
+            "url", "date_format(warc_ts,'yyyyMMddHHmmss') ts14",
+            "html").collect():
+        store.pages[(r["ts14"], r["url"])] = bytes(r["html"])
+    store.pages[("robots", "https://mega.example.com/robots.txt")] = (
+        b"User-agent: *\nDisallow: /articles/entry-0")
+
+    seeds = spark.createDataFrame(
+        [(1, r"https://.*", "regex", None, None, None)],
+        "project_id int, domain_name string, match_type string, "
+        "url_path string, from_date date, to_date date")
+    # rps low enough that the crawl takes >1 round
+    kw = dict(rps=0.05, burst=2, round_seconds=60.0, salt_target_rows=10,
+              fetch_mode="http", live_robots=True,
+              http_fetch={"url_template": TEMPLATE.format(base=base),
+                          "max_retries": 1})
+
+    with store.lock:
+        store.hits.clear()
+    zero = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "zttl")),
+                    corpus, seeds, **kw)
+    zero.run(max_rounds=50)
+    with store.lock:
+        zero_hits = [h for h in store.hits if h.startswith("/robots/")]
+        store.hits.clear()
+    ttl = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "ttl")),
+                   corpus, seeds, robots_ttl_s=3600.0, **kw)
+    rounds = ttl.run(max_rounds=50)
+    assert len(rounds) > 1, "politeness budget should force multiple rounds"
+
+    robots_hits = [h for h in store.hits if h.startswith("/robots/")]
+    # same host SET as zero-TTL, but one GET per host TOTAL, not per round
+    assert len(robots_hits) == len(set(robots_hits))
+    assert set(robots_hits) == set(zero_hits)
+    assert len(zero_hits) > len(robots_hits)  # zero-TTL refetched per round
+    # misses cached as NULL bodies; the disallow host cached with its body
+    cache = {r["host"]: r["body"]
+             for r in ttl.cat.read("robots_cache").collect()}
+    assert cache["mega.example.com"].startswith("User-agent")
+    assert len(cache) == len(robots_hits)
+    assert sum(1 for b in cache.values() if b is None) == len(cache) - 1
+
+    def state(cat):
+        seen = {(r["url"], r["ts14"]): r["status"]
+                for r in cat.read("url_seen").collect()}
+        pages = {(r["url"], r["ts14"]): r["text_md5"]
+                 for r in cat.read("pages_out").select(
+                     "url", "ts14",
+                     F.md5(F.col("extracted_text")).alias("text_md5"))
+                 .collect()}
+        return seen, pages
+
+    assert state(zero.cat) == state(ttl.cat)
