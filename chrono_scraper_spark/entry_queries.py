@@ -2995,6 +2995,166 @@ SELECT url, ts14, mime, status, md5(text) AS payload_md5 FROM pages_cdx"""
 
 
 # --------------------------------------------------------------------------
+# topic modeling / content clustering (topic_modeling.py analogs)
+# --------------------------------------------------------------------------
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-5 TF-IDF terms (TfidfVectorizer analog: min_df=2,
+    max_df=0.8, max_features=1000, smooth idf, l2 norm). Ranking uses
+    exact integer tf·idf_micro weights; the vocab cap bounds every doc
+    vector, so the per-doc window is WindowGroupLimit-prunable."""
+    from chrono_scraper_spark.operators import topics as TP
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TP.tfidf_topk(d, k=5)
+
+
+def q_topic_clusters(spark, sf_dir):
+    """Deterministic cosine k-means over TF-IDF vectors (KMeans content
+    clustering analog): k=8, two assignment steps from md5-seeded init,
+    exact-integer centroids (sum ≡ mean under cosine)."""
+    from chrono_scraper_spark.operators import topics as TP
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TP.kmeans_clusters(d, k=8, iters=2)
+
+
+def q_cluster_cohesion(spark, sf_dir):
+    """Per-cluster summary: size, mean pairwise cosine via the
+    closed-form ‖Σv̂‖² identity (no n×n similarity matrix), centroid
+    top-10 terms."""
+    from chrono_scraper_spark.operators import topics as TP
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TP.cluster_cohesion(d, k=8, iters=2, top_terms=10)
+
+
+# Shared TF-IDF CTE chain (sklearn TfidfVectorizer conventions: smooth
+# idf ln((1+n)/(1+df))+1, min_df=2, max_df=0.8, max_features cap by
+# corpus frequency with term tie-break; idf micro-quantized so weights
+# are exact integers on both engines).
+_TFIDF_CTES = f"""
+tf AS (
+  SELECT doc_id, u.t AS term, count(*) AS tf
+  FROM documents, unnest({OG.tokens_sql('text')}) AS u(t)
+  GROUP BY doc_id, u.t
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+vocab AS (
+  SELECT term, df, cf,
+    CAST(floor((ln((1 + n) / (1 + df)) + 1) * 1e6) AS BIGINT) AS idf_micro
+  FROM (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term), nd
+  WHERE df >= 2 AND df <= floor(0.8 * n)
+  ORDER BY cf DESC, term LIMIT 1000
+),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.tf, tf.tf * v.idf_micro AS w
+  FROM tf JOIN vocab v USING (term)
+),
+n2 AS (
+  SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM w GROUP BY doc_id
+)"""
+
+SQL_TFIDF_TOPK = f"""
+WITH {_TFIDF_CTES}
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, CAST(tf AS BIGINT) AS tf,
+       round(w / sqrt(CAST(n2 AS DOUBLE)), 6) AS weight
+FROM (
+  SELECT w.doc_id, w.term, w.tf, w.w, n2.n2,
+    row_number() OVER (PARTITION BY w.doc_id
+                       ORDER BY w.w DESC, w.term) AS rnk
+  FROM w JOIN n2 USING (doc_id))
+WHERE rnk <= 5"""
+
+# k-means chain: seeds → (assign ⇢ recenter) × 2. Centroids are exact
+# HUGEINT sum vectors; cos is the single double expression, floor-nano
+# quantized before the (cos DESC, cid ASC) argmax — identical ties on
+# both engines.
+_KMEANS_CTES = f"""
+{_TFIDF_CTES},
+seeds AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS cid
+  FROM n2
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 8
+),
+cent0 AS (
+  SELECT s.cid, w.term, CAST(w.w AS HUGEINT) AS cw
+  FROM w JOIN seeds s USING (doc_id)
+),
+cn0 AS (SELECT cid, sum(cw * cw) AS cn2 FROM cent0 GROUP BY cid),
+dot0 AS (
+  SELECT w.doc_id, c.cid, sum(CAST(w.w AS HUGEINT) * c.cw) AS dot
+  FROM w JOIN cent0 c USING (term) GROUP BY w.doc_id, c.cid
+),
+sim0 AS (
+  SELECT d.doc_id, d.cid,
+    CAST(floor(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(n2.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+               * 1e9) AS BIGINT) AS cos_nano
+  FROM dot0 d JOIN n2 USING (doc_id) JOIN cn0 cn USING (cid)
+),
+a0 AS (
+  SELECT doc_id, cid FROM (
+    SELECT doc_id, cid, row_number() OVER (
+      PARTITION BY doc_id ORDER BY cos_nano DESC, cid) AS rn
+    FROM sim0) WHERE rn = 1
+),
+cent1 AS (
+  SELECT a.cid, w.term, sum(CAST(w.w AS HUGEINT)) AS cw
+  FROM w JOIN a0 a USING (doc_id) GROUP BY a.cid, w.term
+),
+cn1 AS (SELECT cid, sum(cw * cw) AS cn2 FROM cent1 GROUP BY cid),
+dot1 AS (
+  SELECT w.doc_id, c.cid, sum(CAST(w.w AS HUGEINT) * c.cw) AS dot
+  FROM w JOIN cent1 c USING (term) GROUP BY w.doc_id, c.cid
+),
+sim1 AS (
+  SELECT d.doc_id, d.cid,
+    CAST(floor(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(n2.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE)))
+               * 1e9) AS BIGINT) AS cos_nano
+  FROM dot1 d JOIN n2 USING (doc_id) JOIN cn1 cn USING (cid)
+),
+a1 AS (
+  SELECT doc_id, cid, cos_nano FROM (
+    SELECT doc_id, cid, cos_nano, row_number() OVER (
+      PARTITION BY doc_id ORDER BY cos_nano DESC, cid) AS rn
+    FROM sim1) WHERE rn = 1
+)"""
+
+SQL_TOPIC_CLUSTERS = f"""
+WITH {_KMEANS_CTES}
+SELECT doc_id, cid AS cluster_id, round(cos_nano / 1e9, 6) AS cos_sim
+FROM a1"""
+
+SQL_CLUSTER_COHESION = f"""
+WITH {_KMEANS_CTES},
+unit AS (
+  SELECT a.cid, w.term,
+    CAST(floor(w.w / sqrt(CAST(n2.n2 AS DOUBLE)) * 1e9) AS BIGINT) AS u
+  FROM w JOIN n2 USING (doc_id) JOIN a1 a USING (doc_id)
+),
+comp AS (SELECT cid, term, sum(u) AS s FROM unit GROUP BY cid, term),
+ss AS (SELECT cid, sum(CAST(s AS HUGEINT) * s) AS ss2 FROM comp GROUP BY cid),
+sz AS (SELECT cid, count(*) AS n_docs FROM a1 GROUP BY cid),
+tt AS (
+  SELECT cid, string_agg(term, ' ' ORDER BY s DESC, term) AS top_terms
+  FROM (SELECT cid, term, s, row_number() OVER (
+          PARTITION BY cid ORDER BY s DESC, term) AS rn
+        FROM comp)
+  WHERE rn <= 10 GROUP BY cid
+)
+SELECT sz.cid AS cluster_id, CAST(sz.n_docs AS BIGINT) AS n_docs,
+  CASE WHEN sz.n_docs <= 1 THEN 1.0
+       ELSE round((CAST(ss.ss2 AS DOUBLE) / 1e18 - sz.n_docs)
+                  / (sz.n_docs * (sz.n_docs - 1)), 6) END AS cohesion,
+  tt.top_terms
+FROM sz JOIN ss USING (cid) JOIN tt USING (cid)"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3106,6 +3266,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (driver-green r03; top-k family covered by crawl_order +
     # top_customers — rotated out for the new url_blocklist family)
     "pdf_extraction_identity": q_pdf_extraction_identity,  # E5 PDF branch
+    "tfidf_topk": q_tfidf_topk,              # topic_modeling TF-IDF pass
+    "topic_clusters": q_topic_clusters,      # deterministic cosine k-means
+    "cluster_cohesion": q_cluster_cohesion,  # closed-form pairwise cosine
 }
 
 ORACLES: dict[str, str] = {
@@ -3189,4 +3352,7 @@ ORACLES: dict[str, str] = {
     "asof_join": SQL_ASOF_JOIN,
     "dedup_clusters_star": SQL_DEDUP_CLUSTERS,
     "lm_buckets": SQL_LM_BUCKETS,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "topic_clusters": SQL_TOPIC_CLUSTERS,
+    "cluster_cohesion": SQL_CLUSTER_COHESION,
 }

@@ -1,0 +1,267 @@
+"""Topic/clustering operators (operators/topics.py) — TF-IDF, cosine
+k-means, cluster cohesion — checked against an independent pure-Python
+twin that follows the documented conventions (smooth idf, micro-quantized
+integer weights, md5 seeding, floor-nano cosine, sum centroids), plus a
+planted-topic purity test and plan-shape assertions.
+
+Test docs use only ASCII [a-z0-9 ] so the Python tokenizer twin
+(``[^a-z0-9]+`` after lower()) matches the engine's unicode
+``[^\\p{L}\\p{N}]+`` split exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from chrono_scraper_spark.operators import topics as TP
+
+# ---------------------------------------------------------------------------
+# pure-Python twin
+# ---------------------------------------------------------------------------
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def py_tfidf(docs, min_df=2, max_df_frac=0.8, max_features=1000):
+    """docs: list[(doc_id, text)] → (weights {(d, t): w_int}, norm2 {d})."""
+    tf: Counter = Counter()
+    for d, text in docs:
+        for t in _toks(text):
+            tf[(d, t)] += 1
+    df: Counter = Counter()
+    cf: Counter = Counter()
+    for (d, t), c in tf.items():
+        df[t] += 1
+        cf[t] += c
+    n = len({d for (d, _t) in tf})
+    vocab = [t for t in df
+             if min_df <= df[t] <= math.floor(max_df_frac * n)]
+    vocab = sorted(vocab, key=lambda t: (-cf[t], t))[:max_features]
+    idf = {t: math.floor((math.log((1 + n) / (1 + df[t])) + 1) * 1e6)
+           for t in vocab}
+    w = {(d, t): c * idf[t] for (d, t), c in tf.items() if t in idf}
+    norm2: dict = {}
+    for (d, _t), x in sorted(w.items()):
+        norm2[d] = norm2.get(d, 0) + x * x
+    return w, norm2
+
+
+def py_kmeans(docs, k=3, iters=2, **tfidf_kw):
+    """Exact twin of kmeans_clusters: returns {doc_id: (cid, cos_nano)}."""
+    w, norm2 = py_tfidf(docs, **tfidf_kw)
+    seeds = sorted(norm2, key=lambda d: (hashlib.md5(
+        str(d).encode()).hexdigest(), d))[:k]
+    cent = {}  # (cid, term) -> int
+    for cid, d in enumerate(seeds):
+        for (dd, t), x in w.items():
+            if dd == d:
+                cent[(cid, t)] = x
+    assign: dict = {}
+    for step in range(iters):
+        cn2: dict = {}
+        for (cid, _t), x in cent.items():
+            cn2[cid] = cn2.get(cid, 0) + x * x
+        dots: dict = {}
+        for (d, t), x in w.items():
+            for cid in cn2:
+                cx = cent.get((cid, t))
+                if cx is not None:
+                    dots[(d, cid)] = dots.get((d, cid), 0) + x * cx
+        sims: dict = {}
+        for (d, cid), dot in dots.items():
+            cos = float(dot) / (math.sqrt(float(norm2[d]))
+                                * math.sqrt(float(cn2[cid])))
+            sims.setdefault(d, []).append(
+                (-math.floor(cos * 1e9), cid))
+        assign = {}
+        for d, cands in sims.items():
+            neg, cid = min(cands)
+            assign[d] = (cid, -neg)
+        if step < iters - 1:
+            cent = {}
+            for (d, t), x in w.items():
+                if d in assign:
+                    cid = assign[d][0]
+                    cent[(cid, t)] = cent.get((cid, t), 0) + x
+    return assign
+
+
+# ---------------------------------------------------------------------------
+# corpora
+# ---------------------------------------------------------------------------
+
+CORPUS = [
+    (0, "solar panels convert sunlight energy solar grid power energy"),
+    (1, "wind turbine energy power grid turbine blades spin wind wind"),
+    (2, "solar energy storage battery grid solar power sunlight"),
+    (3, "bread flour yeast oven bake bread crust dough flour"),
+    (4, "dough yeast flour bake oven bread loaf crumb bake"),
+    (5, "oven bake crust bread dough loaf flour proof yeast"),
+    (6, "goalkeeper football match score goal penalty match football"),
+    (7, "football penalty score goal match referee goal goal"),
+    (8, "unique singleton vocabulary onlyhere neveragain"),  # all df=1
+    (9, ""),                                                 # empty
+    (10, "solar wind bread football energy flour goal turbine"),  # mixed
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_topk_matches_python(spark):
+    got = {(r.doc_id, r.rnk): (r.term, r.tf, r.weight)
+           for r in TP.tfidf_topk(_df(spark, CORPUS), k=3).collect()}
+    w, norm2 = py_tfidf(CORPUS)
+    by_doc: dict = {}
+    for (d, t), x in w.items():
+        by_doc.setdefault(d, []).append((-x, t))
+    want = {}
+    for d, items in by_doc.items():
+        for rnk, (negx, t) in enumerate(sorted(items)[:3], start=1):
+            tfv = Counter(_toks(dict(CORPUS)[d]))[t]
+            want[(d, rnk)] = (t, tfv, -negx / math.sqrt(float(norm2[d])))
+    assert set(got) == set(want)
+    for key, (t, tfv, wt) in want.items():
+        gt, gtf, gw = got[key]
+        assert (gt, gtf) == (t, tfv)
+        assert math.isclose(gw, wt, rel_tol=0, abs_tol=1e-6)
+
+
+def test_tfidf_vocab_pruning(spark):
+    # 'common' in 10/10 docs with text → pruned at max_df 0.8; singleton
+    # terms (df=1) pruned by min_df=2; doc 8 becomes empty → absent.
+    rows = [(i, f"common shared{i % 2} only{i}") for i in range(10)]
+    out = TP.tfidf_terms(_df(spark, rows))
+    terms = {r.term for r in out.collect()}
+    assert "common" not in terms            # max_df prune
+    assert not any(t.startswith("only") for t in terms)  # min_df prune
+    assert terms == {"shared0", "shared1"}
+
+    # max_features cap keeps the top-cf terms with term tie-break
+    rows2 = [(i, "aaa bbb " + ("ccc " if i % 2 else "")) for i in range(6)]
+    capped = TP.tfidf_terms(_df(spark, rows2), max_df_frac=1.0,
+                            max_features=2)
+    assert {r.term for r in capped.collect()} == {"aaa", "bbb"}
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_matches_python_twin(spark):
+    got = {r.doc_id: (r.cluster_id, r.cos_sim)
+           for r in TP.kmeans_clusters(
+               _df(spark, CORPUS), k=3, iters=2).collect()}
+    want = py_kmeans(CORPUS, k=3, iters=2)
+    assert set(got) == set(want)
+    for d, (cid, cos_nano) in want.items():
+        assert got[d][0] == cid
+        assert math.isclose(got[d][1], round(cos_nano / 1e9, 6),
+                            rel_tol=0, abs_tol=1e-9)
+
+
+def test_kmeans_planted_purity(spark):
+    """30 docs in 3 orthogonal-vocabulary groups; group = md5-rank % 3 so
+    the three deterministic seeds land in distinct groups → perfect
+    purity. A background term shared by all docs (max_df_frac=1.0 keeps
+    it) guarantees every doc has a defined cosine to every centroid."""
+    ids = list(range(100, 130))
+    ranked = sorted(ids, key=lambda d: hashlib.md5(
+        str(d).encode()).hexdigest())
+    group = {d: i % 3 for i, d in enumerate(ranked)}
+    vocab = {0: "quark lepton boson hadron",
+             1: "sonnet stanza meter rhyme",
+             2: "glacier moraine crevasse serac"}
+    rows = [(d, f"{vocab[group[d]]} filler common {vocab[group[d]]}")
+            for d in ids]
+    out = TP.kmeans_clusters(_df(spark, rows), k=3, iters=2,
+                             max_df_frac=1.0)
+    cl = {r.doc_id: r.cluster_id for r in out.collect()}
+    assert set(cl) == set(ids)
+    by_group: dict = {}
+    for d, cid in cl.items():
+        by_group.setdefault(group[d], set()).add(cid)
+    assert all(len(cids) == 1 for cids in by_group.values())
+    assert len({next(iter(c)) for c in by_group.values()}) == 3
+
+
+# ---------------------------------------------------------------------------
+# cohesion
+# ---------------------------------------------------------------------------
+
+
+def test_cohesion_matches_pairwise(spark):
+    out = {r.cluster_id: r for r in TP.cluster_cohesion(
+        _df(spark, CORPUS), k=3, iters=2).collect()}
+    w, norm2 = py_tfidf(CORPUS)
+    assign = py_kmeans(CORPUS, k=3, iters=2)
+    vecs: dict = {}
+    for (d, t), x in w.items():
+        vecs.setdefault(d, {})[t] = x / math.sqrt(float(norm2[d]))
+    members: dict = {}
+    for d, (cid, _c) in assign.items():
+        members.setdefault(cid, []).append(d)
+    for cid, docs in members.items():
+        r = out[cid]
+        assert r.n_docs == len(docs)
+        if len(docs) == 1:
+            assert r.cohesion == 1.0
+            continue
+        sims = []
+        for i, a in enumerate(docs):
+            for b in docs[i + 1:]:
+                va, vb = vecs[a], vecs[b]
+                sims.append(sum(va[t] * vb[t] for t in va if t in vb))
+        want = sum(sims) * 2 / (len(docs) * (len(docs) - 1))
+        assert math.isclose(r.cohesion, want, rel_tol=0, abs_tol=1e-5)
+        # top_terms ranked by summed component desc
+        assert len(r.top_terms.split(" ")) <= 10
+
+
+# ---------------------------------------------------------------------------
+# plan shapes
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plans_broadcast_not_shuffle(spark):
+    d = _df(spark, CORPUS)
+    # vocab (≤ max_features rows) joins back via broadcast — doc term
+    # counts are never shuffled for the idf join
+    p1 = _plan(TP.tfidf_terms(d))
+    assert "BroadcastHashJoin" in p1
+    # centroid similarity join is broadcast on term; no cartesian
+    p2 = _plan(TP.kmeans_clusters(d, k=3, iters=2))
+    assert "BroadcastHashJoin" in p2
+    assert "CartesianProduct" not in p2
+    # the only nested-loop joins are the 1-row n_docs literal carried
+    # into the max_df bound (plan-level literal, same pattern as
+    # strip_boilerplate's frequent-set array)
+    for line in p2.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "_n_docs" in line
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_kmeans_iters_parity(spark, iters):
+    got = {r.doc_id: r.cluster_id for r in TP.kmeans_clusters(
+        _df(spark, CORPUS), k=2, iters=iters).collect()}
+    want = {d: v[0] for d, v in py_kmeans(CORPUS, k=2, iters=iters).items()}
+    assert got == want
