@@ -3213,6 +3213,96 @@ LEFT JOIN border bo ON bo.id = e.vec_id
 LEFT JOIN deg d ON d.id = e.vec_id"""
 
 
+def q_page_changes(spark, sf_dir):
+    """Per-capture change log over every URL's snapshot sequence
+    (ChangeDetectionService.detect_page_changes run corpus-wide): lag
+    window per url, md5 equality gate, token-multiset Dice similarity
+    (one codegen sweep/row), threshold classification, multiset diff
+    sizes."""
+    from chrono_scraper_spark.operators import changes as CH
+
+    pages = cdx_pages_view(spark, sf_dir)
+    return CH.detect_changes(pages)
+
+
+def q_change_stats(spark, sf_dir):
+    """get_change_statistics rollup of page_changes: counts + mean
+    similarity per (capture day, change_type)."""
+    from chrono_scraper_spark.operators import changes as CH
+
+    pages = cdx_pages_view(spark, sf_dir)
+    return CH.change_statistics(CH.detect_changes(pages))
+
+
+_CHANGES_CTES = f"""
+pages_cdx AS ({{pages_cte}}),
+v AS (
+  SELECT url, ts14, coalesce(text, '') AS cur,
+    coalesce(lag(coalesce(text, '')) OVER w, '') AS prev,
+    row_number() OVER w AS vn
+  FROM pages_cdx
+  WINDOW w AS (PARTITION BY url ORDER BY ts14)
+),
+ta AS (
+  SELECT url, ts14, u.t AS tok, count(*) AS c
+  FROM v, unnest(list_filter(string_split_regex(trim(prev), '\\s+'),
+                             t -> t != '')) AS u(t)
+  GROUP BY 1, 2, 3
+),
+tb AS (
+  SELECT url, ts14, u.t AS tok, count(*) AS c
+  FROM v, unnest(list_filter(string_split_regex(trim(cur), '\\s+'),
+                             t -> t != '')) AS u(t)
+  GROUP BY 1, 2, 3
+),
+nag AS (SELECT url, ts14, sum(c) AS na FROM ta GROUP BY 1, 2),
+nbg AS (SELECT url, ts14, sum(c) AS nb FROM tb GROUP BY 1, 2),
+ovg AS (
+  SELECT url, ts14, sum(least(a.c, b.c)) AS m
+  FROM ta a JOIN tb b USING (url, ts14, tok) GROUP BY 1, 2
+),
+sz AS (
+  SELECT v.url, v.ts14, coalesce(nag.na, 0) AS na,
+    coalesce(nbg.nb, 0) AS nb, coalesce(ovg.m, 0) AS m
+  FROM v
+  LEFT JOIN nag ON nag.url = v.url AND nag.ts14 = v.ts14
+  LEFT JOIN nbg ON nbg.url = v.url AND nbg.ts14 = v.ts14
+  LEFT JOIN ovg ON ovg.url = v.url AND ovg.ts14 = v.ts14
+),
+chg AS (
+  SELECT v.url, v.ts14, v.vn, sz.na, sz.nb, sz.m,
+    CASE WHEN v.vn = 1 THEN NULL
+         WHEN sz.na = 0 AND sz.nb = 0 THEN 1.0
+         WHEN sz.na = 0 OR sz.nb = 0 THEN 0.0
+         ELSE round(2.0 * sz.m / (sz.na + sz.nb), 6) END AS similarity,
+    CASE WHEN v.vn = 1 THEN 'new'
+         WHEN md5(v.cur) = md5(v.prev) THEN 'unchanged'
+         WHEN len(v.prev) = 0 AND len(v.cur) > 0 THEN 'new'
+         WHEN len(v.cur) = 0 AND len(v.prev) > 0 THEN 'deleted'
+         WHEN CASE WHEN sz.na = 0 AND sz.nb = 0 THEN 1.0
+                   WHEN sz.na = 0 OR sz.nb = 0 THEN 0.0
+                   ELSE round(2.0 * sz.m / (sz.na + sz.nb), 6) END >= 0.95
+           THEN 'minor_update'
+         ELSE 'modified' END AS change_type
+  FROM v JOIN sz ON sz.url = v.url AND sz.ts14 = v.ts14
+)"""
+
+SQL_PAGE_CHANGES = (
+    "WITH " + _CHANGES_CTES.format(pages_cte=PAGES_CTE_DUCK) + """
+SELECT url, ts14, change_type, similarity,
+  CAST(nb - m AS BIGINT) AS units_added,
+  CAST(na - m AS BIGINT) AS units_removed,
+  CAST(vn AS BIGINT) AS n_versions_seen
+FROM chg""")
+
+SQL_CHANGE_STATS = (
+    "WITH " + _CHANGES_CTES.format(pages_cte=PAGES_CTE_DUCK) + """
+SELECT substr(ts14, 1, 8) AS day, change_type, count(*) AS n,
+  round(sum(floor(similarity * 1e9)) / count(similarity) / 1e9, 6)
+    AS mean_similarity
+FROM chg GROUP BY 1, 2""")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3329,6 +3419,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topic_clusters": q_topic_clusters,      # deterministic cosine k-means
     "cluster_cohesion": q_cluster_cohesion,  # closed-form pairwise cosine
     "dbscan": q_dbscan,                      # density clustering roles+CC
+    "page_changes": q_page_changes,          # per-capture change log
+    "change_stats": q_change_stats,          # change rollup per day/type
 }
 
 ORACLES: dict[str, str] = {
@@ -3416,4 +3508,6 @@ ORACLES: dict[str, str] = {
     "topic_clusters": SQL_TOPIC_CLUSTERS,
     "cluster_cohesion": SQL_CLUSTER_COHESION,
     "dbscan": SQL_DBSCAN,
+    "page_changes": SQL_PAGE_CHANGES,
+    "change_stats": SQL_CHANGE_STATS,
 }
