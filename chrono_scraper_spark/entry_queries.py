@@ -3303,6 +3303,40 @@ SELECT substr(ts14, 1, 8) AS day, change_type, count(*) AS n,
 FROM chg GROUP BY 1, 2""")
 
 
+def q_content_evolution(spark, sf_dir):
+    """Per-URL evolution timeline (get_content_evolution): content hash,
+    word/char counts, similarity to previous capture, tiered change
+    classification (>0.9 minor / >0.7 moderate / else major; first
+    capture 'new' at similarity 1.0)."""
+    from chrono_scraper_spark.operators import changes as CH
+
+    pages = cdx_pages_view(spark, sf_dir)
+    return CH.content_evolution(pages)
+
+
+SQL_CONTENT_EVOLUTION = (
+    "WITH " + _CHANGES_CTES.format(pages_cte=PAGES_CTE_DUCK) + """,
+evo AS (
+  SELECT v.url, v.ts14, v.vn, v.cur, v.prev,
+    CASE WHEN v.vn = 1 THEN 1.0
+         WHEN sz.na = 0 AND sz.nb = 0 THEN 1.0
+         WHEN sz.na = 0 OR sz.nb = 0 THEN 0.0
+         ELSE round(2.0 * sz.m / (sz.na + sz.nb), 6) END AS sim
+  FROM v JOIN sz ON sz.url = v.url AND sz.ts14 = v.ts14
+)
+SELECT url, ts14, md5(cur) AS content_hash,
+  CAST(len(list_filter(string_split_regex(trim(cur), '\\s+'),
+                       t -> t != '')) AS BIGINT) AS word_count,
+  CAST(len(cur) AS BIGINT) AS char_count,
+  CASE WHEN vn = 1 THEN 'new'
+       WHEN md5(cur) = md5(prev) THEN 'unchanged'
+       WHEN sim > 0.9 THEN 'minor_change'
+       WHEN sim > 0.7 THEN 'moderate_change'
+       ELSE 'major_change' END AS change_type,
+  sim AS similarity_to_previous
+FROM evo""")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3421,6 +3455,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dbscan": q_dbscan,                      # density clustering roles+CC
     "page_changes": q_page_changes,          # per-capture change log
     "change_stats": q_change_stats,          # change rollup per day/type
+    "content_evolution": q_content_evolution,  # tiered per-URL timeline
 }
 
 ORACLES: dict[str, str] = {
@@ -3510,4 +3545,5 @@ ORACLES: dict[str, str] = {
     "dbscan": SQL_DBSCAN,
     "page_changes": SQL_PAGE_CHANGES,
     "change_stats": SQL_CHANGE_STATS,
+    "content_evolution": SQL_CONTENT_EVOLUTION,
 }

@@ -188,3 +188,48 @@ def change_statistics(changes: DataFrame,
                  F.round(F.sum(F.floor(F.col("similarity") * 1e9))
                          / F.count("similarity") / 1e9, 6)
                  .alias("mean_similarity")))
+
+
+def content_evolution(pages: DataFrame, url_col: str = "url",
+                      order_col: str = "ts14",
+                      text_col: str = "text",
+                      granularity: str = "tokens") -> DataFrame:
+    """Per-URL content evolution timeline (get_content_evolution,
+    change_detection.py:342-414): every capture with its content hash,
+    word/char counts, similarity to the previous capture, and the
+    reference's TIERED classification — 'unchanged' on hash equality,
+    else similarity > 0.9 → 'minor_change', > 0.7 → 'moderate_change',
+    else 'major_change'; a URL's first capture is 'new' with
+    similarity 1.0 (reference initializes exactly so,
+    change_detection.py:380-381). Same single url-window pass and Dice
+    sweep as ``detect_changes``; md5 stands in for sha256 (equality
+    semantics identical, disclosed)."""
+    w = Window.partitionBy(url_col).orderBy(order_col)
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    base = (pages
+            .select(url_col, order_col, F.col(text_col))
+            .withColumn("_prev", F.lag(cur).over(w))
+            .withColumn("_vn", F.row_number().over(w)))
+    prev = F.coalesce(F.col("_prev"), F.lit(""))
+    ua = _units(F.col("_prev"), granularity)
+    ub = _units(F.col(text_col), granularity)
+    overlap = _multiset_overlap(ua, ub)
+    na, nb = F.size(ua), F.size(ub)
+    sim = (F.when(F.col("_vn") == 1, F.lit(1.0))
+           .when((na == 0) & (nb == 0), F.lit(1.0))
+           .when((na == 0) | (nb == 0), F.lit(0.0))
+           .otherwise(F.round(2.0 * overlap / (na + nb), 6)))
+    change = (
+        F.when(F.col("_vn") == 1, F.lit("new"))
+        .when(F.md5(cur) == F.md5(prev), F.lit("unchanged"))
+        .when(sim > 0.9, F.lit("minor_change"))
+        .when(sim > 0.7, F.lit("moderate_change"))
+        .otherwise(F.lit("major_change")))
+    return base.select(
+        url_col, order_col,
+        F.md5(cur).alias("content_hash"),
+        F.size(_units(F.col(text_col), "tokens")).cast("long")
+        .alias("word_count"),
+        F.length(cur).cast("long").alias("char_count"),
+        change.alias("change_type"),
+        sim.alias("similarity_to_previous"))

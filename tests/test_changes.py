@@ -131,3 +131,22 @@ def test_plan_single_window_shuffle_no_explode(spark):
     plan2 = CH.detect_changes(_pages(spark), mode="difflib") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan2           # fidelity branch is Arrow
+
+
+def test_content_evolution_tiers(spark):
+    out = {(r.url, r.ts14): r for r in
+           CH.content_evolution(_pages(spark)).collect()}
+    a = "http://a.example/page"
+    r1 = out[(a, "20240101000000")]
+    assert (r1.change_type, r1.similarity_to_previous) == ("new", 1.0)
+    assert r1.word_count == 4 and r1.char_count == 22
+    assert out[(a, "20240102000000")].change_type == "unchanged"
+    # dice 8/9 ≈ 0.889 → >0.7 and ≤0.9 → moderate_change
+    assert out[(a, "20240103000000")].change_type == "moderate_change"
+    assert out[(a, "20240104000000")].change_type == "major_change"
+    assert out[("http://c.example/ws", "20240102000000")].change_type \
+        == "minor_change"  # dice 1.0, hash differs
+    # content_hash matches md5 of the text
+    import hashlib
+    assert r1.content_hash == hashlib.md5(
+        b"alpha beta gamma delta").hexdigest()
