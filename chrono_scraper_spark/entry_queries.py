@@ -3337,6 +3337,68 @@ SELECT url, ts14, md5(cur) AS content_hash,
 FROM evo""")
 
 
+def q_readability(spark, sf_dir):
+    """Flesch Reading Ease + readability insight flags per document
+    (calculate_readability_score / get_quality_grade analog): exact
+    integer word/sentence/syllable counts folded per row, one
+    zero-shuffle codegen projection."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return Q.readability(d)
+
+
+SQL_READABILITY = """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+b AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(t), '\\s+'), x -> x != '')
+      AS words,
+    list_filter(string_split_regex(t, '[.!?]+'),
+                s -> trim(regexp_replace(s, '\\s+', ' ', 'g')) != '')
+      AS sents,
+    len(string_split(t, chr(10) || chr(10))) AS np
+  FROM d
+),
+c AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS nw,
+    CAST(len(sents) AS BIGINT) AS ns,
+    CAST(np AS BIGINT) AS npg,
+    CAST(coalesce(list_sum(list_transform(words, x ->
+      greatest(1, CASE WHEN ends_with(lower(x), 'e')
+             AND len(regexp_extract_all(lower(x), '[aeiouy]+')) > 1
+           THEN len(regexp_extract_all(lower(x), '[aeiouy]+')) - 1
+           ELSE len(regexp_extract_all(lower(x), '[aeiouy]+')) END))),
+      0) AS BIGINT) AS syl
+  FROM b
+),
+f AS (
+  SELECT doc_id, nw, ns, npg, syl,
+    CASE WHEN ns > 0 THEN round(greatest(0.0, least(100.0,
+      206.835 - 1.015 * (nw / ns) - 84.6 * (syl / nw))), 4)
+      ELSE 0.0 END AS flesch
+  FROM c
+)
+SELECT doc_id, nw AS n_words, ns AS n_sentences,
+  CASE WHEN ns > 0 THEN syl END AS n_syllables,
+  npg AS n_paragraphs,
+  CASE WHEN ns > 0 THEN round(nw / ns, 4) END AS avg_words_per_sentence,
+  CASE WHEN ns > 0 THEN round(syl / nw, 4) END AS avg_syllables_per_word,
+  flesch AS flesch_score,
+  CASE WHEN flesch >= 85 THEN 'A' WHEN flesch >= 70 THEN 'B'
+       WHEN flesch >= 50 THEN 'C' WHEN flesch >= 30 THEN 'D'
+       ELSE 'F' END AS grade,
+  CASE WHEN ns > 0 THEN (nw / ns) > 25 ELSE false END AS long_sentences,
+  CASE WHEN ns > 0 THEN (nw / ns) < 8 ELSE false END AS short_sentences,
+  CASE WHEN ns > 0 THEN (syl / nw) > 2.0 ELSE false END AS complex_vocab,
+  CASE WHEN ns > 0 THEN (syl / nw) < 1.3 ELSE false END AS simple_vocab,
+  CASE WHEN ns > 0 THEN (ns / npg) > 8 ELSE false END AS long_paragraphs,
+  CASE WHEN ns > 0 THEN (ns / npg) >= 3 AND (ns / npg) <= 6
+       ELSE false END AS well_structured
+FROM f"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3456,6 +3518,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "page_changes": q_page_changes,          # per-capture change log
     "change_stats": q_change_stats,          # change rollup per day/type
     "content_evolution": q_content_evolution,  # tiered per-URL timeline
+    "readability": q_readability,            # Flesch + insight flags
 }
 
 ORACLES: dict[str, str] = {
@@ -3546,4 +3609,5 @@ ORACLES: dict[str, str] = {
     "page_changes": SQL_PAGE_CHANGES,
     "change_stats": SQL_CHANGE_STATS,
     "content_evolution": SQL_CONTENT_EVOLUTION,
+    "readability": SQL_READABILITY,
 }

@@ -1117,3 +1117,82 @@ def fasttext_score_trained(docs: DataFrame, weights_milli: list[int],
         score_micro.alias("score_micro"),
         ((F.col("n_tokens") > 0)
          & (score_micro >= threshold_micro)).alias("keep"))
+
+
+# --------------------------------------------------------------------------
+# readability (quality_scoring.py analog)
+# --------------------------------------------------------------------------
+
+# get_quality_grade thresholds (quality_scoring.py:35-38)
+GRADE_THRESHOLDS = ((85, "A"), (70, "B"), (50, "C"), (30, "D"))
+
+
+def _syllables(word: Column) -> Column:
+    """The reference's syllable heuristic (quality_scoring.py:97-119):
+    count vowel groups ([aeiouy]+ runs) in the lowercased word, subtract
+    one for a trailing silent 'e' when more than one group, floor at 1."""
+    lw = F.lower(word)
+    groups = F.size(F.regexp_extract_all(lw, F.lit("[aeiouy]+"), F.lit(0)))
+    adj = F.when(lw.endswith("e") & (groups > 1), groups - 1) \
+        .otherwise(groups)
+    return F.greatest(F.lit(1), adj)
+
+
+def readability(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch Reading Ease + the reference's readability insights
+    (calculate_readability_score, quality_scoring.py:41-94) as one
+    zero-shuffle codegen projection: words = whitespace split, sentences
+    = non-blank [.!?]+ splits, syllables = per-word vowel-group counts
+    summed with an exact integer array fold, paragraphs = '\\n\\n'
+    splits (unfiltered, the reference counts empties).
+
+    ``flesch = clamp(206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), 0, 100)`` — every input an exact integer, so
+    the double expression evaluates identically on both engines. Letter
+    ``grade`` follows get_quality_grade's 85/70/50/30 bands
+    (quality_scoring.py:522-533; the reference grades its composite
+    score — applying the bands to flesch is this operator's disclosed
+    reading). Insight strings become boolean flag columns (same
+    predicates, quality_scoring.py:71-92). Docs with no sentences (or
+    empty text) score 0.0 with NULL ratios and false flags — the
+    reference's early-return rows."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = ws_tokens(t)
+    sents = F.filter(
+        F.split(t, r"[.!?]+"),
+        lambda s: F.length(F.trim(F.regexp_replace(s, r"\s+", " "))) > 0)
+    nw = F.size(words).cast("long")
+    ns = F.size(sents).cast("long")
+    np_ = F.size(F.split(t, r"\n\n")).cast("long")
+    syl = F.aggregate(F.transform(words, _syllables),
+                      F.lit(0).cast("long"), lambda acc, s: acc + s)
+    valid = ns > 0
+    awps = nw / ns
+    aspw = syl / nw
+    spp = ns / np_
+    flesch = F.when(valid, F.round(
+        F.greatest(F.lit(0.0), F.least(F.lit(100.0),
+                                       206.835 - 1.015 * awps
+                                       - 84.6 * aspw)), 4)) \
+        .otherwise(F.lit(0.0))
+    grade = F.when(flesch >= 85, F.lit("A")) \
+        .when(flesch >= 70, F.lit("B")) \
+        .when(flesch >= 50, F.lit("C")) \
+        .when(flesch >= 30, F.lit("D")).otherwise(F.lit("F"))
+    flag = lambda c: F.when(valid, c).otherwise(F.lit(False))  # noqa: E731
+    return docs.select(
+        F.col(id_col),
+        nw.alias("n_words"), ns.alias("n_sentences"),
+        F.when(valid, syl).otherwise(F.lit(None)).cast("long")
+        .alias("n_syllables"),
+        np_.alias("n_paragraphs"),
+        F.when(valid, F.round(awps, 4)).alias("avg_words_per_sentence"),
+        F.when(valid, F.round(aspw, 4)).alias("avg_syllables_per_word"),
+        flesch.alias("flesch_score"), grade.alias("grade"),
+        flag(awps > 25).alias("long_sentences"),
+        flag(awps < 8).alias("short_sentences"),
+        flag(aspw > 2.0).alias("complex_vocab"),
+        flag(aspw < 1.3).alias("simple_vocab"),
+        flag(spp > 8).alias("long_paragraphs"),
+        flag((spp >= 3) & (spp <= 6)).alias("well_structured"))

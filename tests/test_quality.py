@@ -615,3 +615,117 @@ def test_fasttext_train_and_trained_inference(spark):
     plan = Q.fasttext_score_trained(df.select("doc_id", "text"), w, b) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan    # inference stays a codegen projection
+
+
+# --------------------------------------------------------------------------
+# readability (quality_scoring.py analog)
+# --------------------------------------------------------------------------
+
+def _py_syllables(word: str) -> int:
+    word = word.lower()
+    vowels = "aeiouy"
+    n = 0
+    prev = False
+    for ch in word:
+        if ch in vowels:
+            if not prev:
+                n += 1
+            prev = True
+        else:
+            prev = False
+    if word.endswith("e") and n > 1:
+        n -= 1
+    return max(1, n)
+
+
+def _py_readability(text: str):
+    """Independent twin of the reference's calculate_readability_score
+    (quality_scoring.py:41-94) returning the engine's column values."""
+    t = text or ""
+    words = t.split()
+    sentences = [s for s in re.split(r"[.!?]+", t) if s.strip()]
+    paragraphs = t.split("\n\n")
+    if not sentences:
+        return (len(words), 0, None, len(paragraphs), None, None, 0.0, "F",
+                False, False, False, False, False, False)
+    syl = sum(_py_syllables(w) for w in words)
+    awps = len(words) / len(sentences)
+    aspw = syl / len(words)
+    spp = len(sentences) / len(paragraphs)
+    flesch = round(max(0.0, min(100.0, 206.835 - 1.015 * awps
+                                - 84.6 * aspw)), 4)
+    grade = ("A" if flesch >= 85 else "B" if flesch >= 70 else
+             "C" if flesch >= 50 else "D" if flesch >= 30 else "F")
+    return (len(words), len(sentences), syl, len(paragraphs),
+            round(awps, 4), round(aspw, 4), flesch, grade,
+            awps > 25, awps < 8, aspw > 2.0, aspw < 1.3,
+            spp > 8, (3 <= spp <= 6))
+
+
+READABILITY_DOCS = [
+    (0, "The cat sat. The dog ran! Did the bird fly? Yes it flew."),
+    (1, "Incomprehensibility notwithstanding, the multisyllabic "
+        "vocabulary necessitates exceptionally sophisticated parsing."),
+    (2, "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 2 + "."),
+    (3, ""),                       # empty → 0.0 / F
+    (4, "no terminal punctuation at all"),   # no sentences → 0.0
+    (5, "one. two. three. four.\n\nfive. six. seven.\n\neight."),
+    (6, "The the the. " * 30),     # clamp check: very simple
+    (7, "strange?!?...!! punctuation?? everywhere!!"),
+]
+
+
+def test_readability_matches_python_twin(spark):
+    from chrono_scraper_spark.operators.quality import readability
+
+    df = spark.createDataFrame(READABILITY_DOCS,
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in readability(df).collect()}
+    for doc_id, text in READABILITY_DOCS:
+        (nw, ns, syl, npg, awps, aspw, flesch, grade,
+         ls, ss, cv, sv, lp, wsx) = _py_readability(text)
+        r = got[doc_id]
+        assert (r.n_words, r.n_sentences, r.n_syllables,
+                r.n_paragraphs) == (nw, ns, syl, npg), doc_id
+        for g, w in ((r.avg_words_per_sentence, awps),
+                     (r.avg_syllables_per_word, aspw),
+                     (r.flesch_score, flesch)):
+            if w is None:
+                assert g is None, doc_id
+            else:
+                assert abs(g - w) < 1e-9, (doc_id, g, w)
+        assert r.grade == grade, doc_id
+        assert (r.long_sentences, r.short_sentences, r.complex_vocab,
+                r.simple_vocab, r.long_paragraphs, r.well_structured) \
+            == (ls, ss, cv, sv, lp, wsx), doc_id
+
+
+def test_readability_syllable_heuristic(spark):
+    from chrono_scraper_spark.operators.quality import readability
+
+    # silent-e: 'grape' → 2 groups − 1 = 1; 'the' → 1 group, no subtract
+    # (n must exceed 1); 'queue' → one 'ueue' run = 1; 'y' is a vowel:
+    # 'rhythm' → 1
+    cases = {"grape": 1, "the": 1, "rhythm": 1, "idea": 2, "queue": 1,
+             "strength": 1, "beautiful": 3}
+    for word, want in cases.items():
+        assert _py_syllables(word) == want, word
+    # engine drive: "<word> ." — the bare word keeps its shape (a glued
+    # "word." token would defeat the silent-e test) and the lone "."
+    # token contributes the max(1, 0) floor
+    df = spark.createDataFrame([(i, f"{w} .") for i, w in
+                                enumerate(cases)],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.n_syllables for r in readability(df).collect()}
+    for i, (word, want) in enumerate(cases.items()):
+        assert got[i] == want + 1, word
+
+
+def test_readability_plan_zero_shuffle(spark):
+    from chrono_scraper_spark.operators.quality import readability
+
+    df = spark.createDataFrame(READABILITY_DOCS,
+                               "doc_id long, text string")
+    plan = readability(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
