@@ -3399,6 +3399,67 @@ SELECT doc_id, nw AS n_words, ns AS n_sentences,
 FROM f"""
 
 
+def q_topic_assign(spark, sf_dir):
+    """Topic inference: every doc assigned to the best topic under
+    count-based unigram topic models (add-one smoothing, OOV floor,
+    nano-quantized log scores) built from the k-means clusters' term
+    sums — the document_topics/page_clusters map of the topic service,
+    with a deterministic model in place of sklearn LDA."""
+    from chrono_scraper_spark.operators import topics as TP
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vectors = TP.tfidf_terms(d)
+    assign = TP.kmeans_clusters(d, k=8, iters=2, vectors=vectors)
+    topics = (vectors
+              .join(assign.select("doc_id", "cluster_id"), "doc_id")
+              .groupBy(F.col("cluster_id").alias("topic_id"), "term")
+              .agg(F.sum("tf").alias("cnt")))
+    return TP.topic_assign(d, topics)
+
+
+SQL_TOPIC_ASSIGN = f"""
+WITH {_KMEANS_CTES},
+cent2 AS (
+  SELECT a.cid AS topic_id, w.term, sum(w.tf) AS cnt
+  FROM w JOIN a1 a USING (doc_id) GROUP BY 1, 2
+),
+tt AS (SELECT topic_id, sum(cnt) AS tot FROM cent2 GROUP BY 1),
+vv AS (SELECT count(DISTINCT term) AS v FROM cent2),
+toksall AS (
+  SELECT doc_id, u.t AS term
+  FROM documents, unnest({OG.tokens_sql('text')}) AS u(t)
+),
+nt AS (SELECT doc_id, count(*) AS n FROM toksall GROUP BY 1),
+sc AS (
+  SELECT c.topic_id, c.term,
+    CAST(floor(log10((c.cnt + 1) / (tt.tot + vv.v)) * 1e9) AS BIGINT)
+      AS lp
+  FROM cent2 c JOIN tt USING (topic_id), vv
+),
+mt AS (
+  SELECT t.doc_id, s.topic_id, sum(s.lp) AS s, count(*) AS nm
+  FROM toksall t JOIN sc s USING (term) GROUP BY 1, 2
+),
+fl AS (
+  SELECT tt.topic_id,
+    CAST(floor(log10(1.0 / (tt.tot + vv.v)) * 1e9) AS BIGINT) AS oov
+  FROM tt, vv
+),
+scr AS (
+  SELECT nt.doc_id, fl.topic_id, nt.n,
+    coalesce(mt.s, 0) + (nt.n - coalesce(mt.nm, 0)) * fl.oov AS score
+  FROM nt CROSS JOIN fl
+  LEFT JOIN mt ON mt.doc_id = nt.doc_id AND mt.topic_id = fl.topic_id
+)
+SELECT doc_id, topic_id, round(score / n / 1e9, 6) AS mean_logprob,
+  CAST(n AS BIGINT) AS n_tokens
+FROM (
+  SELECT scr.*, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, topic_id) AS rn
+  FROM scr)
+WHERE rn = 1"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3519,6 +3580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "change_stats": q_change_stats,          # change rollup per day/type
     "content_evolution": q_content_evolution,  # tiered per-URL timeline
     "readability": q_readability,            # Flesch + insight flags
+    "topic_assign": q_topic_assign,          # unigram topic inference
 }
 
 ORACLES: dict[str, str] = {
@@ -3610,4 +3672,5 @@ ORACLES: dict[str, str] = {
     "change_stats": SQL_CHANGE_STATS,
     "content_evolution": SQL_CONTENT_EVOLUTION,
     "readability": SQL_READABILITY,
+    "topic_assign": SQL_TOPIC_ASSIGN,
 }

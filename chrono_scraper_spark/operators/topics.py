@@ -365,3 +365,107 @@ def dbscan(emb: DataFrame, eps: float = 0.7, min_samples: int = 3,
                     .otherwise(F.lit("noise")).alias("role"),
                     F.coalesce(F.col("n_neighbors"), F.lit(1))
                     .cast("long").alias("n_neighbors")))
+
+
+def lda_topics(docs: DataFrame, k: int = 5, vocab_size: int = 1000,
+               min_df: float = 2.0, seed: int = 42, max_iter: int = 20,
+               top_terms: int = 10, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """LDA topic extraction via the Spark-native stack — the
+    ``extract_topics_lda`` bridge (topic_modeling.py:81-201,
+    ``LatentDirichletAllocation(n_components, random_state=42,
+    max_iter=20)``): tokens → ``CountVectorizer(vocabSize, minDF)`` →
+    ``pyspark.ml.clustering.LDA(k, seed, optimizer='em')``.
+
+    Returns the topic_words analog (topic_modeling.py:176-190): one row
+    per (topic_id, rank) with the term and its milli-quantized topic
+    weight. The EM optimizer with a pinned seed is the deterministic
+    Spark-side counterpart of the reference pinning random_state=42;
+    sklearn's *online variational* fit itself is library-internal and
+    not value-reproducible cross-engine, so this bridge is unit-tested
+    (planted-topic separation) rather than DuckDB-oracled — same
+    treatment as ``quality.fasttext_train``. Distribution shape: the
+    featurize pass is the same one-tokenize CountVectorizer scan; LDA-EM
+    runs Spark-side (GraphX-backed), so the bridge scales with the
+    cluster rather than a driver matrix."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    toks = docs.select(F.col(id_col),
+                       T.tokens(F.col(text_col)).alias("_tk"))
+    cv = CountVectorizer(inputCol="_tk", outputCol="_feat",
+                         vocabSize=vocab_size, minDF=min_df)
+    cvm = cv.fit(toks)
+    feats = cvm.transform(toks).select(id_col, "_feat")
+    lda = LDA(k=k, seed=seed, maxIter=max_iter, optimizer="em",
+              featuresCol="_feat")
+    model = lda.fit(feats)
+    spark = docs.sparkSession
+    vocab = cvm.vocabulary  # ≤ vocab_size entries, driver-side by design
+    rows = []
+    for r in model.describeTopics(maxTermsPerTopic=top_terms).collect():
+        for rank, (ti, wt) in enumerate(zip(r.termIndices,
+                                            r.termWeights), start=1):
+            rows.append((int(r.topic), int(rank), vocab[ti],
+                         int(round(wt * 1000))))
+    return spark.createDataFrame(
+        rows, "topic_id long, rank long, term string, weight_milli long")
+
+
+def topic_assign(docs: DataFrame, topics: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 topic_col: str = "topic_id", term_col: str = "term",
+                 cnt_col: str = "cnt") -> DataFrame:
+    """Hard topic assignment under count-based unigram topic models —
+    the inference half of the topic pipeline (the reference's
+    document_topics / page_clusters maps, topic_modeling.py:192-196 /
+    420-424), usable with ANY (topic, term, count) table: k-means
+    cluster term sums, LDA topic counts, or hand-built taxonomies.
+
+    score(doc, topic) = Σ_tokens log10 P̂(token|topic) with add-one
+    smoothing over the GLOBAL topic vocabulary; out-of-vocabulary
+    tokens take the smoothed floor 1/(total+V). Per-token logs are
+    nano-quantized longs (order-independent sums, the
+    ``quality.unigram_logprob`` recipe), so the argmax — ties → lowest
+    topic — is bit-deterministic cross-engine.
+
+    Shape: the topic table (k·vocab rows) is **broadcast** with its
+    totals; matched tokens aggregate per (doc, topic); the per-doc
+    token count closes the OOV term arithmetically — the corpus is
+    tokenized once and never shuffled beyond the (doc, topic) agg.
+    Token-less docs are absent (inner-join semantics)."""
+    toks = docs.select(F.col(id_col),
+                       F.explode(T.tokens(F.col(text_col))).alias("term"))
+    nt = toks.groupBy(id_col).agg(F.count("*").alias("_n"))
+    tot = topics.groupBy(F.col(topic_col)).agg(
+        F.sum(F.col(cnt_col)).alias("_tot"))
+    vv = topics.agg(F.count_distinct(F.col(term_col)).alias("_v"))
+    scored = (topics
+              .join(F.broadcast(tot), topic_col)
+              .join(F.broadcast(vv))
+              .select(F.col(topic_col), F.col(term_col).alias("term"),
+                      F.floor(F.log10((F.col(cnt_col) + 1)
+                                      / (F.col("_tot") + F.col("_v")))
+                              * 1e9).cast("long").alias("_lp")))
+    matched = (toks.join(F.broadcast(scored), "term")
+               .groupBy(id_col, topic_col)
+               .agg(F.sum("_lp").alias("_s"), F.count("*").alias("_nm")))
+    floors = (tot.join(F.broadcast(vv))
+              .select(topic_col,
+                      F.floor(F.log10(1.0 / (F.col("_tot") + F.col("_v")))
+                              * 1e9).cast("long").alias("_oov")))
+    scores = (nt.join(F.broadcast(floors))
+              .join(matched, [id_col, topic_col], "left")
+              .select(id_col, topic_col, "_n",
+                      (F.coalesce(F.col("_s"), F.lit(0))
+                       + (F.col("_n") - F.coalesce(F.col("_nm"),
+                                                   F.lit(0)))
+                       * F.col("_oov")).alias("_score")))
+    rn = F.row_number().over(
+        Window.partitionBy(id_col)
+        .orderBy(F.col("_score").desc(), F.col(topic_col)))
+    return (scores.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+            .select(id_col, F.col(topic_col),
+                    F.round(F.col("_score") / F.col("_n") / 1e9, 6)
+                    .alias("mean_logprob"),
+                    F.col("_n").cast("long").alias("n_tokens")))

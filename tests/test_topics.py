@@ -374,3 +374,70 @@ def test_dbscan_random_matches_twin(spark):
     assert got == want
     assert any(v[1] == "core" for v in got.values())
     assert any(v[1] == "noise" for v in got.values())
+
+
+# ---------------------------------------------------------------------------
+# topic_assign + LDA bridge
+# ---------------------------------------------------------------------------
+
+
+def test_topic_assign_semantics(spark):
+    """Hand-built topic models: known assignments, OOV floor, ties →
+    lowest topic id, absent token-less docs."""
+    topics = spark.createDataFrame(
+        [(0, "solar", 8), (0, "energy", 4),
+         (1, "bread", 8), (1, "oven", 4)],
+        "topic_id long, term string, cnt long")
+    docs = spark.createDataFrame(
+        [(1, "solar solar energy"),       # → topic 0
+         (2, "bread oven bread"),         # → topic 1
+         (3, "zzz yyy xxx"),              # all OOV: equal scores → topic 0
+         (4, "")],                        # token-less → absent
+        "doc_id long, text string")
+    from chrono_scraper_spark.operators.topics import topic_assign
+
+    got = {r.doc_id: r for r in topic_assign(docs, topics).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].topic_id == 0 and got[2].topic_id == 1
+    assert got[3].topic_id == 0          # deterministic tie-break
+    assert got[1].n_tokens == 3
+    # exact score: totals are 12 each, V=4 → p(solar|0)=(8+1)/16
+    import math as m
+    lp = (2 * m.floor(m.log10(9 / 16) * 1e9)
+          + m.floor(m.log10(5 / 16) * 1e9))
+    assert abs(got[1].mean_logprob - round(lp / 3 / 1e9, 6)) < 1e-9
+    # OOV doc's score = 3 × floor(log10(1/16)·1e9) / 3
+    oov = m.floor(m.log10(1 / 16) * 1e9)
+    assert abs(got[3].mean_logprob - round(oov / 1e9, 6)) < 1e-9
+
+
+def test_lda_bridge_planted_topics(spark):
+    """3 orthogonal-vocab groups × 8 docs → LDA(k=3, em, seed) recovers
+    topics whose top terms separate the planted vocabularies."""
+    vocab = {0: ["quark", "lepton", "boson"],
+             1: ["sonnet", "stanza", "meter"],
+             2: ["glacier", "moraine", "crevasse"]}
+    rows = []
+    for g, words in vocab.items():
+        for i in range(8):
+            rows.append((g * 10 + i,
+                         " ".join(words * 3) + f" filler{i % 2}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from chrono_scraper_spark.operators.topics import lda_topics
+
+    out = lda_topics(df, k=3, vocab_size=50, min_df=2.0, max_iter=30,
+                     top_terms=3)
+    rows_out = out.collect()
+    assert {(r.topic_id, r.rank) for r in rows_out} == {
+        (t, r) for t in range(3) for r in (1, 2, 3)}
+    assert all(r.weight_milli >= 0 for r in rows_out)
+    # each topic's top-3 terms should be dominated by one planted group
+    by_topic: dict = {}
+    for r in rows_out:
+        by_topic.setdefault(r.topic_id, []).append(r.term)
+    groups_hit = set()
+    for terms in by_topic.values():
+        for g, words in vocab.items():
+            if sum(t in words for t in terms) >= 2:
+                groups_hit.add(g)
+    assert len(groups_hit) >= 2   # EM from one seed: ≥2 clean topics
