@@ -123,3 +123,69 @@ def test_token_bucket_restart_resumes_state(spark, two_batch_dir, tmp_path):
             for r in spark.read.parquet(sink).collect()}
     exp = _oracle(all_rows + b2, rps, burst)
     assert got2 == exp
+
+
+# --------------------------------------------------------------------------
+# streaming change detection (url_change_stream)
+# --------------------------------------------------------------------------
+
+CHANGE_ROWS_B0 = [
+    {"url": "http://a.example/p", "ts14": "20240101000000",
+     "text": "alpha beta gamma delta"},
+    {"url": "http://a.example/p", "ts14": "20240102000000",
+     "text": "alpha beta gamma delta"},
+    {"url": "http://b.example/q", "ts14": "20240101000000",
+     "text": "hello world"},
+]
+CHANGE_ROWS_B1 = [
+    # a's third capture arrives in batch 1 → state must remember batch 0
+    {"url": "http://a.example/p", "ts14": "20240103000000",
+     "text": "alpha beta gamma delta epsilon"},
+    {"url": "http://a.example/p", "ts14": "20240104000000", "text": ""},
+    {"url": "http://b.example/q", "ts14": "20240102000000",
+     "text": "world hello"},
+]
+
+
+@pytest.fixture()
+def change_stream_dir(tmp_path):
+    d = tmp_path / "chstream"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(CHANGE_ROWS_B0)),
+                   str(d / "part-0000.parquet"))
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(CHANGE_ROWS_B1)),
+                   str(d / "part-0001.parquet"))
+    return str(d)
+
+
+def test_url_change_stream_matches_batch(spark, change_stream_dir,
+                                         tmp_path):
+    from chrono_scraper_spark.operators.changes import detect_changes
+    from chrono_scraper_spark.streaming.stateful import url_change_stream
+
+    schema = "url string, ts14 string, text string"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(change_stream_dir))
+    out = url_change_stream(stream, threshold=0.9)
+    q = (out.writeStream.format("memory").queryName("chg_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.url, r.ts14): (r.change_type, r.similarity, r.units_added,
+                             r.units_removed, r.n_versions_seen)
+           for r in spark.sql("SELECT * FROM chg_out").collect()}
+
+    batch_df = spark.createDataFrame(
+        CHANGE_ROWS_B0 + CHANGE_ROWS_B1, schema)
+    want = {(r.url, r.ts14): (r.change_type, r.similarity, r.units_added,
+                              r.units_removed, r.n_versions_seen)
+            for r in detect_changes(batch_df, threshold=0.9).collect()}
+    assert got == want
+    # and the interesting transitions actually happened across batches
+    assert got[("http://a.example/p", "20240103000000")][0] == "modified"
+    assert got[("http://a.example/p", "20240104000000")][0] == "deleted"
+    assert got[("http://b.example/q", "20240102000000")][0] \
+        == "minor_update"   # reorder: dice 1.0, hash differs
+    assert got[("http://a.example/p", "20240104000000")][4] == 4
