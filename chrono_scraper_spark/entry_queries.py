@@ -3460,6 +3460,61 @@ FROM (
 WHERE rn = 1"""
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Second-order CCNet LM analog: add-one-smoothed conditional bigram
+    model built on the even docs, scored over the odd docs (same split
+    as unigram_logprob). Both models broadcast; nano-quantized
+    order-independent mean."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    tk = train.select(T.tokens(F.col("text")).alias("_tk"))
+    bm = (tk.select(F.explode(Q.kgrams(F.col("_tk"), 2)).alias("bg"))
+          .groupBy("bg").agg(F.count("*").alias("cb")))
+    um = (tk.select(F.explode(F.col("_tk")).alias("tok"))
+          .groupBy("tok").agg(F.count("*").alias("cu")))
+    return Q.bigram_logprob(test, bigram_model=bm, unigram_model=um)
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH tr AS (
+  SELECT {OG.tokens_sql('text')} AS tk FROM documents WHERE doc_id % 2 = 0
+),
+te AS (
+  SELECT doc_id, {OG.tokens_sql('text')} AS tk FROM documents
+  WHERE doc_id % 2 = 1
+),
+bm AS (
+  SELECT u.g AS bg, count(*) AS cb
+  FROM tr, unnest({OG.kgrams_sql('tk', 2)}) AS u(g) GROUP BY 1
+),
+um AS (
+  SELECT u.t AS tok, count(*) AS cu
+  FROM tr, unnest(tk) AS u(t) GROUP BY 1
+),
+vv AS (SELECT count(*) AS v FROM um),
+tb AS (
+  SELECT doc_id, u.g AS bg
+  FROM te, unnest({OG.kgrams_sql('tk', 2)}) AS u(g)
+),
+sc AS (
+  SELECT t.doc_id,
+    CAST(floor(log10((coalesce(bm.cb, 0) + 1)
+                     / (coalesce(um.cu, 0) + vv.v)) * 1e9) AS BIGINT)
+      AS lp,
+    bm.cb IS NULL AS oov
+  FROM tb t
+  LEFT JOIN bm USING (bg)
+  LEFT JOIN um ON um.tok = string_split(t.bg, ' ')[1], vv
+)
+SELECT doc_id, round(sum(lp) / count(*) / 1e9, 6) AS mean_logprob,
+  count(*) AS n_bigrams,
+  CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_bigrams
+FROM sc GROUP BY doc_id"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3581,6 +3636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "content_evolution": q_content_evolution,  # tiered per-URL timeline
     "readability": q_readability,            # Flesch + insight flags
     "topic_assign": q_topic_assign,          # unigram topic inference
+    "bigram_logprob": q_bigram_logprob,      # 2nd-order LM scoring
 }
 
 ORACLES: dict[str, str] = {
@@ -3673,4 +3729,5 @@ ORACLES: dict[str, str] = {
     "content_evolution": SQL_CONTENT_EVOLUTION,
     "readability": SQL_READABILITY,
     "topic_assign": SQL_TOPIC_ASSIGN,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
 }

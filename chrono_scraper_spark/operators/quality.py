@@ -1196,3 +1196,49 @@ def readability(docs: DataFrame, id_col: str = "doc_id",
         flag(aspw < 1.3).alias("simple_vocab"),
         flag(spp > 8).alias("long_paragraphs"),
         flag((spp >= 3) & (spp <= 6)).alias("well_structured"))
+
+
+def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   bigram_model: DataFrame | None = None,
+                   unigram_model: DataFrame | None = None) -> DataFrame:
+    """Per-doc mean conditional bigram log₁₀-probability — the
+    second-order upgrade of ``unigram_logprob`` (CCNet's KenLM is a
+    5-gram; this is the same scoring family built from corpus counts):
+    ``P̂(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V)`` with add-one smoothing over
+    the unigram vocabulary V. Repetitive/templated text scores HIGH
+    under a bigram LM even when its unigrams are rare — the signal the
+    unigram scorer misses.
+
+    Same scale shape as the unigram path: both models are Zipf-bounded
+    corpus aggs (map-side partials), **broadcast** onto the exploded
+    doc bigrams (corpus never shuffles for the join); logs are
+    nano-quantized longs so the mean is order-independent and
+    cross-engine exact. Unseen w₁ takes c(w₁)=0 (score 1/V-ish floor);
+    docs with < 2 tokens are absent (no bigram positions)."""
+    toks = docs.select(F.col(id_col), T.tokens(F.col(text_col))
+                       .alias("_tk"))
+    big = toks.select(id_col, F.explode(kgrams(F.col("_tk"), 2))
+                      .alias("bg"))
+    uni = toks.select(id_col, F.explode(F.col("_tk")).alias("tok"))
+    if bigram_model is None:
+        bigram_model = big.groupBy("bg").agg(F.count("*").alias("cb"))
+    if unigram_model is None:
+        unigram_model = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    vv = unigram_model.agg(F.count("*").alias("_v"))
+    scored = (big
+              .withColumn("_w1", F.split(F.col("bg"), " ")[0])
+              .join(F.broadcast(bigram_model), "bg", "left")
+              .join(F.broadcast(unigram_model.select(
+                  F.col("tok").alias("_w1"), F.col("cu"))), "_w1", "left")
+              .join(F.broadcast(vv))
+              .withColumn("_lp", F.floor(F.log10(
+                  (F.coalesce(F.col("cb"), F.lit(0)) + 1)
+                  / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("_v")))
+                  * 1e9).cast("long")))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.sum("_lp") / F.count("*") / 1e9, 6)
+                 .alias("mean_logprob"),
+                 F.count("*").alias("n_bigrams"),
+                 F.sum(F.when(F.col("cb").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_oov_bigrams")))

@@ -729,3 +729,45 @@ def test_readability_plan_zero_shuffle(spark):
     plan = readability(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Generate" not in plan
+
+
+def test_bigram_logprob_prefers_seen_sequences(spark):
+    """A bigram LM separates texts by WORD ORDER where a unigram LM
+    cannot: same multiset, familiar vs scrambled order."""
+    from chrono_scraper_spark.operators.quality import (bigram_logprob,
+                                                        unigram_logprob)
+
+    train = [(i, "the quick brown fox jumps over the lazy dog") for i
+             in range(0, 20, 2)]
+    test = [(1, "the quick brown fox jumps over the lazy dog"),  # in-LM
+            (3, "dog the over lazy fox quick jumps brown the"),  # shuffled
+            (5, "completely unseen vocabulary here")]
+    df = spark.createDataFrame(train + test, "doc_id long, text string")
+    tr = df.filter("doc_id % 2 = 0")
+    te = df.filter("doc_id % 2 = 1")
+    import pyspark.sql.functions as F
+    from chrono_scraper_spark.functions import textops as T
+    from chrono_scraper_spark.operators.quality import kgrams
+
+    tk = tr.select(T.tokens(F.col("text")).alias("_tk"))
+    bm = (tk.select(F.explode(kgrams(F.col("_tk"), 2)).alias("bg"))
+          .groupBy("bg").agg(F.count("*").alias("cb")))
+    um = (tk.select(F.explode(F.col("_tk")).alias("tok"))
+          .groupBy("tok").agg(F.count("*").alias("cu")))
+    got = {r.doc_id: r for r in
+           bigram_logprob(te, bigram_model=bm,
+                          unigram_model=um).collect()}
+    # the in-LM order dominates both; the scrambled doc scores BELOW the
+    # unseen-vocab doc — correct conditional-LM behavior: a seen context
+    # w1 (c=10) with an unseen continuation gets 1/(10+V), below the
+    # fully-unseen floor 1/(0+V)
+    assert got[1].mean_logprob > got[3].mean_logprob
+    assert got[1].mean_logprob > got[5].mean_logprob
+    assert got[3].mean_logprob < got[5].mean_logprob
+    assert got[1].n_oov_bigrams == 0
+    assert got[3].n_oov_bigrams == got[3].n_bigrams  # every pair unseen
+    # unigram LM CANNOT separate 1 from 3 (same token multiset)
+    uni = {r.doc_id: r.mean_logprob for r in
+           unigram_logprob(te, model=um.withColumnRenamed("cu", "cnt")
+                           .withColumnRenamed("tok", "tok")).collect()}
+    assert abs(uni[1] - uni[3]) < 1e-9
