@@ -3515,6 +3515,20 @@ SELECT doc_id, round(sum(lp) / count(*) / 1e9, 6) AS mean_logprob,
 FROM sc GROUP BY doc_id"""
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training (learn-merges pass) over the corpus word-
+    frequency table: 10 merge rounds, each one pair-count agg + 1-row
+    argmax + codegen fold. NO SQL oracle by design — the rank-r merge
+    depends on the rank-(r−1) argmax, an iterative data dependency a
+    single SQL statement cannot express; correctness is held by the
+    exact pure-Python twin parity test and the encode-reproduces-
+    training-segmentation invariant (tests/test_quality.py)."""
+    from chrono_scraper_spark.operators import quality as Q
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return Q.bpe_train(d, n_merges=10)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3637,6 +3651,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,            # Flesch + insight flags
     "topic_assign": q_topic_assign,          # unigram topic inference
     "bigram_logprob": q_bigram_logprob,      # 2nd-order LM scoring
+    "bpe_merges": q_bpe_merges,              # BPE training (rows-only:
+    # iterative argmax dependency is not single-SQL-expressible; exact
+    # python-twin parity + encode-invariant tests hold correctness)
 }
 
 ORACLES: dict[str, str] = {

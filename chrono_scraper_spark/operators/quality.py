@@ -1242,3 +1242,162 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
                  F.count("*").alias("n_bigrams"),
                  F.sum(F.when(F.col("cb").isNull(), 1).otherwise(0))
                  .cast("long").alias("n_oov_bigrams")))
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer TRAINING (the learn-merges half; wordpiece_encode and
+# bpe_encode are the apply halves)
+# --------------------------------------------------------------------------
+
+BPE_END = "</w>"
+
+
+def _merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Apply one merge (left,right)→left+right across a symbol array,
+    leftmost-first non-overlapping (classic BPE apply): a single
+    aggregate fold — after a merge the combined symbol cannot re-merge
+    with the next ``right`` in the same pass."""
+    zero = F.array().cast("array<string>")
+
+    def step(acc, x):
+        hit = ((F.size(acc) > 0)
+               & (F.element_at(acc, -1) == left) & (x == F.lit(right)))
+        return (F.when(hit,
+                       F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                                F.array(F.lit(left + right))))
+                .otherwise(F.concat(acc, F.array(x))))
+
+    return F.aggregate(syms, zero, step)
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 50,
+              id_col: str = "doc_id", text_col: str = "text",
+              min_pair_count: int = 2) -> DataFrame:
+    """Learn a BPE merge table from the corpus (Sennrich et al. 2016) —
+    the training counterpart of ``wordpiece_encode``/``bpe_encode``
+    (complements ``build_vocab``'s counting pass).
+
+    Scale shape — the part that matters at 100 TB: BPE trains on the
+    WORD-FREQUENCY table, not the corpus. Stage 1 is the corpus-wide
+    token count (map-side combined, the build_vocab agg); every merge
+    iteration then runs on that Zipf-bounded table (10⁵-10⁷ rows at any
+    corpus size): one explode of adjacent symbol pairs → weighted count
+    agg → TakeOrdered(1) argmax — a 1-row driver scalar per merge, the
+    algorithm's inherent sequential dependency (same convention as
+    PageRank's convergence scalar; never row data) → one codegen fold
+    applies the merge, ``localCheckpoint`` truncates the iteration
+    lineage. Ties break (count DESC, left ASC, right ASC) —
+    deterministic and disclosed (reference BPE implementations break
+    ties by dict order, which is not reproducible).
+
+    Stops early when no pair reaches ``min_pair_count`` (merging
+    singletons memorizes words). Returns (rank, left, right, merged,
+    pair_count)."""
+    words = (docs
+             .select(F.explode(T.tokens(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("wc")))
+    chars = F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))
+    cur = words.select(
+        "wc", F.concat(chars, F.array(F.lit(BPE_END))).alias("s"))
+    cur = cur.localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    merges: list[tuple] = []
+    for rank in range(n_merges):
+        # guard: a fully-merged word (size 1) must yield NO pairs —
+        # sequence(1, 0) would DESCEND and index out of bounds
+        pair_arr = F.when(
+            F.size("s") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("s") - 1),
+                lambda i: F.struct(
+                    F.element_at("s", i).alias("l"),
+                    F.element_at("s", (i + 1).cast("int")).alias("r")))
+        ).otherwise(F.array().cast(
+            "array<struct<l:string,r:string>>"))
+        pairs = (cur
+                 .select("wc", F.explode(pair_arr).alias("p"))
+                 .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                 .agg(F.sum("wc").alias("n")))
+        top = (pairs.orderBy(F.col("n").desc(), "l", "r").limit(1)
+               .collect())  # 1-row argmax scalar, the sequential dep
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((rank, left, right, left + right, n))
+        cur = (cur.select("wc", _merge_fold(F.col("s"), left, right)
+                          .alias("s"))
+               .localCheckpoint(eager=True))
+    return spark.createDataFrame(
+        merges,
+        "rank long, left string, right string, merged string, "
+        "pair_count long")
+
+
+def _bpe_word(word: str, ranks: dict, end: str) -> list[str]:
+    """Classic rank-ordered BPE apply for one word."""
+    syms = list(word) + [end]
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best is None or rk < best):
+                best = rk
+        if best is None:
+            break
+        pair = next(p for p, rk in ranks.items() if rk == best)
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if (i < len(syms) - 1
+                    and (syms[i], syms[i + 1]) == pair):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(docs: DataFrame, merges: DataFrame,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Apply a trained BPE merge table: merges (a bounded codebook,
+    broadcast as a rank dict — same discipline as wordpiece_encode's
+    frozenset) drive the classic lowest-rank-first merge loop per word
+    in ONE Arrow-batched pandas UDF pass; pre-tokenization stays
+    JVM-side. Output per doc: n_pieces, piece_sig (md5 of the joined
+    piece stream — value-checks the exact segmentation)."""
+    import hashlib
+
+    from pyspark.sql import types as ST
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(r["left"], r["right"]): int(r["rank"])
+             for r in merges.select("left", "right", "rank").collect()}
+    bc = docs.sparkSession.sparkContext.broadcast(ranks)
+
+    out_t = ST.StructType([
+        ST.StructField("n_pieces", ST.LongType()),
+        ST.StructField("piece_sig", ST.StringType()),
+    ])
+
+    @pandas_udf(out_t)
+    def _enc(tok_ser: pd.Series) -> pd.DataFrame:  # pragma: no cover
+        rk = bc.value
+        rows = []
+        for toks in tok_ser:
+            out: list[str] = []
+            for w in (toks if toks is not None else []):
+                out.extend(_bpe_word(w, rk, BPE_END))
+            rows.append({
+                "n_pieces": len(out),
+                "piece_sig": hashlib.md5(
+                    " ".join(out).encode()).hexdigest(),
+            })
+        return pd.DataFrame(rows)
+
+    return (docs
+            .select(F.col(id_col),
+                    _enc(T.tokens(F.col(text_col))).alias("_e"))
+            .select(id_col, F.col("_e.n_pieces").alias("n_pieces"),
+                    F.col("_e.piece_sig").alias("piece_sig")))

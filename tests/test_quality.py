@@ -771,3 +771,87 @@ def test_bigram_logprob_prefers_seen_sequences(spark):
            unigram_logprob(te, model=um.withColumnRenamed("cu", "cnt")
                            .withColumnRenamed("tok", "tok")).collect()}
     assert abs(uni[1] - uni[3]) < 1e-9
+
+
+# --------------------------------------------------------------------------
+# BPE training (quality.bpe_train / bpe_encode)
+# --------------------------------------------------------------------------
+
+def _py_bpe_train(word_counts, n_merges, min_pair=2):
+    cur = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        cnt: Counter = Counter()
+        for w, syms in cur.items():
+            for i in range(len(syms) - 1):
+                cnt[(syms[i], syms[i + 1])] += word_counts[w]
+        if not cnt:
+            break
+        (left, right), n = min(cnt.items(),
+                               key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair:
+            break
+        merges.append((rank, left, right, left + right, n))
+        for w, syms in cur.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == left
+                        and syms[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            cur[w] = out
+    return merges, cur
+
+
+BPE_DOCS = [
+    (0, "low lower lowest low low"),
+    (1, "new newer newest new newer"),
+    (2, "low new lower newer widest wide"),
+    (3, "aaa aaaa aa"),              # overlapping-pair stress
+]
+
+
+def test_bpe_train_matches_python_twin(spark):
+    from chrono_scraper_spark.operators.quality import bpe_train
+
+    wc: Counter = Counter()
+    for _i, t in BPE_DOCS:
+        wc.update(t.split())
+    want, _final = _py_bpe_train(dict(wc), n_merges=12)
+    df = spark.createDataFrame(BPE_DOCS, "doc_id long, text string")
+    got = [(r.rank, r.left, r.right, r.merged, r.pair_count)
+           for r in bpe_train(df, n_merges=12)
+           .orderBy("rank").collect()]
+    assert got == want
+    assert len(got) >= 5     # the corpus supports a real merge sequence
+
+
+def test_bpe_encode_reproduces_training_segmentation(spark):
+    """BPE invariant: applying the learned merges in rank order to the
+    training words reproduces the training-time segmentation."""
+    from chrono_scraper_spark.operators.quality import (_bpe_word,
+                                                        bpe_encode,
+                                                        bpe_train)
+
+    df = spark.createDataFrame(BPE_DOCS, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=12)
+    ranks = {(r.left, r.right): r.rank for r in merges.collect()}
+    wc: Counter = Counter()
+    for _i, t in BPE_DOCS:
+        wc.update(t.split())
+    _m, final = _py_bpe_train(dict(wc), n_merges=12)
+    for w, syms in final.items():
+        assert _bpe_word(w, ranks, "</w>") == syms, w
+    # and the distributed encode agrees with a per-doc python recompute
+    import hashlib
+    got = {r.doc_id: (r.n_pieces, r.piece_sig)
+           for r in bpe_encode(df, merges).collect()}
+    for i, t in BPE_DOCS:
+        pieces = []
+        for w in t.split():
+            pieces.extend(_bpe_word(w, ranks, "</w>"))
+        sig = hashlib.md5(" ".join(pieces).encode()).hexdigest()
+        assert got[i] == (len(pieces), sig), i
