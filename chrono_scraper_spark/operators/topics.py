@@ -185,9 +185,18 @@ def kmeans_clusters(docs: DataFrame, k: int = 8, iters: int = 2,
     if vectors is None:
         vectors = tfidf_terms(docs, id_col, text_col, min_df,
                               max_df_frac, max_features)
-    vec = vectors.select(id_col, "term", "w").persist()
-    norm2 = vec.groupBy(id_col).agg(
-        F.sum(F.col("w").cast(_DEC) * F.col("w")).alias("_dn2")).persist()
+    # eager localCheckpoint, not persist: the weights relation is
+    # referenced once per iteration × (dots, centroid update) plus by
+    # every caller-side derivation — checkpointing truncates the tfidf
+    # lineage so those references are scans, not re-expansions of the
+    # whole DAG (a lazy persist would be dropped before the caller's
+    # action and recompute everything)
+    vec = (vectors.select(id_col, "term", "w")
+           .localCheckpoint(eager=True))
+    norm2 = (vec.groupBy(id_col)
+             .agg(F.sum(F.col("w").cast(_DEC) * F.col("w"))
+                  .alias("_dn2"))
+             .localCheckpoint(eager=True))
 
     seeds = (norm2.select(id_col)
              .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
@@ -225,12 +234,9 @@ def kmeans_clusters(docs: DataFrame, k: int = 8, iters: int = 2,
                     .groupBy("cluster_id", "term")
                     .agg(F.sum(F.col("w").cast(_DEC)).alias("cw")))
 
-    out = assign.select(
+    return assign.select(
         id_col, "cluster_id",
         F.round(F.col("cos_nano") / 1e9, 6).alias("cos_sim"))
-    vec.unpersist()
-    norm2.unpersist()
-    return out
 
 
 def cluster_cohesion(docs: DataFrame, k: int = 8, iters: int = 2,
@@ -254,7 +260,7 @@ def cluster_cohesion(docs: DataFrame, k: int = 8, iters: int = 2,
     ranked by (component DESC, term ASC) — identical to ranking the mean
     centroid (topic_modeling.py:430-433)."""
     vectors = tfidf_terms(docs, id_col, text_col, min_df, max_df_frac,
-                          max_features)
+                          max_features).localCheckpoint(eager=True)
     assign = kmeans_clusters(docs, k, iters, id_col, text_col, min_df,
                              max_df_frac, max_features, vectors=vectors)
     norm2 = vectors.groupBy(id_col).agg(
@@ -434,6 +440,11 @@ def topic_assign(docs: DataFrame, topics: DataFrame,
     token count closes the OOV term arithmetically — the corpus is
     tokenized once and never shuffled beyond the (doc, topic) agg.
     Token-less docs are absent (inner-join semantics)."""
+    # the topic table is a bounded codebook; materialize it once so the
+    # four derived broadcasts (totals, vocab size, scored vocab, floors)
+    # scan it instead of re-expanding however deep a DAG produced it
+    # (e.g. the full k-means chain in q_topic_assign)
+    topics = topics.localCheckpoint(eager=True)
     toks = docs.select(F.col(id_col),
                        F.explode(T.tokens(F.col(text_col))).alias("term"))
     nt = toks.groupBy(id_col).agg(F.count("*").alias("_n"))
