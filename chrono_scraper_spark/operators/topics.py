@@ -334,9 +334,14 @@ def dbscan(emb: DataFrame, eps: float = 0.7, min_samples: int = 3,
 
     Output: (id, cluster, role ∈ {core, border, noise}, n_neighbors).
     """
-    pairs = TD.embedding_near_duplicates(
+    # materialize the ε-pair list once: it feeds sym (→ degrees →
+    # border) AND the core-core subgraph — without truncation the
+    # candidate-generation subtree (all-pairs or LSH bucket join)
+    # replicates into every downstream reference
+    pairs = (TD.embedding_near_duplicates(
         emb, id_col=id_col, vec_col=vec_col, threshold=1.0 - eps,
-        bands=bands, r_planes=r_planes, seed=seed).select("a", "b")
+        bands=bands, r_planes=r_planes, seed=seed)
+        .select("a", "b").localCheckpoint(eager=True))
     sym = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = (sym.groupBy("a").agg((F.count("*") + 1).alias("n_neighbors"))
