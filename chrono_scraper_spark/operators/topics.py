@@ -116,9 +116,15 @@ def tfidf_terms(docs: DataFrame, id_col: str = "doc_id",
     l2-normalized display value (sklearn ``norm='l2'``), a final-step
     double rounded to 6.
 
-    One tokenize pass; vocabulary (≤ max_features rows) broadcast back;
-    the l2 norm is a per-doc sum of exact decimal squares."""
-    tf = _term_counts(docs, id_col, text_col)
+    One tokenize pass — enforced: the (doc, term, tf) counts relation is
+    eagerly localCheckpointed, because it feeds the n_docs agg, the df
+    agg, AND the weights join; left lazy, Catalyst re-expands the
+    tokenize+explode into all of them (6 Generates in one plan) and a
+    100 TB corpus would be scanned six times. The checkpoint holds the
+    long-format counts — already the compacted form of the corpus.
+    Vocabulary (≤ max_features rows) broadcast back; the l2 norm is a
+    per-doc sum of exact decimal squares."""
+    tf = _term_counts(docs, id_col, text_col).localCheckpoint(eager=True)
     vocab = tfidf_vocab(tf, id_col, min_df, max_df_frac, max_features)
     w = (tf.join(F.broadcast(vocab.select("term", "idf_micro")), "term")
          .select(id_col, "term", "tf",
