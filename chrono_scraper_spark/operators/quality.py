@@ -1225,6 +1225,11 @@ def bigram_logprob(docs: DataFrame, id_col: str = "doc_id",
         bigram_model = big.groupBy("bg").agg(F.count("*").alias("cb"))
     if unigram_model is None:
         unigram_model = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    # both models are Zipf-bounded tables referenced more than once
+    # (unigram: vocab-size agg + the w1 join) — materialize so the
+    # model-building corpus scan doesn't re-expand per reference
+    bigram_model = bigram_model.localCheckpoint(eager=True)
+    unigram_model = unigram_model.localCheckpoint(eager=True)
     vv = unigram_model.agg(F.count("*").alias("_v"))
     scored = (big
               .withColumn("_w1", F.split(F.col("bg"), " ")[0])
