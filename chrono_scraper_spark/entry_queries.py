@@ -1121,6 +1121,57 @@ FROM tf JOIN q ON tf.term = q.term
 GROUP BY doc_id"""
 
 
+def q_bm25_rank(spark, sf_dir):
+    """Okapi BM25 relevance over the documents inverted index (engine
+    addition beyond the Meilisearch rule chain — ``index.bm25_rank``).
+    Nano-floored per-(doc, term) partials summed as longs make the score
+    bit-identical across engines and partitionings."""
+    from chrono_scraper_spark.operators.index import bm25_rank
+
+    d = _t(spark, sf_dir, "documents")
+    pi = d.select(F.col("doc_id").cast("string").alias("url_canon"),
+                  F.lit("0").alias("ts14"), F.lit("").alias("title"),
+                  F.col("text").alias("content"))
+    # in production the inverted index is a stored table; materialize the
+    # derived one so the doclen pass and the hits probe don't each re-run
+    # the tokenize+explode+agg
+    inv = build_inverted_terms(pi).localCheckpoint(eager=True)
+    out = bm25_rank(inv, list(_FTS_QUERY), doc_cols=("url_canon", "ts14"))
+    return out.select(F.col("url_canon").cast("long").alias("doc_id"),
+                      "matched_terms", "tf_sum", "bm25_e9")
+
+
+SQL_BM25_RANK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({OG.tokens_sql('text')}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+),
+q AS (SELECT unnest(['{"','".join(_FTS_QUERY)}']) AS term),
+hits AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN q USING (term)),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY 1),
+sc AS (
+  SELECT h.doc_id, h.term, h.tf,
+    CAST(floor(
+      ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+      * (h.tf * (1.2 + 1.0))
+      / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+      * 1e9) AS BIGINT) AS s_nano
+  FROM hits h JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+)
+SELECT doc_id, count(DISTINCT term) AS matched_terms,
+  CAST(sum(tf) AS BIGINT) AS tf_sum, CAST(sum(s_nano) AS BIGINT) AS bm25_e9
+FROM sc GROUP BY doc_id"""
+
+
 # (fulltext_positional was retired from the contract in round 4: its
 # first-position/attribute semantics are value-checked inside
 # fulltext_ranked's best_pos column, and the operator itself —
@@ -3337,6 +3388,62 @@ SELECT url, ts14, md5(cur) AS content_hash,
 FROM evo""")
 
 
+def q_recrawl_schedule(spark, sf_dir):
+    """Freshness-driven recrawl prioritization (Cho & Garcia-Molina 2003):
+    per-URL Poisson change-rate estimate from the capture history ×
+    staleness since last capture (``operators/recrawl.py``). Capture
+    digests are deterministically perturbed (every third (doc, capture)
+    changes) so the corpus exhibits a mix of change rates; "now" is the
+    corpus max capture time — no wall clock."""
+    from chrono_scraper_spark.operators.recrawl import recrawl_schedule
+
+    pages = cdx_pages_view(spark, sf_dir)
+    perturbed = pages.withColumn(
+        "digest",
+        F.when(((F.col("doc_id") + F.col("n_cap")) % 3 == 0)
+               & (F.col("n_cap") > 0),
+               F.md5(F.concat(F.col("digest"),
+                              F.col("n_cap").cast("string"))))
+        .otherwise(F.col("digest")))
+    return recrawl_schedule(perturbed)
+
+
+SQL_RECRAWL_SCHEDULE = f"""
+WITH pages_cdx AS ({{pages_cte}}),
+pp AS (
+  SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts_s,
+    CASE WHEN (doc_id + n_cap) % 3 = 0 AND n_cap > 0
+         THEN md5(digest || CAST(n_cap AS VARCHAR)) ELSE digest END AS dg
+  FROM pages_cdx
+),
+v AS (
+  SELECT url, ts_s, dg,
+    lag(dg) OVER (PARTITION BY url ORDER BY ts_s, dg) AS prev
+  FROM pp
+),
+pu AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_captures,
+    CAST(sum(CASE WHEN prev IS NOT NULL AND dg <> prev
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+    CAST(max(ts_s) - min(ts_s) AS BIGINT) AS span_s,
+    max(ts_s) AS last_s
+  FROM v GROUP BY url
+),
+nw AS (SELECT max(last_s) AS now_s FROM pu),
+sc AS (
+  SELECT url, n_captures, n_changes, span_s,
+    CAST(CASE WHEN span_s > 0 THEN (n_changes * 1000000000) // span_s
+              ELSE 0 END AS BIGINT) AS lambda_e9,
+    CAST(now_s - last_s AS BIGINT) AS age_s
+  FROM pu CROSS JOIN nw
+)
+SELECT url, n_captures, n_changes, span_s, lambda_e9, age_s,
+  CAST(lambda_e9 * age_s AS BIGINT) AS score_e9,
+  n_captures = 1 AS cold_start,
+  lambda_e9 * age_s >= 500000000 AS due
+FROM sc""".format(pages_cte=PAGES_CTE_DUCK)
+
+
 def q_readability(spark, sf_dir):
     """Flesch Reading Ease + readability insight flags per document
     (calculate_readability_score / get_quality_grade analog): exact
@@ -3540,7 +3647,12 @@ def q_bpe_merges(spark, sf_dir):
 # or strictly-subsumed result — sit after the window. Every entry, either
 # side of the window, still runs through scripts/check_oracles.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- never driver-checked through r03: first in the window ---
+    # --- positions 1-42: every query with no driver-green CORRECTNESS
+    # row through r03 (the 10 carried over from r3 + all round-4
+    # additions), so the 50-entry driver window finally hard-checks
+    # each of them. bpe_merges is rows-only (iterative argmax is not
+    # single-SQL-expressible; python-twin parity tests hold its
+    # correctness).
     "gopher_quality": q_gopher_quality,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -3551,109 +3663,94 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_identity": q_warc_identity,
     "dedup_clusters": q_dedup_clusters,
     "lm_buckets": q_lm_buckets,
-    # --- new in round 4 ---
     "fulltext_ranked": q_fulltext_ranked,
-    "fasttext_quality": q_fasttext_quality,      # hashed linear classifier
-    "mix_rebalance": q_mix_rebalance,            # data-mixing subsample
-    "exact_substring_removal": q_exact_substring_removal,  # ESS (spans ∈ variants)
-    "dsir_sample": q_dsir_sample,                # DSIR importance resampling
-    "semdedup": q_semdedup,                      # embedding-cluster dedup
-    "events_sessionize": q_events_sessionize,    # native session_window
-    "line_dedup": q_line_dedup,                  # in-doc line dedup
-    "pack_sequences": q_pack_sequences,          # training-seq packing
-    "asof_join": q_asof_join,                    # J8 (oracle: native ASOF)
-    "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,  # deletable-filter D4
-    # --- one entry per remaining operator family ---
+    "fasttext_quality": q_fasttext_quality,
+    "mix_rebalance": q_mix_rebalance,
+    "exact_substring_removal": q_exact_substring_removal,
+    "dsir_sample": q_dsir_sample,
+    "semdedup": q_semdedup,
+    "events_sessionize": q_events_sessionize,
+    "line_dedup": q_line_dedup,
+    "pack_sequences": q_pack_sequences,
+    "asof_join": q_asof_join,
+    "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,
+    "crawl_diff": q_crawl_diff,
+    "dedup_keep_best": q_dedup_keep_best,
+    "wordpiece_encode": q_wordpiece_encode,
+    "pii_redact": q_pii_redact,
+    "url_blocklist": q_url_blocklist,
+    "pack_emit": q_pack_emit,
+    "vocab_topk": q_vocab_topk,
+    "shard_assign": q_shard_assign,
+    "exact_substring_spans": q_exact_substring_spans,
+    "dedup_clusters_star": q_dedup_clusters_star,
+    "tfidf_topk": q_tfidf_topk,
+    "topic_clusters": q_topic_clusters,
+    "cluster_cohesion": q_cluster_cohesion,
+    "dbscan": q_dbscan,
+    "page_changes": q_page_changes,
+    "change_stats": q_change_stats,
+    "content_evolution": q_content_evolution,
+    "readability": q_readability,
+    "topic_assign": q_topic_assign,
+    "bigram_logprob": q_bigram_logprob,
+    "bpe_merges": q_bpe_merges,
+    "recrawl_schedule": q_recrawl_schedule,  # new this round: freshness-
+    # driven revisit policy (change-rate × staleness)
+    "bm25_rank": q_bm25_rank,  # new this round: Okapi BM25 relevance
+    # --- positions 43-50: anchor staples (driver-green r01-r03) ---
     "filter_decisions": q_filter_decisions,
+    "crawl_order": q_crawl_order,
+    "extraction_identity": q_extraction_identity,
+    "robots_rules": q_robots_rules,
+    "daily_stats": q_daily_stats,
+    "exact_dups": q_exact_dups,
+    # --- outside the 50-entry driver window: variants and staples
+    # whose family is covered above; all were driver-green in
+    # r01-r03 and every one still runs through scripts/check_oracles.py ---
+    "embedding_near_dups": q_embedding_near_dups,
+    "multimodal_features": q_multimodal_features,
     "collapse_digest": q_collapse_digest,
-    "crawl_diff": q_crawl_diff,  # T10 CDC snapshot diff — first oracle
-    # row for the incremental family (previously unit-only)
     "registry_categorize": q_registry_categorize,
     "politeness_schedule_pruned": q_politeness_schedule_pruned,
-    "crawl_order": q_crawl_order,
     "url_parts": q_url_parts,
     "cdx_analytics": q_cdx_analytics,
-    "daily_stats": q_daily_stats,
     "status_percentiles": q_status_percentiles,
     "interval_merge": q_interval_merge,
     "gap_detect": q_gap_detect,
     "events_tumbling": q_events_tumbling,
     "doc_stats": q_doc_stats,
     "langid": q_langid,
-    "exact_dups": q_exact_dups,
-    "dedup_keep_best": q_dedup_keep_best,  # quality-aware keep rule; its
-    # oracle embeds minhash_pairs' mh_pairs CTE + the components closure
     "facet_counts": q_facet_counts,
-    "wordpiece_encode": q_wordpiece_encode,  # tokenizer application
-    "pii_redact": q_pii_redact,
-    "url_blocklist": q_url_blocklist,
     "entity_extract": q_entity_extract,
     "ann_topk_lsh": q_ann_topk_lsh,
-    "embedding_near_dups": q_embedding_near_dups,
     "simhash_pairs": q_simhash_pairs,
     "hybrid_source": q_hybrid_source,
-    "extraction_identity": q_extraction_identity,
-    "robots_rules": q_robots_rules,
-    "multimodal_features": q_multimodal_features,
-    # ---- entry #50 is multimodal_features; variants below are OUTSIDE
-    # the driver's correctness window (families already covered above;
-    # all were driver-green in r01-r03 and stay in check_oracles.py) ----
-    "pack_emit": q_pack_emit,                    # packed input_ids batches
-    "vocab_topk": q_vocab_topk,                  # tokenizer counting pass
-    "shard_assign": q_shard_assign,              # corpus export sharding
-    # (packing family covered in-window by pack_sequences #18)
-    "minhash_pairs": q_minhash_pairs,            # stage-1 intermediate of
-    # dedup_keep_best/dedup_clusters (same mh_pairs CTE; green r01-r03)
-    "fulltext_proximity": q_fulltext_proximity,  # proximity rule alone —
-    # subsumed by fulltext_ranked's full rule chain (green in r03)
+    "minhash_pairs": q_minhash_pairs,
+    "fulltext_proximity": q_fulltext_proximity,
     "seen_antijoin_bloom_bucketed": q_seen_antijoin_bloom_bucketed,
-    # (D4 family stays in-window via seen_antijoin_cuckoo — both variants
-    # share SQL_SEEN_ANTI_JOIN, so the driver row was hash-redundant)
-    "filter_stats": q_filter_stats,              # A1 agg of filter_decisions
-    # (driver-green r01-r03; rotated out for the fasttext_quality family)
-    "exact_substring_spans": q_exact_substring_spans,  # ESS stage 1 —
-    # intermediate of exact_substring_removal (#13), which stays in-window
-    "dedup_clusters_star": q_dedup_clusters_star,  # star-CC variant: same
-    # oracle as dedup_clusters (#9); algo equality also unit-tested on a
-    # planted 1000-node path (test_text_dedup)
-    "seen_antijoin": q_seen_antijoin,            # plain-join variant of D4
-    "seen_antijoin_bloom": q_seen_antijoin_bloom,  # driver-bitmap variant
-    "politeness_schedule": q_politeness_schedule,  # unpruned variant of P4
-    "extraction_stats": q_extraction_stats,      # A-family (green r01-r03)
-    "domain_similarity": q_domain_similarity,    # J4 theta (green r01-r03)
-    "domain_profile": q_domain_profile,          # A8 string agg (green r01-r03)
-    "project_monthly": q_project_monthly,        # A-rollup (green r01-r03)
-    "size_distribution": q_size_distribution,    # CASE-bucket agg (green r01-r03)
-    "sliding_window_count": q_sliding_window_count,  # P6 (green r01-r03)
-    "lineitem_rollup": q_lineitem_rollup,        # A2 rollup (green r01-r03)
-    "top_customers": q_top_customers,            # J3 fact join (green r01-r03)
-    "minhash_signatures": q_minhash_signatures,  # minhash_pairs stage 1
-    "ngram_jaccard_planted": q_ngram_jaccard_planted,  # exact-Jaccard base
-    "fulltext_match": q_fulltext_match,          # words rule (in ranked)
-    "fulltext_typo": q_fulltext_typo,            # typo rule (in ranked)
-    "cdx_facets": q_cdx_facets,                  # facet family, cdx table
-    "ann_topk": q_ann_topk,                      # brute-force ANN baseline
-    "ann_topk_ivf": q_ann_topk_ivf,              # IVF ANN (driver-green r03)
-    "search_highlight": q_search_highlight,      # crop/highlight display
-    # transform of fulltext_proximity's index (driver-green r03; rotated
-    # out of the window for the new pii_redact family)
-    "pagination": q_pagination,                  # O3 offset/limit
-    # (driver-green r03; top-k family covered by crawl_order +
-    # top_customers — rotated out for the new url_blocklist family)
-    "pdf_extraction_identity": q_pdf_extraction_identity,  # E5 PDF branch
-    "tfidf_topk": q_tfidf_topk,              # topic_modeling TF-IDF pass
-    "topic_clusters": q_topic_clusters,      # deterministic cosine k-means
-    "cluster_cohesion": q_cluster_cohesion,  # closed-form pairwise cosine
-    "dbscan": q_dbscan,                      # density clustering roles+CC
-    "page_changes": q_page_changes,          # per-capture change log
-    "change_stats": q_change_stats,          # change rollup per day/type
-    "content_evolution": q_content_evolution,  # tiered per-URL timeline
-    "readability": q_readability,            # Flesch + insight flags
-    "topic_assign": q_topic_assign,          # unigram topic inference
-    "bigram_logprob": q_bigram_logprob,      # 2nd-order LM scoring
-    "bpe_merges": q_bpe_merges,              # BPE training (rows-only:
-    # iterative argmax dependency is not single-SQL-expressible; exact
-    # python-twin parity + encode-invariant tests hold correctness)
+    "filter_stats": q_filter_stats,
+    "seen_antijoin": q_seen_antijoin,
+    "seen_antijoin_bloom": q_seen_antijoin_bloom,
+    "politeness_schedule": q_politeness_schedule,
+    "extraction_stats": q_extraction_stats,
+    "domain_similarity": q_domain_similarity,
+    "domain_profile": q_domain_profile,
+    "project_monthly": q_project_monthly,
+    "size_distribution": q_size_distribution,
+    "sliding_window_count": q_sliding_window_count,
+    "lineitem_rollup": q_lineitem_rollup,
+    "top_customers": q_top_customers,
+    "minhash_signatures": q_minhash_signatures,
+    "ngram_jaccard_planted": q_ngram_jaccard_planted,
+    "fulltext_match": q_fulltext_match,
+    "fulltext_typo": q_fulltext_typo,
+    "cdx_facets": q_cdx_facets,
+    "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "search_highlight": q_search_highlight,
+    "pagination": q_pagination,
+    "pdf_extraction_identity": q_pdf_extraction_identity,
 }
 
 ORACLES: dict[str, str] = {
@@ -3688,6 +3785,8 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "fulltext_match": SQL_FULLTEXT_MATCH,
+    "bm25_rank": SQL_BM25_RANK,
+    "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "fulltext_ranked": SQL_FULLTEXT_RANKED,
     "facet_counts": SQL_FACET_COUNTS,
     "fulltext_typo": SQL_FULLTEXT_TYPO,

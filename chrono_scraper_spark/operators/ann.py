@@ -142,7 +142,11 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 10,
     the corpus. Recall < 1.0 by construction — verify against
     ``cosine_topk_bruteforce`` (the contract query emits per-query recall).
     """
-    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    # n_centroids rows, but its lineage is a full-corpus TakeOrdered —
+    # materialize once so the corpus-side and query-side assigns don't
+    # each re-run the seed scan
+    cents = ivf_centroids(corpus, n_centroids, id_col, vec_col) \
+        .localCheckpoint(eager=True)
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("cv")),

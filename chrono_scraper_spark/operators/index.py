@@ -497,3 +497,68 @@ def search_typo(page_index: DataFrame, inverted_terms: DataFrame, query: str,
         F.desc("quality_score"), F.desc("word_count"),
         F.asc("url_canon"), F.asc("ts14"))
         .limit(limit))
+
+
+# --------------------------------------------------------------------------
+# BM25 relevance (Robertson & Spärck Jones; the Okapi BM25 standard the
+# reference's Meilisearch rule chain does not expose — an engine addition
+# for corpus-analytics relevance ranking over the same inverted index)
+# --------------------------------------------------------------------------
+
+def bm25_rank(inverted_terms: DataFrame, query_terms: list[str],
+              doc_cols: tuple[str, ...] = ("url_canon", "ts14"),
+              k1_centi: int = 120, b_centi: int = 75) -> DataFrame:
+    """Okapi BM25 scores for the documents matching ≥1 query term.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — with k1 = k1_centi/100,
+    b = b_centi/100 (default 1.2 / 0.75).
+
+    Determinism: the per-(doc, term) partial score is computed as one
+    double expression (identical literal shape in the DuckDB oracle — IEEE
+    ops are correctly rounded, so both engines produce bit-identical
+    doubles), then nano-floored to a long; per-doc summation is long
+    addition, hence order- and partitioning-independent.
+
+    Scale shape: doc lengths are one map-side-combined agg over the index
+    (materialized once — it feeds the corpus stats AND the scoring join);
+    N/avgdl is a 1-row broadcast; df is computed for the QUERY terms only
+    (hits ∝ posting lists, never the corpus); the scoring join keys on the
+    doc id with the hit side candidate-sized, so AQE broadcasts it against
+    the doclen table. No global sort — callers rank/limit downstream.
+
+    Output: doc_cols + (matched_terms, tf_sum, bm25_e9: long).
+    """
+    k1 = k1_centi / 100.0
+    b = b_centi / 100.0
+    dcols = [F.col(c) for c in doc_cols]
+    spark = inverted_terms.sparkSession
+    qdf = spark.createDataFrame([(t,) for t in dict.fromkeys(query_terms)],
+                                "term string")
+    # (doc, dl): one pass over the index, materialized — feeds both the
+    # 1-row corpus stats agg and the scoring join
+    doclens = (inverted_terms.groupBy(*dcols)
+               .agg(F.sum("tf").cast("long").alias("dl"))
+               .localCheckpoint(eager=True))
+    stats = doclens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    hits = inverted_terms.join(F.broadcast(qdf), "term")
+    df_ = hits.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (hits
+              .join(F.broadcast(df_), "term")
+              .join(doclens, list(doc_cols))
+              .join(F.broadcast(stats))
+              .withColumn(
+                  "_s_nano",
+                  F.floor(
+                      F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                            / (F.col("df") + 0.5))
+                      * (F.col("tf") * (k1 + 1.0))
+                      / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                             / F.col("avgdl")))
+                      * 1e9).cast("long")))
+    return (scored.groupBy(*dcols)
+            .agg(F.count_distinct("term").alias("matched_terms"),
+                 F.sum("tf").cast("long").alias("tf_sum"),
+                 F.sum("_s_nano").cast("long").alias("bm25_e9")))

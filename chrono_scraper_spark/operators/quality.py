@@ -357,7 +357,11 @@ def unigram_logprob(docs: DataFrame, id_col: str = "doc_id",
     toks = docs.select(F.col(id_col),
                        F.explode(T.tokens(F.col(text_col))).alias("tok"))
     if model is None:
-        model = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+        # Zipf-bounded table, but its lineage is a full corpus tokenize —
+        # materialize once so the broadcast and the totals agg don't each
+        # re-run the corpus scan
+        model = toks.groupBy("tok").agg(F.count("*").alias("cnt")) \
+            .localCheckpoint(eager=True)
     totals = model.agg(F.sum("cnt").alias("total"),
                        F.count("*").alias("vocab"))
     scored = (toks
@@ -430,6 +434,11 @@ def lm_buckets(scored: DataFrame, strata_col: str = "lang",
     land in the higher bucket (``>=``), so assignment is deterministic
     without a tie-break column.
     """
+    # scored feeds both the threshold agg and the assignment join; its
+    # lineage is typically a full LM scoring pass — materialize the
+    # (id, stratum, score) projection once instead of scoring twice
+    scored = scored.select(id_col, strata_col, score_col) \
+        .localCheckpoint(eager=True)
     thresholds = scored.groupBy(strata_col).agg(
         F.expr(f"percentile({score_col}, array(1.0D/3.0D, 2.0D/3.0D))")
         .alias("_t"))
@@ -494,7 +503,11 @@ def dsir_importance(raw: DataFrame, target: DataFrame,
                 .select(bucket(F.col("g")).alias("b"))
                 .groupBy("b").agg(F.count(F.lit(1)).alias("cnt")))
 
-    tc, rc = bucket_counts(target), bucket_counts(raw)
+    # ≤ 16**hash_digits rows each, but their lineage is a full corpus /
+    # target tokenize — materialize once so the totals aggs and the model
+    # join don't each re-run the scans (lazily: raw tokenized 3×, target 2×)
+    tc = bucket_counts(target).localCheckpoint(eager=True)
+    rc = bucket_counts(raw).localCheckpoint(eager=True)
     tot_t = tc.agg(F.sum("cnt").alias("t")).select("t")
     tot_r = rc.agg(F.sum("cnt").alias("r")).select("r")
     # add-one smoothing over the FULL bucket space; only buckets observed
@@ -802,8 +815,11 @@ def mix_rebalance(docs: DataFrame, target_ppm: dict[str, int] | None = None,
     sized = docs.select(
         F.col(id_col), F.col(strata_col),
         T.token_count_ws(F.col(text_col)).cast("long").alias("n_tokens"))
+    # stratum-cardinality table, but its lineage is a corpus token-count
+    # pass — materialize once; lazily it re-expands into the target, rate,
+    # and rmax branches (3+ corpus scans)
     tot = sized.groupBy(strata_col).agg(
-        F.sum("n_tokens").alias("src_tokens"))
+        F.sum("n_tokens").alias("src_tokens")).localCheckpoint(eager=True)
     if target_ppm is None:
         n_strata = tot.agg(F.count("*").alias("n_strata"))
         tgt = tot.crossJoin(F.broadcast(n_strata)).withColumn(

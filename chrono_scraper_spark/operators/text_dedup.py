@@ -35,7 +35,10 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     """Hash-groupBy exact dedup over the normalized-text fingerprint.
     Output: one row per document with its duplicate group, group size, and
     ``is_canonical`` (the min id of the group survives)."""
-    fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    # (id, 32-char hash) — materialize so the group agg and the group
+    # join share one normalize+md5 pass over the corpus instead of two
+    fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp")) \
+        .localCheckpoint(eager=True)
     groups = fp.groupBy("fp").agg(
         F.count(F.lit(1)).alias("group_size"),
         F.min(id_col).alias("canonical_id"),
@@ -86,11 +89,23 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3) -> DataFrame:
     """Exact word-k-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over
     distinct shingle sets. Two broadcast-or-shuffle joins against the
-    (id → shingle set) projection; set ops are array expressions."""
-    sh = docs.select(
-        F.col(id_col),
-        F.array_distinct(shingles(tokens(F.col(text_col)), k)).alias("sh"),
-    )
+    (id → shingle set) projection; set ops are array expressions.
+
+    Scale shape: the pair list is materialized once (eager localCheckpoint
+    — it feeds the id semi-join AND the scoring joins; lazily it would
+    re-run its candidate-generation subtree per reference), and shingles
+    are computed ONLY for docs that appear in some candidate pair (semi-
+    join restriction) then materialized once — shingle work and storage
+    are ∝ candidates, not corpus, and the corpus is never tokenized on
+    both sides of the verify join."""
+    pairs = pairs.localCheckpoint(eager=True)
+    ids = (pairs.select(F.col("a").alias(id_col))
+           .union(pairs.select(F.col("b").alias(id_col))).distinct())
+    sh = (docs.join(ids, id_col, "leftsemi")
+          .select(
+              F.col(id_col),
+              F.array_distinct(shingles(tokens(F.col(text_col)), k)).alias("sh"))
+          .localCheckpoint(eager=True))
     j = (pairs
          .join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a")
          .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b"))
@@ -110,7 +125,8 @@ def minhash_near_duplicates(docs: DataFrame, id_col: str = "doc_id",
     pairs → exact Jaccard verify ≥ threshold. False positives from banding
     are killed by the verify step; recall is the standard LSH S-curve
     1-(1-s^r)^b."""
-    banded = minhash_bands(docs, id_col, text_col, k, n_hashes, bands)
+    banded = minhash_bands(docs, id_col, text_col, k, n_hashes, bands) \
+        .localCheckpoint(eager=True)  # one shingle+minhash pass, not one per join side
     cands = lsh_candidate_pairs(banded, id_col)
     scored = ngram_jaccard(cands, docs, id_col, text_col, k)
     return scored.filter(F.col("jaccard") >= threshold)
@@ -559,9 +575,14 @@ def exact_substring_spans(docs: DataFrame, id_col: str = "doc_id",
         lambda i: hasher(F.concat_ws(" ", F.slice(F.col("tk"), i, k))))
     empty = F.array().cast(
         "array<long>" if hash_fn == "xxhash64" else "array<string>")
+    # One O(n·k) hashing pass over the corpus, materialized: the gram
+    # table feeds BOTH the duplicate-count aggregation and the hits join
+    # (and n_tokens feeds the base projection) — lazily, each reference
+    # would re-tokenize and re-hash the whole corpus.
     grams = toks.select(
         F.col(id_col), n.alias("n_tokens"),
-        F.when(n >= k, gram).otherwise(empty).alias("ghs"))
+        F.when(n >= k, gram).otherwise(empty).alias("ghs")) \
+        .localCheckpoint(eager=True)
     g = grams.select(
         id_col, "n_tokens",
         F.posexplode("ghs").alias("pos0", "h"))
@@ -593,7 +614,7 @@ def exact_substring_spans(docs: DataFrame, id_col: str = "doc_id",
             a.cs.alias("s"), a.ce.alias("e"))))).otherwise(a.sp))
     per = per.select(id_col, merged.alias("spans"))
 
-    base = toks.select(F.col(id_col), n.alias("n_tokens"))
+    base = grams.select(F.col(id_col), "n_tokens")
     out = base.join(per, id_col, "left")
     spans = F.coalesce("spans", F.array().cast(span_t))
     return out.select(
@@ -671,7 +692,10 @@ def semdedup(corpus: DataFrame, n_centroids: int = 16,
              .select("centroid_id", "centroid_vec"))
 
     asg = ivf_assign(corpus.select(F.col(id_col), v.alias("_v")),
-                     cents, n_probe=1, id_col=id_col, vec_col="_v")
+                     cents, n_probe=1, id_col=id_col, vec_col="_v") \
+        .localCheckpoint(eager=True)  # assignment runs once — it feeds
+    # both self-join sides and the final keep projection (lazily: three
+    # full corpus-embedding argmax passes)
     lhs = asg.select(F.col(id_col).alias("_a"), F.col("_v").alias("_av"),
                      "centroid_id")
     rhs = asg.select(F.col(id_col).alias("_b"), F.col("_v").alias("_bv"),

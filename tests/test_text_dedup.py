@@ -320,12 +320,22 @@ def test_semdedup_plan_broadcasts_codebook(spark):
     df = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(20)],
         "vec_id int, embedding array<double>")
+    # assignment is the one-row broadcast codebook (nested-loop of 1 row) —
+    # asserted on the ivf_assign plan itself, because semdedup materializes
+    # the assignment (eager localCheckpoint truncates that lineage out of
+    # the downstream plan)
+    from chrono_scraper_spark.operators.ann import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(df, 4, id_col="vec_id", vec_col="embedding")
+    asg_plan = ivf_assign(df, cents)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in asg_plan
+    assert asg_plan.count("CartesianProduct") == 0
+    # the pair join is an equi-join on centroid_id, never a full cartesian
     plan = TD.semdedup(df, n_centroids=4)._jdf.queryExecution() \
         .executedPlan().toString()
-    # assignment is the one-row broadcast codebook (nested-loop of 1 row);
-    # the pair join is an equi-join on centroid_id, never a full cartesian
-    assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("CartesianProduct") == 0
+    assert "centroid_id" in plan
 
 
 def test_dedup_keep_best_quality_rule(spark):
