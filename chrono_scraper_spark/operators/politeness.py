@@ -248,6 +248,82 @@ def parse_robots(robots: DataFrame, *, user_agent: str = "*") -> DataFrame:
     return rules.distinct()
 
 
+def parse_crawl_delays(robots: DataFrame, *,
+                       user_agent: str = "*") -> DataFrame:
+    """``Crawl-delay`` extraction → ``(host, crawl_delay_s double)``.
+
+    Crawl-delay is the de-facto per-host rate directive (not in RFC 9309,
+    but honored by Bing/Yandex and emitted by a large share of real
+    robots.txt files); the reference's RobotFileParser surface exposes it
+    as ``crawl_delay()``. Group resolution mirrors ``parse_robots``: the
+    MOST SPECIFIC matching User-agent group wins (named group when
+    present, else ``*`` — resolved over Crawl-delay lines). When the
+    winning group repeats the directive, the MAXIMUM (most conservative)
+    delay wins; non-numeric or non-positive values are ignored.
+
+    Same scale shape as ``parse_robots``: one per-host window over the
+    (tiny) robots line sets; output is host-cardinality, always broadcast.
+    """
+    ua = user_agent.lower()
+    lines = (robots
+             .select("host", F.posexplode(F.split(F.col("body"), "\n"))
+                     .alias("line_no", "raw"))
+             .withColumn("line", F.trim(F.regexp_replace("raw", "#.*$", ""))))
+    lines = lines.withColumn(
+        "ua",
+        F.when(F.lower("line").startswith("user-agent:"),
+               F.lower(F.trim(F.expr("substring(line, 12)")))))
+    w = (Window.partitionBy("host").orderBy("line_no")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lines = lines.withColumn("group_ua", F.last("ua", ignorenulls=True).over(w))
+    cand = lines.filter(F.lower("line").startswith("crawl-delay:")
+                        & F.col("group_ua").isin(ua, "*"))
+    wh = Window.partitionBy("host")
+    cand = cand.withColumn(
+        "has_specific",
+        F.max((F.col("group_ua") == ua).cast("int")).over(wh))
+    vals = (cand
+            .filter((F.col("group_ua") == ua) | (F.col("has_specific") == 0))
+            .withColumn(
+                "val",
+                F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
+                .try_cast("double"))  # malformed values -> NULL, not error
+            .filter(F.col("val").isNotNull() & (F.col("val") > 0)))
+    return vals.groupBy("host").agg(F.max("val").alias("crawl_delay_s"))
+
+
+def crawl_delay_budgets(delays: DataFrame,
+                        round_seconds: float = C.DEFAULT_ROUND_SECONDS
+                        ) -> DataFrame:
+    """Convert ``(host, crawl_delay_s)`` into per-round fetch budgets for
+    ``schedule_round(budget_overrides=...)``: ``floor(round_seconds /
+    delay)``, minimum 1 — a delay longer than the round degrades to one
+    fetch per round (the per-round budget model cannot defer below one
+    row without starving the host forever; the honored inter-fetch gap is
+    then ``round_seconds``, still ≥ the common 60-300 s directives only
+    when rounds are that long — documented, conservative-enough for the
+    batch model)."""
+    return delays.select(
+        "host",
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(float(round_seconds)) / F.col("crawl_delay_s")))
+        .cast("int").alias("budget"))
+
+
+def merge_budget_overrides(a: DataFrame | None,
+                           b: DataFrame | None) -> DataFrame | None:
+    """Combine two ``(host, budget)`` override frames — the MOST
+    RESTRICTIVE (smallest) budget wins per host (static source limits vs
+    live Crawl-delay directives)."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return (a.unionByName(b)
+            .groupBy("host").agg(F.min("budget").cast("int").alias("budget")))
+
+
 def robots_filter(frontier: DataFrame, robots_rules: DataFrame | None) -> DataFrame:
     """P10 hook (absent in the reference — engine addition per north_rule):
     ``robots_rules(host, path_prefix, allowed)``. Default allow-all preserves

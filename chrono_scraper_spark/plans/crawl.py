@@ -85,6 +85,7 @@ class CrawlJob:
         http_fetch: dict | None = None,
         live_robots: bool = False,
         robots_ttl_s: float | None = None,
+        honor_crawl_delay: bool = False,
         extract_cache: bool = False,
     ):
         self.spark = spark
@@ -149,6 +150,14 @@ class CrawlJob:
             raise ValueError("live_robots replaces robots_rules; pass one")
         self.live_robots = live_robots
         self.robots_ttl_s = robots_ttl_s
+        # honor Crawl-delay directives from the live-fetched robots bodies:
+        # per-host per-round budgets floor(round_seconds/delay) merged into
+        # budget_overrides (most restrictive wins). Needs the bodies, hence
+        # live_robots.
+        if honor_crawl_delay and not live_robots:
+            raise ValueError("honor_crawl_delay requires live_robots=True "
+                             "(Crawl-delay lives in the robots bodies)")
+        self.honor_crawl_delay = honor_crawl_delay
 
     # ------------------------------------------------------------------ state
     def completed_rounds(self) -> list[int]:
@@ -291,6 +300,7 @@ class CrawlJob:
         # NULL bodies so they don't refetch every round); the refreshed
         # cache commits BEFORE use, so a torn-round replay reads the same
         # bodies instead of refetching a possibly-changed live file.
+        round_budget_overrides = self.budget_overrides
         if self.live_robots:
             from ..operators.politeness import parse_robots
             from ..sources.httpfetch import fetch_robots
@@ -321,6 +331,17 @@ class CrawlJob:
                                  .filter(F.col("body").isNotNull())
                                  .select("host", "body"))
             rules = parse_robots(robots_bodies)
+            if self.honor_crawl_delay:
+                from ..operators.politeness import (
+                    crawl_delay_budgets,
+                    merge_budget_overrides,
+                    parse_crawl_delays,
+                )
+
+                delay_budgets = crawl_delay_budgets(
+                    parse_crawl_delays(robots_bodies), self.round_seconds)
+                round_budget_overrides = merge_budget_overrides(
+                    round_budget_overrides, delay_budgets)
         else:
             rules = self.robots_rules
         cands = robots_filter(cands, rules)
@@ -371,7 +392,7 @@ class CrawlJob:
         sched = schedule_round(
             pending, round_idx=round_idx, rps=self.rps, burst=self.burst,
             round_seconds=self.round_seconds,
-            budget_overrides=self.budget_overrides,
+            budget_overrides=round_budget_overrides,
             prune_salt_k=self.schedule_prune_k,
         ).cache()
         scheduled = sched.filter(F.col("sched_status") == "scheduled")

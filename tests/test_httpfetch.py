@@ -346,3 +346,54 @@ def test_crawl_robots_ttl_cache_fetches_once(spark, tmp_path, server):
         return seen, pages
 
     assert state(zero.cat) == state(ttl.cat)
+
+
+def test_crawl_honor_crawl_delay_matches_static_budget(spark, tmp_path, server):
+    """honor_crawl_delay: a live-fetched ``Crawl-delay: 30`` with 60 s
+    rounds caps the host at 2 fetches/round, and the full catalog state
+    equals a twin run given the same cap as a static budget_overrides
+    frame — the directive changes the budget, nothing else."""
+    store, base = server
+    corpus = str(tmp_path / "pages")
+    generate_pages(spark, 40, partitions=4).write.parquet(corpus)
+    for r in spark.read.parquet(corpus).selectExpr(
+            "url", "date_format(warc_ts,'yyyyMMddHHmmss') ts14",
+            "html").collect():
+        store.pages[(r["ts14"], r["url"])] = bytes(r["html"])
+    store.pages[("robots", "https://mega.example.com/robots.txt")] = (
+        b"User-agent: *\nCrawl-delay: 30")
+
+    seeds = spark.createDataFrame(
+        [(1, r"https://.*", "regex", None, None, None)],
+        "project_id int, domain_name string, match_type string, "
+        "url_path string, from_date date, to_date date")
+    kw = dict(rps=0.2, burst=3, round_seconds=60.0, salt_target_rows=10)
+    http = {"url_template": TEMPLATE.format(base=base), "max_retries": 1}
+
+    live = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "cdly")),
+                    corpus, seeds, fetch_mode="http", live_robots=True,
+                    honor_crawl_delay=True, http_fetch=http, **kw)
+    live.run(max_rounds=50)
+
+    static_ov = spark.createDataFrame([("mega.example.com", 2)],
+                                      "host string, budget int")
+    twin = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "cdst")),
+                    corpus, seeds, fetch_mode="http", live_robots=True,
+                    budget_overrides=static_ov, http_fetch=http, **kw)
+    twin.run(max_rounds=50)
+
+    def state(cat):
+        return {(r["url"], r["ts14"]): (r["status"], r["first_seen_round"])
+                for r in cat.read("url_seen").collect()}
+
+    assert state(live.cat) == state(twin.cat)
+    # per-round cap actually bound: ≤2 mega-host pages first seen per round
+    per_round = (live.cat.read("url_seen")
+                 .filter(F.col("url").startswith("https://mega.example.com"))
+                 .groupBy("first_seen_round").count().collect())
+    assert per_round and all(r["count"] <= 2 for r in per_round)
+    # and the cap is tighter than the default budget (other hosts got more)
+    other = (live.cat.read("url_seen")
+             .filter(~F.col("url").startswith("https://mega.example.com"))
+             .groupBy("first_seen_round").count().collect())
+    assert any(r["count"] > 2 for r in other)

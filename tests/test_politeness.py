@@ -225,3 +225,68 @@ def test_robots_filter_tie_break_allow_wins(spark):
         "host string, path_prefix string, allowed boolean")
     kept = [r["url"] for r in P.robots_filter(frontier, rules).collect()]
     assert kept == ["u1"]
+
+
+# --------------------------------------------------------------------------
+# Crawl-delay: parsing, budget conversion, override merge
+# --------------------------------------------------------------------------
+
+def test_parse_crawl_delays(spark):
+    bodies = [
+        # specific group wins over * (most-specific rule, like parse_robots)
+        ("a.example",
+         "User-agent: *\nCrawl-delay: 1\n"
+         "User-agent: mybot\nCrawl-delay: 5\nDisallow: /x"),
+        # only * group; case-insensitive directive; float value
+        ("b.example", "User-agent: *\ncrawl-DELAY: 2.5"),
+        # repeated directives in the winning group -> max (conservative)
+        ("c.example", "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 7"),
+        # non-numeric and non-positive values ignored -> no row
+        ("d.example", "User-agent: *\nCrawl-delay: fast"),
+        ("e.example", "User-agent: *\nCrawl-delay: 0"),
+        # no delay directive at all -> no row
+        ("f.example", "User-agent: *\nDisallow: /private"),
+    ]
+    robots = spark.createDataFrame(bodies, "host string, body string")
+    got = {r["host"]: r["crawl_delay_s"]
+           for r in P.parse_crawl_delays(robots, user_agent="mybot").collect()}
+    assert got == {"a.example": 5.0, "b.example": 2.5, "c.example": 7.0}
+    # default UA sees only the * groups
+    star = {r["host"]: r["crawl_delay_s"]
+            for r in P.parse_crawl_delays(robots).collect()}
+    assert star["a.example"] == 1.0
+
+
+def test_crawl_delay_budgets_and_merge(spark):
+    delays = spark.createDataFrame(
+        [("a", 30.0), ("b", 0.5), ("c", 600.0)],
+        "host string, crawl_delay_s double")
+    got = {r["host"]: r["budget"]
+           for r in P.crawl_delay_budgets(delays, round_seconds=60.0).collect()}
+    assert got == {"a": 2, "b": 120, "c": 1}  # min 1 per round
+
+    static = spark.createDataFrame([("a", 1), ("z", 9)],
+                                   "host string, budget int")
+    merged = {r["host"]: r["budget"]
+              for r in P.merge_budget_overrides(
+                  static, P.crawl_delay_budgets(delays, 60.0)).collect()}
+    # most restrictive wins where both exist; singletons pass through
+    assert merged == {"a": 1, "b": 120, "c": 1, "z": 9}
+    assert P.merge_budget_overrides(None, static) is static
+    assert P.merge_budget_overrides(static, None) is static
+
+
+def test_schedule_round_honors_crawl_delay_budget(spark, pages):
+    fr = _frontier(spark, pages)
+    host = fr.groupBy("host").count().orderBy(F.desc("count")) \
+        .first()["host"]
+    robots = spark.createDataFrame(
+        [(host, "User-agent: *\nCrawl-delay: 30")], "host string, body string")
+    ov = P.crawl_delay_budgets(P.parse_crawl_delays(robots), 60.0)
+    out = P.schedule_round(fr, round_idx=1, rps=1.0, round_seconds=60.0,
+                           budget_overrides=ov)
+    per_host = {r["host"]: r["count"]
+                for r in out.filter("sched_status = 'scheduled'")
+                .groupBy("host").count().collect()}
+    assert per_host[host] <= 2          # 60 s / 30 s delay
+    assert any(v > 2 for h, v in per_host.items() if h != host)
