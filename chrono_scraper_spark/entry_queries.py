@@ -2964,6 +2964,137 @@ r0 AS (SELECT host,
                       + "\nSELECT host, rank_nano FROM r5")
 
 
+def _linked_pages(spark, sf_dir):
+    """Pages with a deterministically constructed html column containing a
+    mix of link shapes: nav links (root-relative, both quote styles), one
+    cross-host absolute link (the host_authority k-formula target), an
+    optional local link with a NESTED tag in the anchor, and a fragment +
+    mailto link that extraction must drop."""
+    pages = cdx_pages_view(spark, sf_dir)
+    k = (F.col("doc_id") * 7 + 3) % 500
+    dst_host = (F.when(k % 3 == 0, F.lit("mega.example.com"))
+                .when(k % 20 == 1, F.concat(F.lit("univ"),
+                                            (k % 4).cast("string"),
+                                            F.lit(".edu")))
+                .when(k % 20 == 2, F.concat(F.lit("agency"),
+                                            (k % 3).cast("string"),
+                                            F.lit(".gov")))
+                .otherwise(F.concat(F.lit("site"), (k % 40).cast("string"),
+                                    F.lit(".com"))))
+    w1 = F.element_at(F.split(F.coalesce(F.col("text"), F.lit("")), " "), 1)
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> '
+              "<a href='/blog/'>blog  index</a></nav><p>see "
+              '<a href="https://'),
+        dst_host, F.lit("/ref-"), (F.col("doc_id") % 97).cast("string"),
+        F.lit('">'), w1, F.lit(" guide</a></p>"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit('<a href="/local/page-'),
+                        (F.col("doc_id") % 50).cast("string"),
+                        F.lit('">local <b>'), w1, F.lit("</b></a>")))
+        .otherwise(F.lit("")),
+        F.lit('<a href="#top">top</a>'
+              '<a href="mailto:x@example.com">mail</a></body></html>'))
+    return pages.withColumn("html", html)
+
+
+_LINKED_HTML_DUCK = """
+'<html><body><nav><a href="/">Home</a> ' ||
+'<a href=''/blog/''>blog  index</a></nav><p>see ' ||
+'<a href="https://' ||
+CASE WHEN (doc_id * 7 + 3) % 500 % 3 = 0 THEN 'mega.example.com'
+     WHEN (doc_id * 7 + 3) % 500 % 20 = 1
+       THEN 'univ' || CAST((doc_id * 7 + 3) % 500 % 4 AS VARCHAR) || '.edu'
+     WHEN (doc_id * 7 + 3) % 500 % 20 = 2
+       THEN 'agency' || CAST((doc_id * 7 + 3) % 500 % 3 AS VARCHAR) || '.gov'
+     ELSE 'site' || CAST((doc_id * 7 + 3) % 500 % 40 AS VARCHAR) || '.com'
+END ||
+'/ref-' || CAST(doc_id % 97 AS VARCHAR) || '">' ||
+string_split(coalesce(text, ''), ' ')[1] || ' guide</a></p>' ||
+CASE WHEN doc_id % 4 = 0
+     THEN '<a href="/local/page-' || CAST(doc_id % 50 AS VARCHAR) ||
+          '">local <b>' || string_split(coalesce(text, ''), ' ')[1] ||
+          '</b></a>'
+     ELSE '' END ||
+'<a href="#top">top</a><a href="mailto:x@example.com">mail</a></body></html>'
+"""
+
+_LINKS_CTES = f"""
+pages_cdx AS ({PAGES_CTE_DUCK}),
+p AS (
+  SELECT url AS src_url, host AS src_host, {_LINKED_HTML_DUCK} AS html
+  FROM pages_cdx
+),
+tags AS (
+  SELECT src_url, src_host,
+    unnest(regexp_extract_all(html, '(?is)<a\\s[^>]*>.*?</a>')) AS tag
+  FROM p
+),
+parsed AS (
+  SELECT src_url, src_host,
+    regexp_extract(tag, '(?i)href\\s*=\\s*["'']([^"'']*)["'']', 1) AS href,
+    trim(regexp_replace(
+      lower(regexp_replace(
+        regexp_extract(tag, '(?is)^<a[^>]*>(.*)</a>$', 1),
+        '<[^>]*>', '', 'g')),
+      '\\s+', ' ', 'g')) AS anchor_text
+  FROM tags
+),
+kept AS (
+  SELECT * FROM parsed
+  WHERE href <> '' AND href NOT LIKE '#%'
+    AND lower(href) NOT LIKE 'mailto:%'
+    AND lower(href) NOT LIKE 'javascript:%'
+),
+resolved AS (
+  SELECT src_url, src_host, href, anchor_text,
+    CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+         WHEN href LIKE '/%' THEN 'https://' || src_host || href
+    END AS dst_url
+  FROM kept
+),
+links AS (
+  SELECT src_url, src_host, href, anchor_text, dst_url,
+    regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+  FROM resolved WHERE dst_url IS NOT NULL
+)"""
+
+
+def q_link_extract(spark, sf_dir):
+    """Link extraction over page HTML (operators/links.py): one row per
+    resolvable <a href> tag with normalized anchor text, href-policy
+    resolution, and target host — the web-graph ingestion pass. JVM
+    regexp/array expressions only (RE2-compatible pattern, byte-identical
+    in the DuckDB oracle)."""
+    from chrono_scraper_spark.operators.links import extract_links
+
+    return extract_links(_linked_pages(spark, sf_dir)).select(
+        "src_url", "src_host", "href", "anchor_text", "dst_url", "dst_host")
+
+
+SQL_LINK_EXTRACT = ("WITH " + _LINKS_CTES + """
+SELECT src_url, src_host, href, anchor_text, dst_url, dst_host FROM links""")
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation per target URL (how the web describes each
+    page — the classic document-expansion signal): one hash agg on
+    (dst_url, anchor_text) with map-side partials."""
+    from chrono_scraper_spark.operators.links import (
+        anchor_text_counts,
+        extract_links,
+    )
+
+    return anchor_text_counts(extract_links(_linked_pages(spark, sf_dir)))
+
+
+SQL_ANCHOR_TEXTS = ("WITH " + _LINKS_CTES + """
+SELECT dst_url, anchor_text, CAST(count(*) AS BIGINT) AS n_links,
+  CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+FROM links WHERE anchor_text <> ''
+GROUP BY dst_url, anchor_text""")
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer et al. 2003) over the
     documents table: sorted distinct window-min k-gram md5 hashes per doc,
@@ -3698,16 +3829,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_schedule": q_recrawl_schedule,  # new this round: freshness-
     # driven revisit policy (change-rate × staleness)
     "bm25_rank": q_bm25_rank,  # new this round: Okapi BM25 relevance
-    # --- positions 43-50: anchor staples (driver-green r01-r03) ---
+    "link_extract": q_link_extract,  # new this round: href/anchor parsing
+    "anchor_texts": q_anchor_texts,  # new this round: per-target anchors
+    # --- positions 47-50: anchor staples (driver-green r01-r03) ---
     "filter_decisions": q_filter_decisions,
     "crawl_order": q_crawl_order,
     "extraction_identity": q_extraction_identity,
-    "robots_rules": q_robots_rules,
-    "daily_stats": q_daily_stats,
     "exact_dups": q_exact_dups,
     # --- outside the 50-entry driver window: variants and staples
     # whose family is covered above; all were driver-green in
     # r01-r03 and every one still runs through scripts/check_oracles.py ---
+    "robots_rules": q_robots_rules,
+    "daily_stats": q_daily_stats,
     "embedding_near_dups": q_embedding_near_dups,
     "multimodal_features": q_multimodal_features,
     "collapse_digest": q_collapse_digest,
@@ -3787,6 +3920,8 @@ ORACLES: dict[str, str] = {
     "fulltext_match": SQL_FULLTEXT_MATCH,
     "bm25_rank": SQL_BM25_RANK,
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
+    "link_extract": SQL_LINK_EXTRACT,
+    "anchor_texts": SQL_ANCHOR_TEXTS,
     "fulltext_ranked": SQL_FULLTEXT_RANKED,
     "facet_counts": SQL_FACET_COUNTS,
     "fulltext_typo": SQL_FULLTEXT_TYPO,

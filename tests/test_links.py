@@ -1,0 +1,100 @@
+"""Link extraction / anchor-text aggregation (operators/links.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chrono_scraper_spark.operators.links import (
+    anchor_text_counts,
+    extract_links,
+    host_edges,
+)
+
+HTML = (
+    '<html><body><nav><a href="/">Home</a>'
+    "<a href='/blog/'>Blog   Index</a></nav>"
+    '<p><a href="https://other.example/page">see <b>the</b>\nGuide</a></p>'
+    '<a href="#frag">skip</a>'
+    '<a href="mailto:a@b.c">skip</a>'
+    '<a href="JavaScript:void(0)">skip</a>'
+    '<a href="relative.html">skip (bare relative)</a>'
+    '<a name="x">no href</a>'
+    '<a href="http://img.example/i"><img src="x.png"/></a>'
+    "</body></html>"
+)
+
+
+def _pages(spark):
+    return spark.createDataFrame(
+        [("https://src.example/a", "src.example", HTML.encode())],
+        "url string, host string, html binary")
+
+
+def test_extract_links_policy_and_normalization(spark):
+    rows = {(r["href"]): r for r in extract_links(_pages(spark)).collect()}
+    # fragment / mailto / javascript / bare-relative / no-href all dropped
+    assert set(rows) == {"/", "/blog/", "https://other.example/page",
+                         "http://img.example/i"}
+    assert rows["/"]["dst_url"] == "https://src.example/"
+    assert rows["/blog/"]["dst_url"] == "https://src.example/blog/"
+    assert rows["/blog/"]["dst_host"] == "src.example"
+    abs_ = rows["https://other.example/page"]
+    assert abs_["dst_url"] == "https://other.example/page"
+    assert abs_["dst_host"] == "other.example"
+    # anchor normalization: nested tags stripped, lowercased, whitespace
+    # (incl. newline) collapsed, trimmed
+    assert abs_["anchor_text"] == "see the guide"
+    assert rows["/blog/"]["anchor_text"] == "blog index"
+    # image-only anchor -> empty anchor text, still a link row
+    assert rows["http://img.example/i"]["anchor_text"] == ""
+
+
+def test_anchor_text_counts_and_host_edges(spark):
+    pages = spark.createDataFrame(
+        [("https://a.example/1", "a.example",
+          b'<a href="https://t.example/x">Click here</a>'),
+         ("https://a.example/2", "a.example",
+          b'<a href="https://t.example/x">click  HERE</a>'),
+         ("https://b.example/1", "b.example",
+          b'<a href="https://t.example/x">the target</a>'
+          b'<a href="https://img.example/i"></a>')],
+        "url string, host string, html binary")
+    links = extract_links(pages)
+    counts = {(r["dst_url"], r["anchor_text"]): (r["n_links"], r["n_src_hosts"])
+              for r in anchor_text_counts(links).collect()}
+    # normalization merges 'Click here' / 'click  HERE'
+    assert counts[("https://t.example/x", "click here")] == (2, 1)
+    assert counts[("https://t.example/x", "the target")] == (1, 1)
+    # empty-anchor image link excluded from the aggregation
+    assert all(k[1] != "" for k in counts)
+
+    edges = {(r["src"], r["dst"]) for r in host_edges(links).collect()}
+    assert edges == {("a.example", "t.example"), ("b.example", "t.example"),
+                     ("b.example", "img.example")}
+
+
+def test_extract_links_plan_is_map_side(spark):
+    """extract_links itself shuffles nothing: one Generate (the tag
+    explode) over a projection."""
+    plan = extract_links(_pages(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("Generate") == 1
+
+
+def test_links_feed_host_authority(spark):
+    """host_edges output plugs straight into graph.host_authority."""
+    from chrono_scraper_spark.operators.graph import host_authority
+
+    pages = spark.createDataFrame(
+        [("https://a.example/1", "a.example",
+          b'<a href="https://b.example/x">b</a>'),
+         ("https://b.example/1", "b.example",
+          b'<a href="https://a.example/y">a</a>'
+          b'<a href="https://c.example/z">c</a>')],
+        "url string, host string, html binary")
+    ranks = {r["host"]: r["rank_nano"]
+             for r in host_authority(host_edges(extract_links(pages)),
+                                     iters=3).collect()}
+    assert set(ranks) == {"a.example", "b.example", "c.example"}
+    assert all(v > 0 for v in ranks.values())
