@@ -3767,6 +3767,21 @@ def q_bpe_merges(spark, sf_dir):
     return Q.bpe_train(d, n_merges=10)
 
 
+def q_unigram_pieces(spark, sf_dir):
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018) —
+    the third tokenizer-training family (operators/unigram_tok.py): EM +
+    prune over the Zipf-bounded word-frequency table, integer nano
+    log-probs make the Viterbi DP and hence the whole training run
+    bit-deterministic (SentencePiece itself is not). NO SQL oracle by
+    design (iterative EM + per-word DP); correctness held by the exact
+    pure-Python twin of the full orchestration, DP unit cases, and the
+    encode-reconstructs-text invariant (tests/test_unigram_tok.py)."""
+    from chrono_scraper_spark.operators.unigram_tok import train_unigram
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return train_unigram(d, vocab_size=120, em_iters=2, seed_size=500)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3831,16 +3846,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_rank": q_bm25_rank,  # new this round: Okapi BM25 relevance
     "link_extract": q_link_extract,  # new this round: href/anchor parsing
     "anchor_texts": q_anchor_texts,  # new this round: per-target anchors
-    # --- positions 47-50: anchor staples (driver-green r01-r03) ---
+    "unigram_pieces": q_unigram_pieces,  # new this round: unigram-LM
+    # tokenizer training (rows-only, like bpe_merges)
+    # --- positions 48-50: anchor staples (driver-green r01-r03) ---
     "filter_decisions": q_filter_decisions,
     "crawl_order": q_crawl_order,
     "extraction_identity": q_extraction_identity,
-    "exact_dups": q_exact_dups,
     # --- outside the 50-entry driver window: variants and staples
     # whose family is covered above; all were driver-green in
     # r01-r03 and every one still runs through scripts/check_oracles.py ---
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
+    "exact_dups": q_exact_dups,
     "embedding_near_dups": q_embedding_near_dups,
     "multimodal_features": q_multimodal_features,
     "collapse_digest": q_collapse_digest,
