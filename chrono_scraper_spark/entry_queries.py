@@ -3095,6 +3095,103 @@ FROM links WHERE anchor_text <> ''
 GROUP BY dst_url, anchor_text""")
 
 
+def q_sitemap_discover(spark, sf_dir):
+    """Sitemap-XML discovery + lastmod recrawl candidacy
+    (operators/sitemaps.py): per-host urlset bodies are deterministically
+    constructed (one <url> block per distinct URL; every 5th URL claims a
+    lastmod AFTER its last capture → stale, every 5th+1 an old date-only
+    lastmod → fresh, plus one sitemap-only URL per host → new), parsed
+    with the RE2-shared regexes, and joined against the capture log."""
+    from chrono_scraper_spark.operators.sitemaps import (
+        parse_sitemaps,
+        sitemap_recrawl_status,
+    )
+
+    pages = cdx_pages_view(spark, sf_dir)
+    per_url = pages.groupBy("host", "url", "doc_id").agg(
+        F.max("warc_ts").alias("mx"))
+    lm = (F.when(F.col("doc_id") % 5 == 0,
+                 F.date_format(F.date_add(F.to_date("mx"), 400),
+                               "yyyy-MM-dd"))
+          .when(F.col("doc_id") % 5 == 1,
+                F.date_format(F.date_add(F.to_date("mx"), -400),
+                              "yyyy-MM-dd")))
+    block = F.concat(
+        F.lit("<url><loc>"), F.col("url"), F.lit("</loc>"),
+        F.coalesce(F.concat(F.lit("<lastmod>"), lm, F.lit("</lastmod>")),
+                   F.lit("")),
+        F.lit("</url>"))
+    bodies = (per_url.select("host", block.alias("b"))
+              .groupBy("host")
+              .agg(F.concat(
+                  F.lit('<?xml version="1.0"?><urlset>'),
+                  F.concat_ws("", F.array_sort(F.collect_list("b"))),
+                  F.lit("<url><loc>https://"), F.col("host"),
+                  F.lit("/sitemap-only-1</loc>"
+                        "<lastmod>2022-01-01</lastmod></url></urlset>"))
+                  .alias("body")))
+    entries = parse_sitemaps(bodies)
+    return sitemap_recrawl_status(entries, pages)
+
+
+SQL_SITEMAP_DISCOVER = f"""
+WITH pages_cdx AS ({PAGES_CTE_DUCK}),
+per_url AS (
+  SELECT host, url, doc_id, max(warc_ts) AS mx
+  FROM pages_cdx GROUP BY 1, 2, 3
+),
+blocks AS (
+  SELECT host,
+    '<url><loc>' || url || '</loc>' ||
+    coalesce('<lastmod>' ||
+      CASE WHEN doc_id % 5 = 0
+             THEN strftime(CAST(mx AS DATE) + 400, '%Y-%m-%d')
+           WHEN doc_id % 5 = 1
+             THEN strftime(CAST(mx AS DATE) - 400, '%Y-%m-%d')
+      END || '</lastmod>', '') ||
+    '</url>' AS b
+  FROM per_url
+),
+bodies AS (
+  SELECT host,
+    '<?xml version="1.0"?><urlset>' ||
+    string_agg(b, '' ORDER BY b) ||
+    '<url><loc>https://' || host || '/sitemap-only-1</loc>' ||
+    '<lastmod>2022-01-01</lastmod></url></urlset>' AS body
+  FROM blocks GROUP BY host
+),
+ub AS (
+  SELECT host,
+    unnest(regexp_extract_all(body, '(?is)<url>.*?</url>')) AS block
+  FROM bodies
+),
+entries AS (
+  SELECT host,
+    regexp_extract(block, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
+    nullif(regexp_extract(block,
+      '(?is)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod
+  FROM ub
+  WHERE regexp_extract(block, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1) <> ''
+),
+last AS (
+  SELECT url, max(strftime(warc_ts, '%Y%m%d%H%M%S')) AS last_ts14
+  FROM pages_cdx GROUP BY url
+),
+j AS (
+  SELECT e.loc AS url, e.lastmod, l.last_ts14
+  FROM entries e LEFT JOIN last l ON e.loc = l.url
+)
+SELECT url, lastmod, last_ts14 AS last_capture_ts14,
+  CASE WHEN last_ts14 IS NULL THEN 'new'
+       WHEN lastmod IS NOT NULL AND lastmod >
+         (substring(last_ts14, 1, 4) || '-' || substring(last_ts14, 5, 2)
+          || '-' || substring(last_ts14, 7, 2) || 'T'
+          || substring(last_ts14, 9, 2) || ':' || substring(last_ts14, 11, 2)
+          || ':' || substring(last_ts14, 13, 2)) THEN 'stale'
+       ELSE 'fresh' END AS status
+FROM j"""
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer et al. 2003) over the
     documents table: sorted distinct window-min k-gram md5 hashes per doc,
@@ -3848,9 +3945,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_texts": q_anchor_texts,  # new this round: per-target anchors
     "unigram_pieces": q_unigram_pieces,  # new this round: unigram-LM
     # tokenizer training (rows-only, like bpe_merges)
-    # --- positions 48-50: anchor staples (driver-green r01-r03) ---
+    "sitemap_discover": q_sitemap_discover,  # new this round: sitemap
+    # parsing + lastmod recrawl candidacy
+    # --- positions 49-50: anchor staples (driver-green r01-r03) ---
     "filter_decisions": q_filter_decisions,
-    "crawl_order": q_crawl_order,
     "extraction_identity": q_extraction_identity,
     # --- outside the 50-entry driver window: variants and staples
     # whose family is covered above; all were driver-green in
@@ -3858,6 +3956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
     "exact_dups": q_exact_dups,
+    "crawl_order": q_crawl_order,
     "embedding_near_dups": q_embedding_near_dups,
     "multimodal_features": q_multimodal_features,
     "collapse_digest": q_collapse_digest,
@@ -3939,6 +4038,7 @@ ORACLES: dict[str, str] = {
     "recrawl_schedule": SQL_RECRAWL_SCHEDULE,
     "link_extract": SQL_LINK_EXTRACT,
     "anchor_texts": SQL_ANCHOR_TEXTS,
+    "sitemap_discover": SQL_SITEMAP_DISCOVER,
     "fulltext_ranked": SQL_FULLTEXT_RANKED,
     "facet_counts": SQL_FACET_COUNTS,
     "fulltext_typo": SQL_FULLTEXT_TYPO,
