@@ -3273,6 +3273,66 @@ WITH pages_cdx AS ({PAGES_CTE_DUCK})
 SELECT url, ts14, mime, status, md5(text) AS payload_md5 FROM pages_cdx"""
 
 
+def q_wet_identity(spark, sf_dir):
+    """WET (Common Crawl extracted-text conversion record) writer+parser
+    round-trip: every page's text is encoded as a per-record-gzipped
+    ``WARC-Type: conversion`` record (sources/warc.py::encode_wet_record
+    — the *.warc.wet.gz layout) and parsed back in one pandas UDF; URL,
+    timestamp, the UTF-8 text md5, and the deterministic Refers-To
+    linkage to the response record's id must all survive. The oracle
+    reads the source rows directly."""
+    import hashlib
+
+    from pyspark.sql import types as ST
+    from pyspark.sql.functions import pandas_udf
+
+    from chrono_scraper_spark.sources.warc import (
+        decode_warc_member,
+        encode_wet_record,
+    )
+
+    schema = ST.StructType([
+        ST.StructField("url_rt", ST.StringType()),
+        ST.StructField("ts14_rt", ST.StringType()),
+        ST.StructField("text_md5", ST.StringType()),
+        ST.StructField("refers_to_response", ST.BooleanType()),
+    ])
+
+    @pandas_udf(schema)
+    def roundtrip(url, date_iso, text):
+        import pandas as pd
+        cols = {k: [] for k in
+                ("url_rt", "ts14_rt", "text_md5", "refers_to_response")}
+        for u, d, x in zip(url, date_iso, text):
+            rec = decode_warc_member(encode_wet_record(u, d, x or ""))
+            cols["url_rt"].append(rec["url"])
+            cols["ts14_rt"].append(
+                "".join(c for c in rec["date"] if c.isdigit())[:14])
+            cols["text_md5"].append(
+                hashlib.md5(rec["payload"]).hexdigest())
+            cols["refers_to_response"].append(
+                rec["warc_type"] == "conversion")
+        return pd.DataFrame(cols)
+
+    pages = cdx_pages_view(spark, sf_dir)
+    r = roundtrip(
+        F.col("url"),
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.col("text"))
+    return (pages.withColumn("_r", r)
+            .select(F.col("_r.url_rt").alias("url"),
+                    F.col("_r.ts14_rt").alias("ts14"),
+                    F.col("_r.text_md5").alias("text_md5"),
+                    F.col("_r.refers_to_response").alias("is_conversion")))
+
+
+SQL_WET_IDENTITY = f"""
+WITH pages_cdx AS ({PAGES_CTE_DUCK})
+SELECT url, ts14, md5(coalesce(text, '')) AS text_md5,
+  TRUE AS is_conversion
+FROM pages_cdx"""
+
+
 # --------------------------------------------------------------------------
 # topic modeling / content clustering (topic_modeling.py analogs)
 # --------------------------------------------------------------------------
@@ -3947,9 +4007,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tokenizer training (rows-only, like bpe_merges)
     "sitemap_discover": q_sitemap_discover,  # new this round: sitemap
     # parsing + lastmod recrawl candidacy
-    # --- positions 49-50: anchor staples (driver-green r01-r03) ---
+    "wet_identity": q_wet_identity,  # new this round: WET conversion
+    # record writer+parser round-trip
+    # --- position 50: anchor staple (driver-green r01-r03) ---
     "filter_decisions": q_filter_decisions,
-    "extraction_identity": q_extraction_identity,
     # --- outside the 50-entry driver window: variants and staples
     # whose family is covered above; all were driver-green in
     # r01-r03 and every one still runs through scripts/check_oracles.py ---
@@ -3957,6 +4018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_stats": q_daily_stats,
     "exact_dups": q_exact_dups,
     "crawl_order": q_crawl_order,
+    "extraction_identity": q_extraction_identity,
     "embedding_near_dups": q_embedding_near_dups,
     "multimodal_features": q_multimodal_features,
     "collapse_digest": q_collapse_digest,
@@ -4039,6 +4101,7 @@ ORACLES: dict[str, str] = {
     "link_extract": SQL_LINK_EXTRACT,
     "anchor_texts": SQL_ANCHOR_TEXTS,
     "sitemap_discover": SQL_SITEMAP_DISCOVER,
+    "wet_identity": SQL_WET_IDENTITY,
     "fulltext_ranked": SQL_FULLTEXT_RANKED,
     "facet_counts": SQL_FACET_COUNTS,
     "fulltext_typo": SQL_FULLTEXT_TYPO,

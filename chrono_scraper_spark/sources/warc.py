@@ -79,6 +79,40 @@ def encode_warc_record(url: str, date_iso: str, mime: str, status: int,
     return buf.getvalue()
 
 
+def encode_wet_record(url: str, date_iso: str, text: str, *,
+                      compress: bool = True) -> bytes:
+    """One WET record — Common Crawl's extracted-text sibling of the WARC
+    response file (``*.warc.wet.gz``): a ``WARC-Type: conversion`` record
+    whose block is the UTF-8 plain text, with ``WARC-Refers-To`` pointing
+    at the response record it was converted from. Because this module's
+    record IDs are content-derived (md5(url, date), not random UUIDs), the
+    Refers-To id MATCHES the id ``encode_warc_record`` gives the same
+    (url, date) response without needing that record in hand — the
+    deterministic-replay property, documented deviation as for
+    ``_record_id``. ``parse_warc`` reads WET streams unchanged
+    (conversion records carry no HTTP envelope, so the block IS the
+    payload)."""
+    payload = (text or "").encode("utf-8")
+    head = (WARC_VERSION + _CRLF
+            + b"WARC-Type: conversion" + _CRLF
+            + b"WARC-Record-ID: "
+            + _record_id(url + "\x00wet", date_iso).encode() + _CRLF
+            + b"WARC-Refers-To: " + _record_id(url, date_iso).encode()
+            + _CRLF
+            + b"WARC-Date: " + date_iso.encode() + _CRLF
+            + b"WARC-Target-URI: " + url.encode() + _CRLF
+            + b"Content-Type: text/plain" + _CRLF
+            + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+            + _CRLF)
+    record = head + payload + _CRLF + _CRLF
+    if not compress:
+        return record
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
 def _parse_headers(raw: bytes) -> dict[str, str]:
     out: dict[str, str] = {}
     for line in raw.split(_CRLF):

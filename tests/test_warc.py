@@ -165,3 +165,37 @@ def test_fetch_warc_range_e2e(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_wet_record_roundtrip_and_linkage():
+    """WET conversion record: text survives byte-for-byte, and the
+    deterministic Refers-To id equals the id encode_warc_record gives the
+    same (url, date) response record — the linkage CC readers rely on."""
+    from chrono_scraper_spark.sources.warc import (
+        encode_warc_record,
+        encode_wet_record,
+        parse_warc,
+    )
+
+    url, date = "https://h.example/a", "2021-03-04T10:30:00Z"
+    text = "extracted text\nwith lines\nand unicode: café"
+    wet = encode_wet_record(url, date, text)
+    rec = parse_warc(wet)[0]
+    assert rec["warc_type"] == "conversion"
+    assert rec["url"] == url and rec["date"] == date
+    assert rec["payload"].decode("utf-8") == text
+    assert rec["mime"] is None  # no HTTP envelope in conversion records
+
+    # Refers-To linkage: re-encode the matching response record and check
+    # its record id appears verbatim in the WET header block
+    resp = parse_warc(encode_warc_record(url, date, "text/html", 200,
+                                         b"<html>x</html>"))[0]
+    assert resp["record_id"].encode() in wet[:0] + __import__("gzip").decompress(wet)
+
+    # determinism: identical inputs -> identical bytes
+    assert wet == encode_wet_record(url, date, text)
+
+    # concatenated members parse as one stream (the .warc.wet.gz layout)
+    stream = wet + encode_wet_record("https://h.example/b", date, "other")
+    recs = parse_warc(stream)
+    assert [r["url"] for r in recs] == [url, "https://h.example/b"]
