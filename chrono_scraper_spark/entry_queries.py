@@ -3192,6 +3192,112 @@ SELECT url, lastmod, last_ts14 AS last_capture_ts14,
 FROM j"""
 
 
+def q_url_traps(spark, sf_dir):
+    """Crawl-trap URL flags (operators/traps.py): repeated path segments,
+    depth, query-param explosion, calendar paths — one zero-shuffle
+    projection over the frontier, plus planted trap URLs so every flag
+    family fires. Both engines derive the same planted rows."""
+    from chrono_scraper_spark.operators.traps import url_trap_flags
+
+    pages = cdx_pages_view(spark, sf_dir).select("url", "doc_id")
+    n = F.col("doc_id")
+    planted = pages.filter(n % 50 == 0).select(
+        F.concat(
+            F.lit("https://trap.example"),
+            F.when(n % 4 == 0,
+                   F.lit("/a/b/a/b/a/b/page"))          # repeated segment
+            .when(n % 4 == 1,
+                  F.lit("/d/d/d/d/d/d/d/d/d/d/d/d/d"))  # deep + repeated
+            .when(n % 4 == 2, F.concat(
+                F.lit("/x?"),
+                F.lit("p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7")))  # params
+            .otherwise(F.lit("/2021/05/04/2022/06/07/post"))   # calendar
+        ).alias("url"), (n + 1_000_000).alias("doc_id"))
+    return (url_trap_flags(pages.unionByName(planted))
+            .select("url", "doc_id", "repeated_segment", "too_deep",
+                    "too_many_params", "calendar_path", "is_trap_url"))
+
+
+SQL_URL_TRAPS = f"""
+WITH pages_cdx AS ({PAGES_CTE_DUCK}),
+base AS (
+  SELECT url, doc_id FROM pages_cdx
+  UNION ALL
+  SELECT 'https://trap.example' ||
+    CASE WHEN doc_id % 4 = 0 THEN '/a/b/a/b/a/b/page'
+         WHEN doc_id % 4 = 1 THEN '/d/d/d/d/d/d/d/d/d/d/d/d/d'
+         WHEN doc_id % 4 = 2 THEN '/x?p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7'
+         ELSE '/2021/05/04/2022/06/07/post' END AS url,
+    doc_id + 1000000 AS doc_id
+  FROM pages_cdx WHERE doc_id % 50 = 0
+),
+parts AS (
+  SELECT url, doc_id,
+    coalesce(nullif(regexp_extract(url, '^https?://[^/]*(/[^?#]*)', 1),
+                    ''), '/') AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM base
+),
+segd AS (
+  SELECT url, doc_id, q,
+    list_filter(string_split(path, '/'), s -> s <> '') AS segs
+  FROM parts
+),
+flags AS (
+  SELECT url, doc_id,
+    list_max(list_concat([0], list_transform(
+      list_distinct(segs),
+      d -> len(list_filter(segs, s -> s = d))))) >= 3 AS repeated_segment,
+    len(segs) > 12 AS too_deep,
+    (CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END) > 6
+      AS too_many_params,
+    len(list_filter(segs, s -> regexp_matches(s,
+      '^(19|20)\\d{{2}}$|^\\d{{1,2}}$|^(19|20)\\d{{2}}-\\d{{2}}(-\\d{{2}})?$')))
+      >= 3 AS calendar_path
+  FROM segd
+)
+SELECT url, doc_id, repeated_segment, too_deep, too_many_params,
+  calendar_path,
+  repeated_segment OR too_deep OR too_many_params OR calendar_path
+    AS is_trap_url
+FROM flags"""
+
+
+def q_host_traps(spark, sf_dir):
+    """Per-host duplicate-content trap evidence (operators/traps.py):
+    urls-per-distinct-digest ratio from the capture log; the mega host's
+    shared digests exercise the ratio math."""
+    from chrono_scraper_spark.operators.traps import host_trap_stats
+
+    pages = cdx_pages_view(spark, sf_dir)
+    # collapse every 4th doc's digest to a shared value so ratios differ
+    perturbed = pages.withColumn(
+        "digest",
+        F.when(F.col("doc_id") % 4 == 0, F.md5(F.lit("shared")))
+        .otherwise(F.col("digest")))
+    return host_trap_stats(perturbed, min_urls=5, dup_ratio_ppm=1_200_000)
+
+
+SQL_HOST_TRAPS = f"""
+WITH pages_cdx AS ({PAGES_CTE_DUCK}),
+p AS (
+  SELECT host, url,
+    CASE WHEN doc_id % 4 = 0 THEN md5('shared') ELSE digest END AS digest
+  FROM pages_cdx
+),
+per AS (
+  SELECT host, CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+    CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct_digests
+  FROM p GROUP BY host
+)
+SELECT host, n_urls, n_distinct_digests,
+  CAST(n_urls * 1000000 // n_distinct_digests AS BIGINT)
+    AS urls_per_content_ppm,
+  n_urls >= 5 AND (n_urls * 1000000 // n_distinct_digests) >= 1200000
+    AS dup_content_trap
+FROM per"""
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer et al. 2003) over the
     documents table: sorted distinct window-min k-gram md5 hashes per doc,
@@ -4009,11 +4115,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # parsing + lastmod recrawl candidacy
     "wet_identity": q_wet_identity,  # new this round: WET conversion
     # record writer+parser round-trip
-    # --- position 50: anchor staple (driver-green r01-r03) ---
-    "filter_decisions": q_filter_decisions,
+    "url_traps": q_url_traps,  # new this round: crawl-trap URL flags
+    # (position 50 — the window is now exactly the 50 queries with no
+    # driver-green row through r03; host_traps, the same family's
+    # host-level aggregate, sits first beyond it)
     # --- outside the 50-entry driver window: variants and staples
-    # whose family is covered above; all were driver-green in
-    # r01-r03 and every one still runs through scripts/check_oracles.py ---
+    # whose family is covered above; every one still runs through
+    # scripts/check_oracles.py ---
+    "host_traps": q_host_traps,      # traps family host-level aggregate
+    "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
     "exact_dups": q_exact_dups,
@@ -4102,6 +4212,8 @@ ORACLES: dict[str, str] = {
     "anchor_texts": SQL_ANCHOR_TEXTS,
     "sitemap_discover": SQL_SITEMAP_DISCOVER,
     "wet_identity": SQL_WET_IDENTITY,
+    "url_traps": SQL_URL_TRAPS,
+    "host_traps": SQL_HOST_TRAPS,
     "fulltext_ranked": SQL_FULLTEXT_RANKED,
     "facet_counts": SQL_FACET_COUNTS,
     "fulltext_typo": SQL_FULLTEXT_TYPO,
