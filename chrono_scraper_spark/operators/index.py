@@ -562,3 +562,49 @@ def bm25_rank(inverted_terms: DataFrame, query_terms: list[str],
             .agg(F.count_distinct("term").alias("matched_terms"),
                  F.sum("tf").cast("long").alias("tf_sum"),
                  F.sum("_s_nano").cast("long").alias("bm25_e9")))
+
+
+# --------------------------------------------------------------------------
+# bucketed index storage: term-hash partition pruning (the 100 TB path)
+# --------------------------------------------------------------------------
+
+def write_partitioned_index(inverted_terms: DataFrame, path: str,
+                            n_buckets: int = 64) -> None:
+    """Persist the inverted-term table partitioned by ``term_bucket =
+    pmod(xxhash64(term), n_buckets)`` — the storage layout that makes a
+    query read ~|query terms| / n_buckets of the index instead of all of
+    it (Iceberg analog: ``PARTITIONED BY (bucket(N, term))``). Posting
+    lists for one term land in exactly one directory, so Spark's static
+    partition pruning keeps every non-query bucket out of the scan — no
+    files opened, no footers read."""
+    (inverted_terms
+     .withColumn("term_bucket",
+                 F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+     .write.mode("overwrite").partitionBy("term_bucket").parquet(path))
+
+
+def read_pruned_postings(spark, path: str, terms: list[str],
+                         n_buckets: int = 64, schema=None) -> DataFrame:
+    """Read ONLY the query terms' buckets from a partitioned index.
+    The ``term_bucket IN (...)`` predicate is a literal partition filter
+    (visible as ``PartitionFilters`` in the scan — asserted in
+    test_index), and the residual ``term IN (...)`` pushes down onto the
+    parquet row groups of the surviving buckets.
+
+    Pass ``schema`` (the index schema + ``term_bucket int``) to skip
+    footer-based inference entirely — with schema-merge enabled, plan-time
+    inference would otherwise read EVERY file's footer, defeating the
+    point of pruning (a catalog table carries its schema in metadata; the
+    test proves non-query buckets are then never opened at all)."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    uniq = list(dict.fromkeys(terms))
+    if not uniq:
+        return reader.parquet(path).limit(0).drop("term_bucket")
+    tdf = spark.createDataFrame([(t,) for t in uniq], "term string")
+    buckets = sorted({r["b"] for r in tdf.select(
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
+        .distinct().collect()})  # |query terms| driver scalars, not rows
+    return (reader.parquet(path)
+            .filter(F.col("term_bucket").isin(buckets)
+                    & F.col("term").isin(uniq))
+            .drop("term_bucket"))

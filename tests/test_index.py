@@ -244,3 +244,68 @@ def test_search_ranked_sort_slot_and_empty(spark):
                              sort_by=[F.asc("year")]).collect()]
     assert sorted_ == ["a", "b"]
     assert search_ranked(pi, inv, "", limit=5).count() == 0
+
+
+def test_partitioned_index_prunes_and_matches(spark, tmp_path):
+    """Bucketed index storage: the pruned read returns exactly the plain
+    read's postings for the query terms, its scan carries a term_bucket
+    PartitionFilter, and it lists only the query buckets' files."""
+    from chrono_scraper_spark.operators.index import (
+        build_inverted_terms,
+        read_pruned_postings,
+        write_partitioned_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(str(i), "0", "", f"alpha beta gamma delta w{i} shared")
+         for i in range(40)],
+        "url_canon string, ts14 string, title string, content string")
+    inv = build_inverted_terms(docs)
+    path = str(tmp_path / "inv")
+    write_partitioned_index(inv, path, n_buckets=16)
+
+    terms = ["alpha", "w7"]
+    pruned = read_pruned_postings(spark, path, terms, n_buckets=16)
+    want = sorted(map(tuple, inv.filter(F.col("term").isin(terms))
+                      .collect()))
+    got = sorted(map(tuple,
+                     pruned.select("term", "url_canon", "ts14", "tf")
+                     .collect()))
+    assert got == want and got
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+
+    # hard proof the non-query buckets are never OPENED: corrupt a file
+    # in a bucket outside the query set — the full scan now fails, the
+    # pruned scan still returns identical results
+    import glob
+    import os
+
+    from pyspark.sql import functions as SF
+    qb = {r["b"] for r in spark.createDataFrame(
+        [(t,) for t in terms], "term string").select(
+        SF.pmod(SF.xxhash64("term"), SF.lit(16)).cast("int").alias("b"))
+        .collect()}
+    victim_bucket = next(b for b in range(16) if b not in qb
+                         and glob.glob(f"{path}/term_bucket={b}/*.parquet"))
+    victim = glob.glob(f"{path}/term_bucket={victim_bucket}/*.parquet")[0]
+    with open(victim, "wb") as fh:
+        fh.write(b"not parquet at all")
+    try:
+        spark.read.parquet(path).filter("term = 'shared'").count()
+        raise AssertionError("full scan should hit the corrupted file")
+    except Exception as exc:  # noqa: BLE001
+        assert "AssertionError" not in type(exc).__name__
+    from pyspark.sql.types import IntegerType, StructField
+    idx_schema = inv.schema.add(StructField("term_bucket", IntegerType()))
+    again = sorted(map(tuple,
+                       read_pruned_postings(spark, path, terms, 16,
+                                            schema=idx_schema)
+                       .select("term", "url_canon", "ts14", "tf")
+                       .collect()))
+    assert again == want
+    os.remove(victim)
+
+    # empty query -> empty frame, schema intact
+    assert read_pruned_postings(spark, path, [], 16).count() == 0
