@@ -3298,6 +3298,53 @@ SELECT host, n_urls, n_distinct_digests,
 FROM per"""
 
 
+def q_unicode_clean(spark, sf_dir):
+    """Unicode normalization pass (operators/unicode_clean.py): NFC
+    composition + zero-width/control removal + NBSP folding, as one
+    Arrow projection. Deterministic unicode is planted on a third of the
+    docs (decomposed e+COMBINING-ACUTE, ZWSP, BEL, NBSP — both engines
+    build the identical string), so composition and every removal class
+    are value-checked; the mojibake-repair branch is python-twin tested
+    (not SQL-expressible, disabled here)."""
+    from chrono_scraper_spark.operators.unicode_clean import clean_unicode
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    plant_suffix = (" caf" + "e\u0301" + "\u200b" + "zero" + "\x07"
+                    + "width" + "\u00a0" + "end")
+    planted = F.when(F.col("doc_id") % 3 == 0,
+                     F.concat(F.col("text"), F.lit(plant_suffix)))
+    d = d.withColumn("text", F.coalesce(planted, F.col("text")))
+    return (clean_unicode(d)
+            .select("doc_id", "clean_text", "n_removed", "was_changed"))
+
+
+SQL_UNICODE_CLEAN = """
+WITH src AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || ' caf' || chr(101) || chr(769) || chr(8203) ||
+              'zero' || chr(7) || 'width' || chr(160) || 'end'
+         ELSE text END AS text
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, text,
+    nfc_normalize(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[\\x{200b}\\x{200c}\\x{200d}\\x{feff}]', '', 'g'),
+          '[\\x{00}-\\x{08}\\x{0b}\\x{0c}\\x{0e}-\\x{1f}\\x{7f}\\x{80}-\\x{9f}]',
+          '', 'g'),
+        '[\\x{a0}\\x{202f}]', ' ', 'g')) AS clean_text
+  FROM src
+)
+SELECT doc_id, clean_text,
+  CAST(length(text) - length(clean_text) AS INTEGER) AS n_removed,
+  clean_text <> coalesce(text, '') AS was_changed
+FROM cleaned"""
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer et al. 2003) over the
     documents table: sorted distinct window-min k-gram md5 hashes per doc,
@@ -4123,6 +4170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # whose family is covered above; every one still runs through
     # scripts/check_oracles.py ---
     "host_traps": q_host_traps,      # traps family host-level aggregate
+    "unicode_clean": q_unicode_clean,  # new: NFC + invisible-char pass
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -4214,6 +4262,7 @@ ORACLES: dict[str, str] = {
     "wet_identity": SQL_WET_IDENTITY,
     "url_traps": SQL_URL_TRAPS,
     "host_traps": SQL_HOST_TRAPS,
+    "unicode_clean": SQL_UNICODE_CLEAN,
     "fulltext_ranked": SQL_FULLTEXT_RANKED,
     "facet_counts": SQL_FACET_COUNTS,
     "fulltext_typo": SQL_FULLTEXT_TYPO,
