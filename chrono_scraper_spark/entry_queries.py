@@ -3298,6 +3298,151 @@ SELECT host, n_urls, n_distinct_digests,
 FROM per"""
 
 
+def q_frontier_priority(spark, sf_dir):
+    """Capstone fusion: one crawl priority per URL from three engine
+    signals — host authority (integer PageRank over the link graph),
+    recrawl staleness (Poisson change-rate × age, perturbed digests as in
+    recrawl_schedule), and crawl-trap flags (halve the priority of
+    trap-shaped URLs). All-integer arithmetic end-to-end, so the fused
+    score is bit-identical to the oracle's CTE composition; the
+    authority table is a host-cardinality broadcast, staleness shares the
+    url-key shuffle, trap flags are a projection — nothing new shuffles
+    beyond the parts."""
+    from chrono_scraper_spark.operators import graph as G
+    from chrono_scraper_spark.operators.recrawl import recrawl_schedule
+    from chrono_scraper_spark.operators.traps import url_trap_flags
+
+    pages = cdx_pages_view(spark, sf_dir)
+    # authority over the k-formula link graph (as q_host_authority)
+    k = (F.col("doc_id") * 7 + 3) % 500
+    dst = (F.when(k % 3 == 0, F.lit("mega.example.com"))
+           .when(k % 20 == 1, F.concat(F.lit("univ"), (k % 4).cast("string"),
+                                       F.lit(".edu")))
+           .when(k % 20 == 2, F.concat(F.lit("agency"),
+                                       (k % 3).cast("string"),
+                                       F.lit(".gov")))
+           .otherwise(F.concat(F.lit("site"), (k % 40).cast("string"),
+                               F.lit(".com"))))
+    edges = pages.select(F.col("host").alias("src"), dst.alias("dst")) \
+        .distinct()
+    auth = G.host_authority(edges, iters=5)
+    # staleness (as q_recrawl_schedule)
+    perturbed = pages.withColumn(
+        "digest",
+        F.when(((F.col("doc_id") + F.col("n_cap")) % 3 == 0)
+               & (F.col("n_cap") > 0),
+               F.md5(F.concat(F.col("digest"),
+                              F.col("n_cap").cast("string"))))
+        .otherwise(F.col("digest")))
+    stale = recrawl_schedule(perturbed).select("url", "score_e9")
+    # trap flags (projection)
+    flagged = url_trap_flags(pages.select("url", "host").distinct()) \
+        .select("url", "host", "is_trap_url")
+    fused = (flagged
+             .join(F.broadcast(auth), "host", "left")
+             .join(stale, "url", "left"))
+    base = F.expr("CAST(coalesce(score_e9, 0) DIV 1000 AS BIGINT)"
+                  " + CAST(coalesce(rank_nano, 0) DIV 10 AS BIGINT)")
+    return fused.select(
+        "url", "host",
+        F.coalesce(F.col("rank_nano"), F.lit(0)).cast("long")
+        .alias("auth_rank_nano"),
+        F.coalesce(F.col("score_e9"), F.lit(0)).cast("long")
+        .alias("staleness_e9"),
+        "is_trap_url",
+        F.when(F.col("is_trap_url"),
+               F.expr("CAST((coalesce(score_e9, 0) DIV 1000"
+                      " + coalesce(rank_nano, 0) DIV 10) DIV 2 AS BIGINT)"))
+        .otherwise(base).cast("long").alias("priority"))
+
+
+SQL_FRONTIER_PRIORITY = (f"WITH pages_cdx AS ({PAGES_CTE_DUCK}),\n"
+                         + """
+ek AS (SELECT host AS src, (doc_id * 7 + 3) % 500 AS k FROM pages_cdx),
+edges0 AS (
+  SELECT DISTINCT src,
+    CASE WHEN k % 3 = 0 THEN 'mega.example.com'
+         WHEN k % 20 = 1 THEN 'univ' || CAST(k % 4 AS VARCHAR) || '.edu'
+         WHEN k % 20 = 2 THEN 'agency' || CAST(k % 3 AS VARCHAR) || '.gov'
+         ELSE 'site' || CAST(k % 40 AS VARCHAR) || '.com' END AS dst
+  FROM ek),
+edges AS (SELECT src, dst FROM edges0 WHERE src <> dst),
+hosts AS (SELECT src AS host FROM edges0 UNION SELECT dst FROM edges0),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT host,
+  CAST((SELECT 1000000000000 // count(*) FROM hosts) AS BIGINT) AS rank_nano
+  FROM hosts),
+""" + ",\n".join(_pagerank_iter_cte(i) for i in range(5)) + """,
+pp AS (
+  SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts_s,
+    CASE WHEN (doc_id + n_cap) % 3 = 0 AND n_cap > 0
+         THEN md5(digest || CAST(n_cap AS VARCHAR)) ELSE digest END AS dg
+  FROM pages_cdx
+),
+v AS (
+  SELECT url, ts_s, dg,
+    lag(dg) OVER (PARTITION BY url ORDER BY ts_s, dg) AS prev
+  FROM pp
+),
+pu AS (
+  SELECT url,
+    CAST(sum(CASE WHEN prev IS NOT NULL AND dg <> prev
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+    CAST(max(ts_s) - min(ts_s) AS BIGINT) AS span_s,
+    max(ts_s) AS last_s
+  FROM v GROUP BY url
+),
+nw AS (SELECT max(last_s) AS now_s FROM pu),
+stale AS (
+  SELECT url,
+    CAST(CASE WHEN span_s > 0 THEN (n_changes * 1000000000) // span_s
+              ELSE 0 END * (now_s - last_s) AS BIGINT) AS score_e9
+  FROM pu CROSS JOIN nw
+),
+uh AS (SELECT DISTINCT url, host FROM pages_cdx),
+parts AS (
+  SELECT url, host,
+    coalesce(nullif(regexp_extract(url, '^https?://[^/]*(/[^?#]*)', 1),
+                    ''), '/') AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM uh
+),
+segd AS (
+  SELECT url, host, q,
+    list_filter(string_split(path, '/'), s -> s <> '') AS segs
+  FROM parts
+),
+flags AS (
+  SELECT url, host,
+    (list_max(list_concat([0], list_transform(
+       list_distinct(segs),
+       d -> len(list_filter(segs, s -> s = d))))) >= 3
+     OR len(segs) > 12
+     OR (CASE WHEN q = '' THEN 0
+              ELSE len(string_split(q, '&')) END) > 6
+     OR len(list_filter(segs, s -> regexp_matches(s,
+       '^(19|20)\\d{2}$|^\\d{1,2}$|^(19|20)\\d{2}-\\d{2}(-\\d{2})?$')))
+       >= 3) AS is_trap_url
+  FROM segd
+),
+fused AS (
+  SELECT f.url, f.host,
+    coalesce(r5.rank_nano, 0) AS auth_rank_nano,
+    coalesce(s.score_e9, 0) AS staleness_e9,
+    f.is_trap_url,
+    coalesce(s.score_e9, 0) // 1000 + coalesce(r5.rank_nano, 0) // 10
+      AS base
+  FROM flags f
+  LEFT JOIN r5 ON f.host = r5.host
+  LEFT JOIN stale s ON f.url = s.url
+)
+SELECT url, host, CAST(auth_rank_nano AS BIGINT) AS auth_rank_nano,
+  CAST(staleness_e9 AS BIGINT) AS staleness_e9, is_trap_url,
+  CAST(CASE WHEN is_trap_url THEN base // 2 ELSE base END AS BIGINT)
+    AS priority
+FROM fused""")
+
+
 def q_unicode_clean(spark, sf_dir):
     """Unicode normalization pass (operators/unicode_clean.py): NFC
     composition + zero-width/control removal + NBSP folding, as one
@@ -4171,6 +4316,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # scripts/check_oracles.py ---
     "host_traps": q_host_traps,      # traps family host-level aggregate
     "unicode_clean": q_unicode_clean,  # new: NFC + invisible-char pass
+    "frontier_priority": q_frontier_priority,  # capstone fusion of the
+    # authority + staleness + trap families (each covered above)
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -4322,4 +4469,5 @@ ORACLES: dict[str, str] = {
     "readability": SQL_READABILITY,
     "topic_assign": SQL_TOPIC_ASSIGN,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "frontier_priority": SQL_FRONTIER_PRIORITY,
 }
