@@ -2133,6 +2133,58 @@ SELECT host, '/private-' || tag || '/ok/' AS path_prefix, TRUE AS allowed
 FROM tagged"""
 
 
+# RFC 9309 §2.2.3 wildcard ruleset exercised against the corpus paths:
+# a trailing-$ extension block, a mid-* rule beaten by a more specific
+# Allow, an anchored exact path, and a plain prefix for contrast.
+_WILDCARD_RULES = [
+    ("/*.pdf$", False),                  # blocks /paper-N.pdf
+    ("/journal/*/article-", False),      # blocks journal articles...
+    ("/journal/vol-3/article-*", True),  # ...except vol-3 (more octets)
+    ("/index.html$", False),             # exact only (no query strings)
+    ("/wp-admin/", False),               # plain prefix control
+]
+
+
+def q_robots_wildcard(spark, sf_dir):
+    """P10 matching semantics, value-checked end-to-end: every host gets
+    the same RFC 9309 wildcard ruleset (``*`` any-sequence, trailing
+    ``$`` end-anchor, most-octets-wins specificity, Allow wins ties) and
+    ``robots_filter`` keeps the allowed frontier rows; the oracle
+    replays the ruleset relationally (regexp join + per-URL argmax).
+    Reference analog: urllib.robotparser honors * and $ the same way
+    Google's matcher does; prefix-only matching silently over-crawls."""
+    from chrono_scraper_spark.operators.politeness import robots_filter
+
+    cand = _cand(spark, sf_dir)
+    hosts = cand.select("host").distinct()
+    rules = hosts.crossJoin(
+        spark.createDataFrame(_WILDCARD_RULES,
+                              "path_prefix string, allowed boolean"))
+    return (robots_filter(cand.select("url", "ts14", "host", "path"), rules)
+            .select("url", "ts14", "host", "path"))
+
+
+_WILDCARD_RULES_DUCK = """rules(rx, spec, allowed) AS (VALUES
+  ('^/.*\\.pdf$', 8, FALSE),
+  ('^/journal/.*/article-', 19, FALSE),
+  ('^/journal/vol-3/article-.*', 24, TRUE),
+  ('^/index\\.html$', 12, FALSE),
+  ('^/wp-admin/', 10, FALSE))"""
+
+SQL_ROBOTS_WILDCARD = _PRELUDE + f""",
+{_WILDCARD_RULES_DUCK},
+m AS (
+  SELECT c.url, c.ts14, r.allowed,
+    row_number() OVER (PARTITION BY c.url, c.ts14
+                       ORDER BY r.spec DESC, r.allowed DESC) AS rn
+  FROM cand c JOIN rules r ON regexp_matches(c.path, r.rx)
+)
+SELECT url, ts14, host, path FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM m
+                  WHERE m.rn = 1 AND NOT m.allowed
+                    AND m.url = c.url AND m.ts14 = c.ts14)"""
+
+
 SQL_PDF_EXTRACTION_IDENTITY = _PRELUDE + """
 SELECT url, ts14, md5(text) AS text_md5,
   'doc ' || CAST(doc_id AS VARCHAR) AS title,
@@ -4318,6 +4370,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_clean": q_unicode_clean,  # new: NFC + invisible-char pass
     "frontier_priority": q_frontier_priority,  # capstone fusion of the
     # authority + staleness + trap families (each covered above)
+    "robots_wildcard": q_robots_wildcard,  # RFC 9309 * / $ matching
+    # semantics end-to-end through robots_filter
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -4470,4 +4524,5 @@ ORACLES: dict[str, str] = {
     "topic_assign": SQL_TOPIC_ASSIGN,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "frontier_priority": SQL_FRONTIER_PRIORITY,
+    "robots_wildcard": SQL_ROBOTS_WILDCARD,
 }

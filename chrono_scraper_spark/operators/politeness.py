@@ -327,36 +327,63 @@ def merge_budget_overrides(a: DataFrame | None,
 def robots_filter(frontier: DataFrame, robots_rules: DataFrame | None) -> DataFrame:
     """P10 hook (absent in the reference — engine addition per north_rule):
     ``robots_rules(host, path_prefix, allowed)``. Default allow-all preserves
-    reference ordering parity. Longest-matching-prefix rule wins; on an
-    equal-length Allow/Disallow tie the least restrictive (Allow) rule wins
-    (RFC 9309 §2.3.2) — the old window tie-break was nondeterministic here.
+    reference ordering parity. The most specific matching rule wins —
+    specificity = octet length of the rule path as written (RFC 9309
+    §2.2.2, Google's reference matcher convention); on an equal-length
+    Allow/Disallow tie the least restrictive (Allow) rule wins (§2.3.2).
+
+    Rule paths support the RFC 9309 §2.2.3 special characters: ``*``
+    matches any character sequence and a TRAILING ``$`` anchors the match
+    at the end of the path (a ``$`` anywhere else is a literal octet, as
+    in Google's matcher). Rules without either remain plain prefixes.
 
     Scale shape: the per-host rule set is folded to ONE row per host
-    (host → rules array pre-sorted longest-prefix-first) and broadcast; the
-    longest-matching prefix is then a per-row ``filter``+``element_at`` over
-    the array — entirely inside codegen. The frontier is NEVER shuffled:
-    r2's implementation ran a row_number window partitioned by (url, ts14),
-    a full exchange of the 10^10-row frontier on a near-unique key where
-    every window partition held a handful of rows. The only exchanges left
-    are on the rules side (#hosts rows: the fold agg + the broadcast)."""
+    (host → rules array pre-sorted most-specific-first) and broadcast; the
+    winning rule is then a per-row ``filter``+``element_at`` over the
+    array — entirely inside codegen. Wildcard rules are pre-compiled to
+    anchored Java regexes ON THE RULES SIDE (host-rule cardinality) so the
+    per-frontier-row work is ``startswith`` for the plain-prefix majority
+    and ``regexp_like`` only for the rare wildcard rules. The frontier is
+    NEVER shuffled: r2's implementation ran a row_number window
+    partitioned by (url, ts14), a full exchange of the 10^10-row frontier
+    on a near-unique key where every window partition held a handful of
+    rows. The only exchanges left are on the rules side (#hosts rows: the
+    fold agg + the broadcast)."""
     if robots_rules is None:
         return frontier
-    # host → rules array, sorted (longest prefix first, Allow before
+    # Rule compilation (host-rule cardinality, before the fold): strip a
+    # trailing '$' (anchor), escape regex metachars EXCEPT '*', then
+    # '*' -> '.*'; '^' prefix pins the match at the path start (Spark's
+    # regexp_like and the oracle's RE2 both substring-search otherwise).
+    anchored = F.col("path_prefix").endswith("$")
+    base = F.when(
+        anchored,
+        F.expr("substring(path_prefix, 1, length(path_prefix) - 1)")
+    ).otherwise(F.col("path_prefix"))
+    has_wild = anchored | base.contains("*")
+    esc = F.regexp_replace(base, r'([\\.\[\]{}()+?^$|])', r'\\$1')
+    rx = F.concat(F.lit("^"), F.regexp_replace(esc, r"\*", ".*"),
+                  F.when(anchored, F.lit("$")).otherwise(F.lit("")))
+    # host → rules array, sorted (most specific first, Allow before
     # Disallow on ties). array_sort on structs orders by fields
     # lexicographically, so the sort key fields lead the struct.
     rules_arr = (
         robots_rules
         .groupBy("host")
         .agg(F.array_sort(F.collect_list(F.struct(
-            (-F.length("path_prefix")).alias("neg_len"),
+            (-F.octet_length("path_prefix")).alias("neg_len"),
             (~F.col("allowed")).cast("int").alias("disallow_tie"),
             F.col("path_prefix").alias("path_prefix"),
             F.col("allowed").alias("allowed"),
+            has_wild.alias("has_wild"),
+            rx.alias("rx"),
         ))).alias("__rules")))
     joined = frontier.join(F.broadcast(rules_arr), "host", "left")
     matches = F.filter(
         F.col("__rules"),
-        lambda r: F.col("path").startswith(r["path_prefix"]))
+        lambda r: F.when(r["has_wild"],
+                         F.regexp_like(F.col("path"), r["rx"]))
+        .otherwise(F.col("path").startswith(r["path_prefix"])))
     robots_allowed = F.when(
         F.col("__rules").isNull() | (F.size(matches) == 0), F.lit(True)
     ).otherwise(F.element_at(matches, 1)["allowed"])

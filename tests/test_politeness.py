@@ -290,3 +290,63 @@ def test_schedule_round_honors_crawl_delay_budget(spark, pages):
                 .groupBy("host").count().collect()}
     assert per_host[host] <= 2          # 60 s / 30 s delay
     assert any(v > 2 for h, v in per_host.items() if h != host)
+
+def test_robots_filter_wildcards(spark):
+    """RFC 9309 §2.2.3 special characters: '*' matches any sequence, a
+    TRAILING '$' anchors at path end (mid-'$' is a literal octet);
+    specificity = octet length of the rule as written, Allow wins ties."""
+    frontier = spark.createDataFrame(
+        [("a.com", "/paper-7.pdf", "u1", "t1"),     # blocked: /*.pdf$
+         ("a.com", "/paper-7.pdfx", "u2", "t2"),    # kept: $ anchor misses
+         ("a.com", "/journal/vol-1/article-9", "u3", "t3"),  # blocked
+         ("a.com", "/journal/vol-3/article-9", "u4", "t4"),  # kept: longer
+         # Allow out-specifies the mid-* Disallow
+         ("a.com", "/index.html", "u5", "t5"),      # blocked: exact anchor
+         ("a.com", "/index.html?x=1", "u6", "t6"),  # kept: anchored rule
+         ("a.com", "/fish$tank", "u7", "t7"),       # blocked: literal $
+         ("a.com", "/other", "u8", "t8")],          # kept: no rule matches
+        "host string, path string, url string, ts14 string")
+    rules = spark.createDataFrame(
+        [("a.com", "/*.pdf$", False),
+         ("a.com", "/journal/*/article-", False),
+         ("a.com", "/journal/vol-3/article-*", True),
+         ("a.com", "/index.html$", False),
+         ("a.com", "/fish$t", False)],
+        "host string, path_prefix string, allowed boolean")
+    kept = sorted(r["url"] for r in
+                  P.robots_filter(frontier, rules).collect())
+    assert kept == ["u2", "u4", "u6", "u8"]
+
+
+def test_robots_filter_wildcard_regex_metachars_literal(spark):
+    """Regex metacharacters in rule paths stay literal: a rule like
+    '/a+b(c)/' must match only that exact prefix, even when the rule also
+    uses '*' (i.e. goes down the compiled-regex path)."""
+    frontier = spark.createDataFrame(
+        [("a.com", "/a+b(c)/x.d", "u1", "t1"),
+         ("a.com", "/aab(c)/x.d", "u2", "t2"),   # '+' is not regex-plus
+         ("a.com", "/a+bXc)/x.d", "u3", "t3")],  # parens literal
+        "host string, path string, url string, ts14 string")
+    rules = spark.createDataFrame(
+        [("a.com", "/a+b(c)/*.d$", False)],
+        "host string, path_prefix string, allowed boolean")
+    kept = sorted(r["url"] for r in
+                  P.robots_filter(frontier, rules).collect())
+    assert kept == ["u2", "u3"]
+
+
+def test_robots_filter_wildcard_keeps_frontier_unshuffled(spark):
+    """The wildcard path compiles regexes on the RULES side; the frontier
+    plan must stay window-free and unshuffled exactly like the
+    prefix-only path."""
+    frontier = spark.createDataFrame(
+        [("a.com", "/x", "u1", "t1")],
+        "host string, path string, url string, ts14 string")
+    rules = spark.createDataFrame(
+        [("a.com", "/private/*.pdf$", False)],
+        "host string, path_prefix string, allowed boolean")
+    plan = P.robots_filter(frontier, rules)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
+    assert "hashpartitioning(url" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
