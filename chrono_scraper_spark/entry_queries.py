@@ -3495,6 +3495,42 @@ SELECT url, host, CAST(auth_rank_nano AS BIGINT) AS auth_rank_nano,
 FROM fused""")
 
 
+def q_surt_cdxj(spark, sf_dir):
+    """SURT canonical keys + CDXJ index lines (sources/cdx.py
+    ``cdxj_records``): the pywb/OpenWayback sort-friendly key
+    (``com,example)/path?a=1&b=2`` — host comma-reversed, www-stripped,
+    query params sorted) and the ``<surt> <ts14> <json>`` line format the
+    reference's CDX API consumes (wayback_machine.py:741-907). The oracle
+    rebuilds both the key and Spark's compact to_json output in closed
+    form (corpus fields are escape-free by construction)."""
+    from chrono_scraper_spark.sources.cdx import cdxj_records
+
+    return cdxj_records(cdx_pages_view(spark, sf_dir))
+
+
+SQL_SURT_CDXJ = f"WITH pages_cdx AS ({PAGES_CTE_DUCK})" + """
+SELECT
+  array_to_string(list_reverse(string_split(
+      regexp_replace(host, '^www\\d*\\.', ''), '.')), ',')
+  || ')' || lower(string_split_regex(path, '\\?')[1])
+  || CASE WHEN instr(path, '?') = 0 THEN ''
+          ELSE '?' || array_to_string(list_sort(string_split(
+                 lower(string_split_regex(path, '\\?')[2]), '&')), '&')
+     END AS surt,
+  ts14,
+  array_to_string(list_reverse(string_split(
+      regexp_replace(host, '^www\\d*\\.', ''), '.')), ',')
+  || ')' || lower(string_split_regex(path, '\\?')[1])
+  || CASE WHEN instr(path, '?') = 0 THEN ''
+          ELSE '?' || array_to_string(list_sort(string_split(
+                 lower(string_split_regex(path, '\\?')[2]), '&')), '&')
+     END
+  || ' ' || ts14 || ' {"url":"' || url || '","mime":"' || mime
+  || '","status":"' || CAST(status AS VARCHAR) || '","digest":"' || digest
+  || '","length":"' || CAST(length AS VARCHAR) || '"}' AS cdxj_line
+FROM pages_cdx"""
+
+
 def q_unicode_clean(spark, sf_dir):
     """Unicode normalization pass (operators/unicode_clean.py): NFC
     composition + zero-width/control removal + NBSP folding, as one
@@ -4372,6 +4408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # authority + staleness + trap families (each covered above)
     "robots_wildcard": q_robots_wildcard,  # RFC 9309 * / $ matching
     # semantics end-to-end through robots_filter
+    "surt_cdxj": q_surt_cdxj,  # SURT canonical keys + CDXJ index lines
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -4525,4 +4562,5 @@ ORACLES: dict[str, str] = {
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "frontier_priority": SQL_FRONTIER_PRIORITY,
     "robots_wildcard": SQL_ROBOTS_WILDCARD,
+    "surt_cdxj": SQL_SURT_CDXJ,
 }

@@ -59,6 +59,36 @@ def url_canon(url: Column) -> Column:
     return F.element_at(F.split(url, "#"), 1)
 
 
+def sorted_query(url: Column) -> Column:
+    """Query string with '&'-separated params sorted bytewise (the
+    canonicalization step that makes '?b=2&a=1' and '?a=1&b=2' the same
+    key), lower-cased; null when the URL has no query."""
+    q = F.lower(url_query(url))
+    return F.when(
+        q.isNull() | (q == ""), F.lit(None).cast("string")
+    ).otherwise(F.array_join(F.array_sort(F.split(q, "&")), "&"))
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) canonical key, the
+    form Wayback / pywb / OpenWayback CDX indexes sort on:
+    ``com,example)/path?a=1&b=2``.
+
+    Canonicalization applied (the pywb default subset, documented):
+    lower-case everything; strip the scheme, fragment, and a leading
+    ``www`` / ``www2``-style label; reverse the host labels joined by
+    commas; sort query params bytewise. Pure column expressions — stays
+    in whole-stage codegen, usable as a partition/sort key so one host's
+    captures cluster in CDX-index file order."""
+    host = F.regexp_replace(url_host(url), r"^www\d*\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(url_path(url))
+    q = sorted_query(url)
+    return F.concat(
+        rev, F.lit(")"), path,
+        F.when(q.isNull(), F.lit("")).otherwise(F.concat(F.lit("?"), q)))
+
+
 def ts14(ts: Column) -> Column:
     """14-char capture timestamp 'yyyyMMddHHmmss' (scraping.py:69)."""
     return F.date_format(ts, "yyyyMMddHHmmss")

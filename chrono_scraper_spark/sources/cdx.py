@@ -148,3 +148,34 @@ def discover(
     keep = [c for c in matched.columns
             if c in FRONTIER_COLUMNS or c in extras]
     return matched.select(*keep)
+
+
+def cdxj_records(pages: DataFrame) -> DataFrame:
+    """CDXJ index records (the pywb / OpenWayback / Common Crawl cdx-index
+    line format): ``<surt_key> <ts14> <json>`` with the JSON block carrying
+    the classic CDX fields. The reference consumes exactly this index shape
+    through the CDX API (wayback_machine.py:741-907); emitting it makes the
+    engine's corpus a drop-in index source for any wayback-ecosystem tool.
+
+    Returns (surt, ts14, cdxj_line) SORTED by (surt, ts14) — CDXJ files are
+    merge-sorted on the key so range scans (one host = one contiguous key
+    run, because the SURT host is comma-reversed) stay sequential. One
+    range-partitioned sort, no other shuffle; at 100 TB write with
+    ``.write.partitionBy`` on the surt prefix or sortWithinPartitions
+    after a repartitionByRange on surt.
+    """
+    from ..functions.urls import surt_key
+
+    line = F.concat(
+        F.col("surt"), F.lit(" "), F.col("ts14"), F.lit(" "),
+        F.to_json(F.struct(
+            F.col("url"),
+            F.col("mime"),
+            F.col("status").cast("string").alias("status"),
+            F.col("digest"),
+            F.col("length").cast("string").alias("length"),
+        )))
+    out = (pages
+           .withColumn("surt", surt_key(F.col("url")))
+           .select("surt", "ts14", line.alias("cdxj_line")))
+    return out.orderBy("surt", "ts14")
