@@ -3531,6 +3531,53 @@ SELECT
 FROM pages_cdx"""
 
 
+_CYCLE_EDGES = [("https://loop.example.com/a", "https://loop.example.com/b"),
+                ("https://loop.example.com/b", "https://loop.example.com/a")]
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py): pointer-doubling
+    terminal-URL lookup over a deterministic functional graph planted on
+    the corpus — legacy URL ``https://r.example.com/<k>`` redirects to
+    ``.../<k-1>`` while ``k%8 != 0``, and the chain's ``k%8 == 0`` root
+    redirects once more onto the REAL corpus url(k); chains are therefore
+    1-8 hops and every source terminates on a corpus URL. A planted
+    2-cycle exercises non-termination. The oracle resolves the same graph
+    in CLOSED FORM (terminal doc_id = k - k%8, hops = k%8 + 1) — no
+    recursion — so the iterative engine is checked against independent
+    arithmetic, not another walk. (Synthetic legacy hosts keep the chain
+    keys unique: corpus urls collide across doc_ids by design.)"""
+    from chrono_scraper_spark.operators.redirects import resolve_redirects
+
+    u = cdx_pages_view(spark, sf_dir).select("doc_id", "url").distinct()
+    k = F.col("doc_id")
+    legacy = F.concat(F.lit("https://r.example.com/"), k.cast("string"))
+    chain = u.select(
+        legacy.alias("src"),
+        F.when(k % 8 == 0, F.col("url"))
+        .otherwise(F.concat(F.lit("https://r.example.com/"),
+                            (k - 1).cast("string"))).alias("dst"))
+    edges = chain.unionByName(
+        spark.createDataFrame(_CYCLE_EDGES, "src string, dst string"))
+    return resolve_redirects(edges)
+
+
+SQL_REDIRECT_RESOLVE = (
+    f"WITH pages_cdx AS ({PAGES_CTE_DUCK})" + """,
+u AS (SELECT DISTINCT doc_id, url FROM pages_cdx),
+chains AS (
+  SELECT 'https://r.example.com/' || CAST(a.doc_id AS VARCHAR) AS url,
+    b.url AS final_url,
+    CAST(a.doc_id % 8 + 1 AS INT) AS hops, FALSE AS is_cycle
+  FROM u a JOIN u b ON b.doc_id = a.doc_id - (a.doc_id % 8)
+)
+SELECT url, final_url, hops, is_cycle FROM chains
+UNION ALL
+SELECT 'https://loop.example.com/a', NULL, NULL, TRUE
+UNION ALL
+SELECT 'https://loop.example.com/b', NULL, NULL, TRUE""")
+
+
 def q_unicode_clean(spark, sf_dir):
     """Unicode normalization pass (operators/unicode_clean.py): NFC
     composition + zero-width/control removal + NBSP folding, as one
@@ -4409,6 +4456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_wildcard": q_robots_wildcard,  # RFC 9309 * / $ matching
     # semantics end-to-end through robots_filter
     "surt_cdxj": q_surt_cdxj,  # SURT canonical keys + CDXJ index lines
+    "redirect_resolve": q_redirect_resolve,  # 3xx chain terminal lookup
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -4563,4 +4611,5 @@ ORACLES: dict[str, str] = {
     "frontier_priority": SQL_FRONTIER_PRIORITY,
     "robots_wildcard": SQL_ROBOTS_WILDCARD,
     "surt_cdxj": SQL_SURT_CDXJ,
+    "redirect_resolve": SQL_REDIRECT_RESOLVE,
 }
