@@ -3377,7 +3377,11 @@ def q_frontier_priority(spark, sf_dir):
                                F.lit(".com"))))
     edges = pages.select(F.col("host").alias("src"), dst.alias("dst")) \
         .distinct()
-    auth = G.host_authority(edges, iters=5)
+    # host-cardinality: truncate the 5-iteration pagerank lineage before
+    # fusing (the cached final ranks execute once either way, but the
+    # un-truncated plan re-displays the whole loop subtree and defeats
+    # plan auditing)
+    auth = G.host_authority(edges, iters=5).localCheckpoint(eager=True)
     # staleness (as q_recrawl_schedule)
     perturbed = pages.withColumn(
         "digest",

@@ -76,8 +76,13 @@ def host_authority(edges: DataFrame, iters: int = 5, damping_pct: int = 85,
                      (F.lit(base)
                       + F.expr(f"({damping_pct} * coalesce(s, 0)) DIV 100"))
                      .cast("long").alias("rank_nano")))
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            r = r.localCheckpoint(eager=True)   # truncate iterative lineage
+        if (i + 1) % checkpoint_every == 0 or i + 1 == iters:
+            # truncate iterative lineage; the FINAL iteration checkpoints
+            # too so callers receive a lineage-free host-cardinality frame
+            # (cache+count kept the data hot but re-displayed the whole
+            # loop subtree through InMemoryTableScan, defeating plan
+            # audits and bloating downstream plan compilation)
+            r = r.localCheckpoint(eager=True)
         else:
             r = r.cache()
             r.count()
