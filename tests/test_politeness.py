@@ -350,3 +350,31 @@ def test_robots_filter_wildcard_keeps_frontier_unshuffled(spark):
     assert "Window" not in plan
     assert "hashpartitioning(url" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_parse_robots_wildcard_e2e(spark):
+    """A real robots.txt body with RFC 9309 wildcard rules flows through
+    parse_robots -> robots_filter end-to-end (patterns survive parsing
+    verbatim and match with */$ semantics)."""
+    from chrono_scraper_spark.operators.politeness import (
+        parse_robots,
+        robots_filter,
+    )
+
+    body = """User-agent: *
+Disallow: /*.php$
+Disallow: /search/
+Allow: /search/help
+"""
+    robots = spark.createDataFrame([("a.com", body)],
+                                   "host string, body string")
+    frontier = spark.createDataFrame(
+        [("a.com", "/page.php", "u1", "t1"),
+         ("a.com", "/page.php?x=1", "u2", "t2"),   # $ misses with query
+         ("a.com", "/search/q", "u3", "t3"),
+         ("a.com", "/search/help/x", "u4", "t4"),  # longer Allow wins
+         ("a.com", "/plain", "u5", "t5")],
+        "host string, path string, url string, ts14 string")
+    kept = sorted(r["url"] for r in
+                  robots_filter(frontier, parse_robots(robots)).collect())
+    assert kept == ["u2", "u4", "u5"]
