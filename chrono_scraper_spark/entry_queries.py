@@ -2984,6 +2984,32 @@ def q_host_authority(spark, sf_dir):
     return G.host_authority(edges, iters=5)
 
 
+def q_authority_budgets(spark, sf_dir):
+    """Authority-proportional crawl-budget apportionment
+    (operators/politeness.py ``authority_budgets``): a 1,000-fetch round
+    budget split across hosts by largest-remainder (Hamilton) method over
+    the integer PageRank ranks — exact integer quotas, leftover seats to
+    the largest remainders (host asc ties), min 1 per host. The oracle
+    replays the apportionment relationally on the same rank CTEs."""
+    from chrono_scraper_spark.operators import graph as G
+    from chrono_scraper_spark.operators.politeness import authority_budgets
+
+    pages = cdx_pages_view(spark, sf_dir)
+    k = (F.col("doc_id") * 7 + 3) % 500
+    dst = (F.when(k % 3 == 0, F.lit("mega.example.com"))
+           .when(k % 20 == 1, F.concat(F.lit("univ"),
+                                       (k % 4).cast("string"),
+                                       F.lit(".edu")))
+           .when(k % 20 == 2, F.concat(F.lit("agency"),
+                                       (k % 3).cast("string"),
+                                       F.lit(".gov")))
+           .otherwise(F.concat(F.lit("site"), (k % 40).cast("string"),
+                               F.lit(".com"))))
+    edges = pages.select(F.col("host").alias("src"),
+                         dst.alias("dst")).distinct()
+    return authority_budgets(G.host_authority(edges, iters=5), 1000)
+
+
 def _pagerank_iter_cte(i: int) -> str:
     return f"""r{i + 1} AS (
   SELECT h.host,
@@ -3014,6 +3040,23 @@ r0 AS (SELECT host,
   FROM hosts),
 """ + ",\n".join(_pagerank_iter_cte(i) for i in range(5))
                       + "\nSELECT host, rank_nano FROM r5")
+
+
+SQL_AUTHORITY_BUDGETS = (
+    SQL_HOST_AUTHORITY.replace(
+        "\nSELECT host, rank_nano FROM r5", "") + """,
+q AS (
+  SELECT host,
+    (1000 * rank_nano) // (SELECT sum(rank_nano) FROM r5) AS base,
+    (1000 * rank_nano) % (SELECT sum(rank_nano) FROM r5) AS rem
+  FROM r5),
+lft AS (SELECT 1000 - sum(base) AS l FROM q),
+pos AS (SELECT host, base, rem,
+  row_number() OVER (ORDER BY rem DESC, host ASC) AS p FROM q)
+SELECT host,
+  CAST(greatest(1, base + CASE WHEN p <= (SELECT l FROM lft)
+                               THEN 1 ELSE 0 END) AS INT) AS budget
+FROM pos""")
 
 
 def _linked_pages(spark, sf_dir):
@@ -4461,6 +4504,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # semantics end-to-end through robots_filter
     "surt_cdxj": q_surt_cdxj,  # SURT canonical keys + CDXJ index lines
     "redirect_resolve": q_redirect_resolve,  # 3xx chain terminal lookup
+    "authority_budgets": q_authority_budgets,  # Hamilton apportionment
+    # of the round budget over pagerank ranks
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -4616,4 +4661,5 @@ ORACLES: dict[str, str] = {
     "robots_wildcard": SQL_ROBOTS_WILDCARD,
     "surt_cdxj": SQL_SURT_CDXJ,
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
+    "authority_budgets": SQL_AUTHORITY_BUDGETS,
 }

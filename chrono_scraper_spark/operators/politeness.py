@@ -390,3 +390,60 @@ def robots_filter(frontier: DataFrame, robots_rules: DataFrame | None) -> DataFr
     return (joined.withColumn("robots_allowed", robots_allowed)
             .filter(F.col("robots_allowed"))
             .drop("__rules", "robots_allowed"))
+
+
+def authority_budgets(ranks: DataFrame, total_budget: int,
+                      *, min_budget: int = 1) -> DataFrame:
+    """Allocate a global per-round fetch budget across hosts proportionally
+    to link authority — the scheduler analog of the reference's per-source
+    rate overrides (.env SCRAPER_* budgets), but data-driven from
+    ``graph.host_authority`` ranks instead of static config.
+
+    Largest-remainder (Hamilton) apportionment in exact integer
+    arithmetic: ``floor(total * rank / sum_rank)`` per host, then the
+    leftover seats go to the largest remainders (host as the
+    deterministic tie-break). Every host gets at least ``min_budget`` —
+    a zero budget would starve a host forever (the same invariant
+    ``crawl_delay_budgets`` keeps). Output ``(host, budget int)`` plugs
+    straight into ``schedule_round(budget_overrides=...)`` /
+    ``merge_budget_overrides``.
+
+    Scale shape: one host-cardinality sum (broadcast back as a 1-row
+    frame), one window over hosts ordered by remainder — all at host
+    cardinality (millions of rows at web scale, trivially shuffled);
+    the frontier is untouched.
+    """
+    tot = ranks.agg(F.sum("rank_nano").alias("__sum"))
+    j = ranks.join(F.broadcast(tot))
+    quota = F.expr(f"CAST({int(total_budget)} AS BIGINT) * rank_nano")
+    base = F.expr(
+        f"CAST({int(total_budget)} AS BIGINT) * rank_nano DIV __sum")
+    rem = quota - base * F.col("__sum")
+    j = j.select("host", base.alias("base"), rem.alias("rem"))
+    # leftover seats = total - sum(base); award them to the largest
+    # remainders. The remainder ranking is TWO-PHASE like schedule_round's
+    # mega-host prune: a single global row_number window would sort every
+    # host in one task, so rows first rank within salt partitions and only
+    # per-salt rank <= leftover survives to the exact global window (a row
+    # in the true top-`left` has per-salt rank <= global rank <= left, so
+    # the seat set is identical; non-survivors provably win no seat).
+    left = j.agg(
+        (F.lit(int(total_budget)) - F.sum("base")).alias("__left"))
+    j = j.join(F.broadcast(left))
+    order = [F.col("rem").desc(), F.col("host").asc()]
+    salt = F.pmod(F.xxhash64("host"), F.lit(32)).cast("int")
+    w_salt = Window.partitionBy(salt).orderBy(*order)
+    j = j.withColumn("__prune", F.row_number().over(w_salt))
+    survivors = (j.filter(F.col("__prune") <= F.col("__left"))
+                 .withColumn("__pos",
+                             F.row_number().over(Window.orderBy(*order))))
+    rest = j.filter(F.col("__prune") > F.col("__left")) \
+        .withColumn("__pos", F.lit(None).cast("int"))
+    seat = F.when(F.col("__pos") <= F.col("__left"), 1).otherwise(0)
+    return (survivors.unionByName(rest)
+            .select(
+                "host",
+                F.greatest(
+                    F.lit(int(min_budget)),
+                    (F.col("base") + F.coalesce(seat, F.lit(0)))
+                    .cast("int")).alias("budget")))

@@ -378,3 +378,72 @@ Allow: /search/help
     kept = sorted(r["url"] for r in
                   robots_filter(frontier, parse_robots(robots)).collect())
     assert kept == ["u2", "u4", "u5"]
+
+
+def test_authority_budgets_hamilton(spark):
+    """Exact largest-remainder apportionment: seats sum to the budget when
+    no min-budget bump fires; remainder ties break on host asc."""
+    from pyspark.sql import functions as F
+
+    from chrono_scraper_spark.operators.politeness import authority_budgets
+
+    ranks = spark.createDataFrame(
+        [("a", 500), ("b", 300), ("c", 200)],
+        "host string, rank_nano long")
+    got = {r["host"]: r["budget"] for r in
+           authority_budgets(ranks, 10).collect()}
+    assert got == {"a": 5, "b": 3, "c": 2}
+    # remainders force seat awards: 7 seats over (500,300,200) ->
+    # bases (3,2,1)=6, remainders (500,100,400) -> seat to a... wait:
+    # quota a=3500/1000=3 rem 500, b=2100/1000=2 rem 100, c=1400/1000=1
+    # rem 400 -> 1 leftover seat -> a. Totals (4,2,1)=7.
+    got = {r["host"]: r["budget"] for r in
+           authority_budgets(ranks, 7).collect()}
+    assert got == {"a": 4, "b": 2, "c": 1} and sum(got.values()) == 7
+
+
+def test_authority_budgets_min_and_python_twin(spark):
+    """Zero-rank hosts get min_budget; a python twin checks a larger
+    random-ish (but deterministic) allocation exactly, including the
+    two-phase pruned remainder ranking."""
+    from chrono_scraper_spark.operators.politeness import authority_budgets
+
+    n, total = 200, 137
+    rows = [(f"h{i:03d}", (i * 7919) % 101) for i in range(n)]
+    ranks = spark.createDataFrame(rows, "host string, rank_nano long")
+    got = {r["host"]: r["budget"] for r in
+           authority_budgets(ranks, total).collect()}
+    s = sum(v for _, v in rows)
+    base = {h: total * v // s for h, v in rows}
+    rem = {h: total * v % s for h, v in rows}
+    left = total - sum(base.values())
+    seats = sorted(rows, key=lambda hv: (-rem[hv[0]], hv[0]))[:left]
+    want = {h: max(1, base[h] + (1 if (h, v) in seats else 0))
+            for h, v in rows}
+    assert got == want
+
+
+def test_authority_budgets_feed_schedule_round(spark):
+    """Budgets plug into schedule_round(budget_overrides=...) unchanged."""
+    from pyspark.sql import functions as F
+
+    from chrono_scraper_spark.operators.politeness import (
+        authority_budgets,
+        schedule_round,
+    )
+
+    ranks = spark.createDataFrame([("a.com", 900), ("b.com", 100)],
+                                  "host string, rank_nano long")
+    budgets = authority_budgets(ranks, 10)  # a:9, b:1
+    frontier = spark.range(40).select(
+        F.when(F.col("id") % 2 == 0, "a.com").otherwise("b.com")
+        .alias("host"),
+        F.concat(F.lit("https://h/p"), F.col("id").cast("string"))
+        .alias("url"),
+        F.lpad(F.col("id").cast("string"), 14, "0").alias("ts14"),
+        F.struct(F.lit(5).alias("priority_score")).alias("decision"))
+    out = schedule_round(frontier, budget_overrides=budgets)
+    sched = {r["host"]: r["count"] for r in
+             out.filter("sched_status = 'scheduled'")
+             .groupBy("host").count().collect()}
+    assert sched == {"a.com": 9, "b.com": 1}
