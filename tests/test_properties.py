@@ -236,3 +236,74 @@ def test_mix_rebalance_invariants(spark, data):
         draw = int(hashlib.md5(f"mix:{r['doc_id']}".encode())
                    .hexdigest()[:8], 16) % 1_000_000
         assert r["keep"] == (draw < r["accept_ppm"])
+
+
+def _py_surt(url: str) -> str:
+    """Twin of functions/urls.py surt_key for well-formed http(s) URLs."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url.strip())
+    host = re.sub(r"^www\d*\.", "", (p.hostname or "").lower())
+    rev = ",".join(reversed(host.split(".")))
+    path = (p.path or "/").lower()
+    q = p.query.lower()
+    qs = "?" + "&".join(sorted(q.split("&"))) if q else ""
+    return f"{rev}){path}{qs}"
+
+
+@SET
+@given(st.lists(st.tuples(
+    st.sampled_from(["example.com", "www.example.com", "a.b.co",
+                     "www3.site.org"]),
+    st.lists(st.sampled_from(["p", "q", "x-1", "y.z", "UP"]),
+             max_size=4),
+    st.lists(st.sampled_from(["a=1", "b=2", "k=v", "z="]), max_size=3),
+), min_size=1, max_size=30))
+def test_surt_key_matches_python_twin(spark, parts):
+    from chrono_scraper_spark.functions.urls import surt_key
+
+    urls = []
+    for host, segs, qparams in parts:
+        path = "/" + "/".join(segs)
+        q = ("?" + "&".join(qparams)) if qparams else ""
+        urls.append(f"https://{host}{path}{q}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["k"] for r in
+           df.select(surt_key(F.col("url")).alias("k")).collect()]
+    assert got == [_py_surt(u) for u in urls]
+
+
+def _py_robots_match(path: str, pattern: str) -> bool:
+    """RFC 9309 matcher twin: '*' any-sequence, trailing '$' anchor."""
+    anchored = pattern.endswith("$")
+    base = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(re.escape(seg) for seg in base.split("*"))
+    if anchored:
+        rx += "$"
+    return re.search(rx, path) is not None
+
+
+@SET
+@given(st.lists(st.tuples(
+    st.text(alphabet=st.sampled_from(list("ab/.*$?+()[")), min_size=1,
+            max_size=12),
+    st.text(alphabet=st.sampled_from(list("ab/.?+()[")), min_size=1,
+            max_size=16),
+), min_size=1, max_size=25))
+def test_robots_wildcard_matcher_matches_python_twin(spark, cases):
+    """Single-rule robots_filter decisions == the Python RFC 9309 twin,
+    across patterns mixing wildcards with regex metacharacters."""
+    from chrono_scraper_spark.operators.politeness import robots_filter
+
+    rows = [(f"h{i}.com", "/" + path, f"u{i}", "t")
+            for i, (_, path) in enumerate(cases)]
+    rules = [(f"h{i}.com", "/" + pat, False)
+             for i, (pat, _) in enumerate(cases)]
+    frontier = spark.createDataFrame(
+        rows, "host string, path string, url string, ts14 string")
+    rdf = spark.createDataFrame(
+        rules, "host string, path_prefix string, allowed boolean")
+    kept = {r["url"] for r in robots_filter(frontier, rdf).collect()}
+    for i, (pat, path) in enumerate(cases):
+        expect_kept = not _py_robots_match("/" + path, "/" + pat)
+        assert (f"u{i}" in kept) == expect_kept, (pat, path)
