@@ -3010,6 +3010,82 @@ def q_authority_budgets(spark, sf_dir):
     return authority_budgets(G.host_authority(edges, iters=5), 1000)
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (operators/graph.py::hits, 3 iterations)
+    over the same deterministic k-formula link graph as host_authority.
+    Integer arithmetic with overflow-safe shift-divide L1 normalization
+    (score = raw DIV max(1, ceil(Σraw/SCALE))) — bit-identical to the
+    oracle's chained CTEs; hub updates read the SAME-iteration (new)
+    authority scores per Kleinberg's alternation."""
+    from chrono_scraper_spark.operators import graph as G
+
+    pages = cdx_pages_view(spark, sf_dir)
+    k = (F.col("doc_id") * 7 + 3) % 500
+    dst = (F.when(k % 3 == 0, F.lit("mega.example.com"))
+           .when(k % 20 == 1, F.concat(F.lit("univ"),
+                                       (k % 4).cast("string"),
+                                       F.lit(".edu")))
+           .when(k % 20 == 2, F.concat(F.lit("agency"),
+                                       (k % 3).cast("string"),
+                                       F.lit(".gov")))
+           .otherwise(F.concat(F.lit("site"), (k % 40).cast("string"),
+                               F.lit(".com"))))
+    edges = pages.select(F.col("host").alias("src"),
+                         dst.alias("dst")).distinct()
+    return G.hits(edges, iters=3)
+
+
+_HITS_SCALE = 10**12
+
+
+def _hits_iter_cte(i: int) -> str:
+    """One HITS iteration: auth from previous hubs, hub from NEW auths,
+    each shift-divide normalized. s{i} -> s{i+1}."""
+    sc, c = _HITS_SCALE, _HITS_SCALE - 1
+    return f"""ar{i} AS (
+  SELECT e.dst AS host, CAST(sum(s.hub_nano) AS BIGINT) AS raw
+  FROM edges e JOIN s{i} s ON e.src = s.host GROUP BY e.dst),
+an{i} AS (
+  SELECT host, raw // greatest(CAST(1 AS BIGINT),
+    ((SELECT CAST(sum(raw) AS BIGINT) FROM ar{i}) + {c}) // {sc})
+    AS auth_nano
+  FROM ar{i}),
+hr{i} AS (
+  SELECT e.src AS host, CAST(sum(a.auth_nano) AS BIGINT) AS raw
+  FROM edges e JOIN an{i} a ON e.dst = a.host GROUP BY e.src),
+hn{i} AS (
+  SELECT host, raw // greatest(CAST(1 AS BIGINT),
+    ((SELECT CAST(sum(raw) AS BIGINT) FROM hr{i}) + {c}) // {sc})
+    AS hub_nano
+  FROM hr{i}),
+s{i + 1} AS (
+  SELECT h.host,
+    CAST(coalesce(hn.hub_nano, 0) AS BIGINT) AS hub_nano,
+    CAST(coalesce(an.auth_nano, 0) AS BIGINT) AS auth_nano
+  FROM hosts h LEFT JOIN hn{i} hn ON h.host = hn.host
+  LEFT JOIN an{i} an ON h.host = an.host)"""
+
+
+SQL_HITS = (f"WITH pages_cdx AS ({PAGES_CTE_DUCK}),\n"
+            + """
+ek AS (SELECT host AS src, (doc_id * 7 + 3) % 500 AS k FROM pages_cdx),
+edges0 AS (
+  SELECT DISTINCT src,
+    CASE WHEN k % 3 = 0 THEN 'mega.example.com'
+         WHEN k % 20 = 1 THEN 'univ' || CAST(k % 4 AS VARCHAR) || '.edu'
+         WHEN k % 20 = 2 THEN 'agency' || CAST(k % 3 AS VARCHAR) || '.gov'
+         ELSE 'site' || CAST(k % 40 AS VARCHAR) || '.com' END AS dst
+  FROM ek),
+edges AS (SELECT src, dst FROM edges0 WHERE src <> dst),
+hosts AS (SELECT src AS host FROM edges0 UNION SELECT dst FROM edges0),
+s0 AS (SELECT host,
+  CAST((SELECT 1000000000000 // count(*) FROM hosts) AS BIGINT) AS hub_nano,
+  CAST((SELECT 1000000000000 // count(*) FROM hosts) AS BIGINT) AS auth_nano
+  FROM hosts),
+""" + ",\n".join(_hits_iter_cte(i) for i in range(3))
+            + "\nSELECT host, hub_nano, auth_nano FROM s3")
+
+
 def _pagerank_iter_cte(i: int) -> str:
     return f"""r{i + 1} AS (
   SELECT h.host,
@@ -4512,6 +4588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_clean": q_unicode_clean,  # new: NFC + invisible-char pass
     "frontier_priority": q_frontier_priority,  # capstone fusion of the
     # authority + staleness + trap families (each covered above)
+    "hits": q_hits,  # Kleinberg hubs & authorities (graph family)
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -4668,4 +4745,5 @@ ORACLES: dict[str, str] = {
     "surt_cdxj": SQL_SURT_CDXJ,
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
     "authority_budgets": SQL_AUTHORITY_BUDGETS,
+    "hits": SQL_HITS,
 }

@@ -95,3 +95,93 @@ def host_authority(edges: DataFrame, iters: int = 5, damping_pct: int = 85,
     outdeg.unpersist()
     hosts.unpersist()
     return r
+
+
+def hits(edges: DataFrame, iters: int = 3,
+         checkpoint_every: int = 2) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) over a (src, dst) host edge
+    list — the complementary centrality to ``host_authority``'s PageRank:
+    authorities are pages LINKED BY good hubs (directory/portal hosts),
+    hubs are pages LINKING good authorities. Crawl schedulers use hub
+    scores to prioritize frontier DISCOVERY (a good hub yields many good
+    outlinks) and authority scores for fetch priority.
+
+    Returns (host, hub_nano long, auth_nano long).
+
+    Same execution discipline as ``host_authority``: integer arithmetic
+    end-to-end (nano-scaled longs; each half-iteration renormalizes to
+    Σ = SCALE via floor division, so results are order-independent and
+    bit-identical to the relational oracle), Pregel-shaped joins
+    (edges ⋈ scores shuffled on the join key, map-side partial sums),
+    cached iterations with periodic + final localCheckpoint truncation.
+    Self-loops are dropped from score flow like host_authority; hosts
+    come from the unfiltered edge list.
+
+    Normalization note: the classic L2 norm is irrational and engine-
+    dependent; the documented convention is a SHIFT-DIVIDE L1
+    normalization — ``score = raw DIV max(1, ceil(Σraw / SCALE))`` —
+    which keeps every intermediate ≤ ~1e18 (no ``raw * SCALE`` product,
+    which overflows int64 exactly where Spark wraps and DuckDB widens to
+    HUGEINT, i.e. where the engines would silently disagree). Rankings
+    are unchanged; Σ score ≈ SCALE up to floor loss.
+    """
+    raw = edges.select("src", "dst").cache()
+    hosts = (raw.select(F.col("src").alias("host"))
+             .union(raw.select(F.col("dst").alias("host")))
+             .distinct().cache())
+    n = hosts.count()
+    if n == 0:
+        raw.unpersist()
+        return hosts.select(
+            "host",
+            F.lit(0).cast("long").alias("hub_nano"),
+            F.lit(0).cast("long").alias("auth_nano"))
+    e = raw.filter(F.col("src") != F.col("dst")).cache()
+    s = hosts.select(
+        "host",
+        F.lit(SCALE // n).cast("long").alias("hub_nano"),
+        F.lit(SCALE // n).cast("long").alias("auth_nano"))
+    prev = None
+    for i in range(iters):
+        # auth(v) = Σ hub(u) over in-edges, then L1-normalize to SCALE
+        a = (e.join(s.select(F.col("host").alias("src"),
+                             F.col("hub_nano")), "src")
+             .groupBy(F.col("dst").alias("host"))
+             .agg(F.sum("hub_nano").alias("raw_auth")))
+        a_tot = a.agg(F.sum("raw_auth").alias("__t"))
+        a = (a.join(F.broadcast(a_tot))
+             .select("host", F.expr(
+                 f"CAST(raw_auth DIV greatest(CAST(1 AS BIGINT),"
+                 f" (__t + {SCALE - 1}) DIV {SCALE}) AS BIGINT)")
+                 .alias("auth_nano")))
+        # hub(u) = Σ auth(v) over out-edges, normalized likewise
+        h = (e.join(a.select(F.col("host").alias("dst"),
+                             F.col("auth_nano").alias("na")), "dst")
+             .groupBy(F.col("src").alias("host"))
+             .agg(F.sum("na").alias("raw_hub")))
+        h_tot = h.agg(F.sum("raw_hub").alias("__t"))
+        h = (h.join(F.broadcast(h_tot))
+             .select("host", F.expr(
+                 f"CAST(raw_hub DIV greatest(CAST(1 AS BIGINT),"
+                 f" (__t + {SCALE - 1}) DIV {SCALE}) AS BIGINT)")
+                 .alias("hub_nano")))
+        s = (hosts
+             .join(h, "host", "left")
+             .join(a, "host", "left")
+             .select("host",
+                     F.coalesce("hub_nano", F.lit(0)).cast("long")
+                     .alias("hub_nano"),
+                     F.coalesce("auth_nano", F.lit(0)).cast("long")
+                     .alias("auth_nano")))
+        if (i + 1) % checkpoint_every == 0 or i + 1 == iters:
+            s = s.localCheckpoint(eager=True)
+        else:
+            s = s.cache()
+            s.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = s
+    e.unpersist()
+    raw.unpersist()
+    hosts.unpersist()
+    return s

@@ -67,3 +67,48 @@ def test_host_authority_rank_mass_conserved_modulo_floor(spark):
                 for r in host_authority(df, iters=5).collect())
     # floor-division drops at most a few units per host per iteration
     assert SCALE * 0.9 < total <= SCALE
+
+
+def test_hits_planted_structure(spark):
+    """A directory host linking all three content hosts must out-hub a
+    host linking one; the doubly-linked content host must out-authority
+    the singly-linked ones."""
+    from chrono_scraper_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("hub.example", "a1"), ("hub.example", "a2"), ("hub.example", "a3"),
+         ("minor.example", "a1")],
+        "src string, dst string")
+    got = {r["host"]: (r["hub_nano"], r["auth_nano"])
+           for r in hits(edges, iters=3).collect()}
+    assert got["hub.example"][0] > got["minor.example"][0]
+    assert got["a1"][1] > got["a2"][1] == got["a3"][1]
+    # pure authorities have zero hub score; pure hubs zero authority
+    assert got["a1"][0] == 0 and got["hub.example"][1] == 0
+
+
+def test_hits_empty_and_selfloop_graphs(spark):
+    from chrono_scraper_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert hits(empty).count() == 0
+    # self-loop-only: hosts exist, no score flow -> all zeros, no div-0
+    loops = spark.createDataFrame([("a", "a"), ("b", "b")],
+                                  "src string, dst string")
+    got = {r["host"]: (r["hub_nano"], r["auth_nano"])
+           for r in hits(loops, iters=2).collect()}
+    assert got == {"a": (0, 0), "b": (0, 0)}
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    """Integer shift-divide normalization => bit-identical results for
+    1-partition vs many-partition inputs."""
+    from chrono_scraper_spark.operators.graph import hits
+
+    rows = [(f"s{i % 7}", f"d{(i * 3) % 11}") for i in range(60)]
+    e1 = spark.createDataFrame(rows, "src string, dst string").coalesce(1)
+    e2 = spark.createDataFrame(rows, "src string, dst string") \
+        .repartition(16)
+    r1 = {tuple(r) for r in hits(e1, iters=3).collect()}
+    r2 = {tuple(r) for r in hits(e2, iters=3).collect()}
+    assert r1 == r2
