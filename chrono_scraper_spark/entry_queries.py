@@ -3010,6 +3010,36 @@ def q_authority_budgets(spark, sf_dir):
     return authority_budgets(G.host_authority(edges, iters=5), 1000)
 
 
+def q_url_tree(spark, sf_dir):
+    """Hierarchical path-prefix rollup (operators/analytics.py
+    ``url_tree_stats``): per (host, depth≤3, '/seg1/…/') — distinct URLs,
+    captures, distinct digests. Bounded explode (≤3 prefixes/row), one
+    agg; the oracle replays it with a 3-row depth VALUES join."""
+    from chrono_scraper_spark.operators.analytics import url_tree_stats
+
+    return url_tree_stats(cdx_pages_view(spark, sf_dir), max_depth=3)
+
+
+SQL_URL_TREE = f"WITH pages_cdx AS ({PAGES_CTE_DUCK})" + """,
+segd AS (
+  SELECT host, url, digest,
+    list_filter(string_split(string_split_regex(path, '\\?')[1], '/'),
+                s -> s <> '') AS segs
+  FROM pages_cdx
+),
+expl AS (
+  SELECT host, url, digest, d.d AS depth,
+    '/' || array_to_string(segs[1:d.d], '/') || '/' AS prefix
+  FROM segd CROSS JOIN (VALUES (1), (2), (3)) d(d)
+  WHERE d.d <= least(len(segs), 3)
+)
+SELECT host, CAST(depth AS INT) AS depth, prefix,
+  count(DISTINCT url) AS n_urls,
+  count(*) AS n_captures,
+  count(DISTINCT digest) AS n_digests
+FROM expl GROUP BY host, depth, prefix"""
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs & authorities (operators/graph.py::hits, 3 iterations)
     over the same deterministic k-formula link graph as host_authority.
@@ -4589,6 +4619,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_priority": q_frontier_priority,  # capstone fusion of the
     # authority + staleness + trap families (each covered above)
     "hits": q_hits,  # Kleinberg hubs & authorities (graph family)
+    "url_tree": q_url_tree,  # hierarchical path-prefix rollup
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -4746,4 +4777,5 @@ ORACLES: dict[str, str] = {
     "redirect_resolve": SQL_REDIRECT_RESOLVE,
     "authority_budgets": SQL_AUTHORITY_BUDGETS,
     "hits": SQL_HITS,
+    "url_tree": SQL_URL_TREE,
 }

@@ -221,3 +221,46 @@ def project_monthly_rollup(project_fact: DataFrame) -> DataFrame:
                  F.round(F.avg(F.length("text")), 2)
                  .alias("avg_content_length"))
             .orderBy("project_id", "analytics_month"))
+
+
+def url_tree_stats(pages: DataFrame, max_depth: int = 3) -> DataFrame:
+    """Hierarchical path-prefix rollup: for every host and every path
+    prefix up to ``max_depth`` segments, the URL/capture/content counts —
+    the "which sections of this site are we crawling, and how duplicated
+    are they" view crawl operators read daily (the reference surfaces
+    only flat per-domain counts, data_transformers.py aggregates).
+
+    One Generate (explode of ≤ max_depth prefixes per row — bounded
+    fan-out, not corpus-squaring) + one aggregation keyed on
+    (host, depth, prefix); distinct counts ride the same shuffle as
+    count_distinct partial aggregates. Returns
+    (host, depth, prefix, n_urls, n_captures, n_digests).
+    """
+    segs = F.filter(
+        F.split(F.element_at(F.split(F.col("path"), r"\?"), 1), "/"),
+        lambda s: s != F.lit(""))
+    # guard the zero-segment root path: sequence(1, 0) in Spark yields a
+    # DESCENDING [1, 0], not an empty array — the root ('/') contributes
+    # no tree rows, matching the relational oracle's d >= 1 join
+    depths = F.when(
+        F.size(segs) >= 1,
+        F.sequence(F.lit(1), F.least(F.size(segs), F.lit(max_depth)))
+    ).otherwise(F.array().cast("array<int>"))
+    prefixes = F.transform(
+        depths,
+        lambda i: F.struct(
+            i.cast("int").alias("depth"),
+            F.concat(F.lit("/"),
+                     F.array_join(F.slice(segs, 1, i), "/"),
+                     F.lit("/")).alias("prefix")))
+    exploded = (pages
+                .select("host", "url", "digest",
+                        F.explode(prefixes).alias("p"))
+                .select("host", F.col("p.depth").alias("depth"),
+                        F.col("p.prefix").alias("prefix"),
+                        "url", "digest"))
+    return (exploded
+            .groupBy("host", "depth", "prefix")
+            .agg(F.countDistinct("url").alias("n_urls"),
+                 F.count("*").alias("n_captures"),
+                 F.countDistinct("digest").alias("n_digests")))

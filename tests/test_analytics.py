@@ -77,3 +77,42 @@ def test_content_analytics_and_extraction_stats(spark):
              for r in extraction_method_stats(fact).collect()}
     assert ("article", "success") in stats
     assert all(0.0 <= r["avg_quality"] <= 1.0 for r in stats.values())
+
+
+def test_url_tree_stats(spark):
+    from chrono_scraper_spark.operators.analytics import url_tree_stats
+
+    rows = [
+        ("h", "https://h/a/b/c", "d1", "/a/b/c"),
+        ("h", "https://h/a/b/c", "d2", "/a/b/c"),    # 2nd capture, new dg
+        ("h", "https://h/a/x", "d1", "/a/x"),        # shares /a/, dup dg
+        ("h", "https://h/q?y=1", "d3", "/q?y=1"),    # query stripped
+        ("h", "https://h/", "d4", "/"),              # no segments: no rows
+    ]
+    df = spark.createDataFrame(
+        [(h, u, d, p) for h, u, d, p in rows],
+        "host string, url string, digest string, path string")
+    got = {(r["depth"], r["prefix"]): (r["n_urls"], r["n_captures"],
+                                       r["n_digests"])
+           for r in url_tree_stats(df, max_depth=2).collect()}
+    assert got[(1, "/a/")] == (2, 3, 2)   # 2 urls, 3 captures, d1+d2
+    assert got[(2, "/a/b/")] == (1, 2, 2)
+    assert got[(1, "/q/")] == (1, 1, 1)   # '?y=1' not part of the tree
+    assert got[(2, "/a/x/")] == (1, 1, 1)
+    assert (3, "/a/b/c/") not in got      # depth capped at max_depth=2
+    # the zero-segment root path contributes no rows (and the Spark
+    # sequence(1,0)-descending trap must not fabricate '//' prefixes)
+    assert not any(p == "//" for _, p in got)
+
+
+def test_url_tree_stats_bounded_fanout_plan(spark):
+    """One Generate, one aggregate — the explode is bounded by max_depth,
+    not by corpus size."""
+    from chrono_scraper_spark.operators.analytics import url_tree_stats
+
+    df = spark.createDataFrame([("h", "u", "d", "/a/b")],
+                               "host string, url string, digest string, "
+                               "path string")
+    plan = url_tree_stats(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Generate") == 1
