@@ -3010,6 +3010,46 @@ def q_authority_budgets(spark, sf_dir):
     return authority_budgets(G.host_authority(edges, iters=5), 1000)
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable deterministic quantile sketch (operators/analytics.py
+    ``log2_quantile_sketch``): power-of-two histogram over content
+    length, p50/p90/p99 estimates as bin upper bounds. Sketch state is
+    ≤65 longs — map-side combinable and bit-identical across engines,
+    unlike percentile_approx's KLL state. Exact twin: status_percentiles
+    (A7) stays the small-N path."""
+    from chrono_scraper_spark.operators.analytics import (
+        log2_quantile_sketch,
+    )
+
+    pages = cdx_pages_view(spark, sf_dir)
+    return log2_quantile_sketch(pages.select("length"), "length",
+                                (50, 90, 99))
+
+
+SQL_QUANTILE_SKETCH = f"WITH pages_cdx AS ({PAGES_CTE_DUCK})" + """,
+hist AS (
+  SELECT CASE WHEN length <= 0 THEN 0
+              ELSE CAST(length(bin(length)) AS INT) END AS bin,
+         count(*) AS cnt
+  FROM pages_cdx GROUP BY 1),
+cum AS (
+  SELECT bin,
+    CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum_count,
+    CAST((SELECT sum(cnt) FROM hist) AS BIGINT) AS n
+  FROM hist),
+t AS (
+  SELECT q.q, c.bin, c.cum_count, c.n
+  FROM cum c CROSS JOIN (VALUES (50), (90), (99)) q(q)
+  WHERE c.cum_count * 100 >= q.q * c.n),
+best AS (SELECT q, min(bin) AS bin FROM t GROUP BY q)
+SELECT CAST(b.q AS INT) AS q, b.bin,
+  CAST(CASE WHEN b.bin = 0 THEN 0
+            ELSE (CAST(1 AS BIGINT) << b.bin) - 1 END AS BIGINT)
+    AS upper_bound,
+  c.cum_count, c.n
+FROM best b JOIN cum c ON b.bin = c.bin"""
+
+
 def q_url_tree(spark, sf_dir):
     """Hierarchical path-prefix rollup (operators/analytics.py
     ``url_tree_stats``): per (host, depth≤3, '/seg1/…/') — distinct URLs,
@@ -4620,6 +4660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # authority + staleness + trap families (each covered above)
     "hits": q_hits,  # Kleinberg hubs & authorities (graph family)
     "url_tree": q_url_tree,  # hierarchical path-prefix rollup
+    "quantile_sketch": q_quantile_sketch,  # mergeable log2-bin quantiles
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -4778,4 +4819,5 @@ ORACLES: dict[str, str] = {
     "authority_budgets": SQL_AUTHORITY_BUDGETS,
     "hits": SQL_HITS,
     "url_tree": SQL_URL_TREE,
+    "quantile_sketch": SQL_QUANTILE_SKETCH,
 }

@@ -264,3 +264,46 @@ def url_tree_stats(pages: DataFrame, max_depth: int = 3) -> DataFrame:
             .agg(F.countDistinct("url").alias("n_urls"),
                  F.count("*").alias("n_captures"),
                  F.countDistinct("digest").alias("n_digests")))
+
+
+def log2_quantile_sketch(df: DataFrame, col: str,
+                         qs: tuple = (50, 90, 99)) -> DataFrame:
+    """Mergeable deterministic quantile SKETCH over a non-negative long
+    column: power-of-two histogram bins (bin = bit length of the value,
+    0 for value 0), cumulative counts, quantile estimate = the upper
+    bound of the first bin whose cumulative count reaches ceil(q%·n).
+
+    This is the at-scale complement to ``status_percentiles`` (exact
+    percentile_approx): the sketch state is ≤ 65 longs per partition —
+    map-side combinable, mergeable across shards/days by plain addition,
+    and INTEGER-DETERMINISTIC (bit-identical across partitionings,
+    engines, and runs; Spark's approx_percentile sketch is neither
+    portable nor oracle-checkable). Relative error is bounded by the
+    bin width: estimate/true ∈ (1, 2] — the classic HdrHistogram/DDSketch
+    trade at γ=2; finer γ = more bins, same shape.
+
+    Returns (q int, bin int, upper_bound long, cum_count long, n long).
+    """
+    x = F.col(col).cast("long")
+    b = F.when(x <= 0, F.lit(0)).otherwise(F.length(F.bin(x))).cast("int")
+    hist = (df.select(b.alias("bin"))
+            .groupBy("bin").agg(F.count("*").alias("cnt")))
+    # ≤ 65 rows from here on: the window is a formality, not a shuffle
+    # of data (single partition of a 65-row frame)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (hist
+           .withColumn("cum_count", F.sum("cnt").over(w))
+           .join(F.broadcast(hist.agg(F.sum("cnt").alias("n"))))
+           .select("bin", "cum_count", "n"))
+    targets = F.explode(F.array(*[F.lit(int(q)) for q in qs])).alias("q")
+    t = cum.select(targets, "bin", "cum_count", "n").filter(
+        F.col("cum_count") * 100 >= F.col("q") * F.col("n"))
+    best = (t.groupBy("q")
+            .agg(F.min("bin").alias("bin")))
+    return (best.join(cum, "bin")
+            .select("q", "bin",
+                    F.when(F.col("bin") == 0, F.lit(0))
+                    .otherwise(F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), bin) - 1"))
+                    .cast("long").alias("upper_bound"),
+                    "cum_count", "n"))

@@ -116,3 +116,42 @@ def test_url_tree_stats_bounded_fanout_plan(spark):
     plan = url_tree_stats(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Generate") == 1
+
+
+def test_log2_quantile_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from chrono_scraper_spark.operators.analytics import (
+        log2_quantile_sketch,
+    )
+
+    # 100 values 1..100: p50 -> first bin with cum >= 50. bins:
+    # 1->[1], 2->[2,3], 3->[4..7], 4->[8..15], 5->[16..31], 6->[32..63],
+    # 7->[64..100]; cum = 1,3,7,15,31,63,100
+    df = spark.range(1, 101).select(F.col("id").alias("v"))
+    got = {r["q"]: (r["bin"], r["upper_bound"], r["cum_count"], r["n"])
+           for r in log2_quantile_sketch(df, "v", (50, 90, 99)).collect()}
+    assert got[50] == (6, 63, 63, 100)   # true p50=50, est 63 (< 2x)
+    assert got[90] == (7, 127, 100, 100)
+    assert got[99] == (7, 127, 100, 100)
+    for q, (_, ub, _, _) in got.items():
+        true = q  # p-th percentile of 1..100 is ~q
+        assert true <= ub < 2 * max(true, 1) + 64  # gamma=2 bound (loose)
+
+
+def test_log2_quantile_sketch_zero_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from chrono_scraper_spark.operators.analytics import (
+        log2_quantile_sketch,
+    )
+
+    rows = [(0,)] * 10 + [(5,)] * 2
+    df1 = spark.createDataFrame(rows, "v long").coalesce(1)
+    df2 = spark.createDataFrame(rows, "v long").repartition(8)
+    r1 = {tuple(r) for r in log2_quantile_sketch(df1, "v").collect()}
+    r2 = {tuple(r) for r in log2_quantile_sketch(df2, "v").collect()}
+    assert r1 == r2
+    got = {r["q"]: (r["bin"], r["upper_bound"])
+           for r in log2_quantile_sketch(df1, "v", (50,)).collect()}
+    assert got[50] == (0, 0)  # ten zeros dominate the median
