@@ -397,3 +397,58 @@ def test_crawl_honor_crawl_delay_matches_static_budget(spark, tmp_path, server):
              .filter(~F.col("url").startswith("https://mega.example.com"))
              .groupBy("first_seen_round").count().collect())
     assert any(r["count"] > 2 for r in other)
+
+
+def test_crawl_live_robots_wildcard_rules(spark, tmp_path, server):
+    """S7+P10 composition with RFC 9309 WILDCARD rules: a live-fetched
+    robots.txt carrying '*'/'$' patterns drives the same catalog state as
+    the equivalent static frame, and the wildcard-blocked URL is never
+    fetched as a page."""
+    from chrono_scraper_spark.operators.politeness import parse_robots
+
+    store, base = server
+    corpus = str(tmp_path / "pages")
+    generate_pages(spark, 40, partitions=4).write.parquet(corpus)
+    for r in spark.read.parquet(corpus).selectExpr(
+            "url", "date_format(warc_ts,'yyyyMMddHHmmss') ts14",
+            "html").collect():
+        store.pages[(r["ts14"], r["url"])] = bytes(r["html"])
+    # '*-0$': any /articles/ path whose tail is '-0' — matches entry-0
+    # exactly (entry-10 ends '10', not '-0')
+    robots_body = "User-agent: *\nDisallow: /articles/*-0$"
+    store.pages[("robots", "https://mega.example.com/robots.txt")] = (
+        robots_body.encode())
+
+    seeds = spark.createDataFrame(
+        [(1, r"https://.*", "regex", None, None, None)],
+        "project_id int, domain_name string, match_type string, "
+        "url_path string, from_date date, to_date date")
+    kw = dict(rps=0.2, burst=3, round_seconds=60.0, salt_target_rows=10)
+
+    static_rules = parse_robots(spark.createDataFrame(
+        [("mega.example.com", robots_body)], "host string, body string"))
+    replay = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "rwild")),
+                      corpus, seeds, robots_rules=static_rules, **kw)
+    replay.run(max_rounds=50)
+    live = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "lwild")),
+                    corpus, seeds, fetch_mode="http", live_robots=True,
+                    http_fetch={"url_template": TEMPLATE.format(base=base),
+                                "max_retries": 1},
+                    **kw)
+    live.run(max_rounds=50)
+
+    def seen(cat):
+        return {(r["url"], r["ts14"]): r["status"]
+                for r in cat.read("url_seen").collect()}
+
+    assert seen(replay.cat) == seen(live.cat)
+    blocked = "https://mega.example.com/articles/entry-0"
+    assert not any(r["url"] == blocked
+                   for r in live.cat.read("url_seen").collect())
+    assert all(not h.endswith(blocked) for h in store.hits
+               if "/robots/" not in h)
+    # the anchored wildcard must NOT have blocked entry-10/entry-30 style
+    # urls (tail '0' but not '-0')
+    others = [r["url"] for r in live.cat.read("url_seen").collect()
+              if "/articles/entry-" in r["url"] and r["url"] != blocked]
+    assert others, "non-matching /articles/ urls must still be crawled"
