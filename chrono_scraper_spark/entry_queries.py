@@ -3701,26 +3701,22 @@ def q_surt_cdxj(spark, sf_dir):
     return cdxj_records(cdx_pages_view(spark, sf_dir))
 
 
-SQL_SURT_CDXJ = f"WITH pages_cdx AS ({PAGES_CTE_DUCK})" + """
+_SURT_EXPR_DUCK = """array_to_string(list_reverse(string_split(
+      regexp_replace(host, '^www\\d*\\.', ''), '.')), ',')
+  || ')' || lower(string_split_regex(path, '\\?')[1])
+  || CASE WHEN instr(path, '?') = 0 THEN ''
+          ELSE '?' || array_to_string(list_sort(string_split(
+                 lower(string_split_regex(path, '\\?')[2]), '&')), '&')
+     END"""
+
+SQL_SURT_CDXJ = f"WITH pages_cdx AS ({PAGES_CTE_DUCK})" + f"""
 SELECT
-  array_to_string(list_reverse(string_split(
-      regexp_replace(host, '^www\\d*\\.', ''), '.')), ',')
-  || ')' || lower(string_split_regex(path, '\\?')[1])
-  || CASE WHEN instr(path, '?') = 0 THEN ''
-          ELSE '?' || array_to_string(list_sort(string_split(
-                 lower(string_split_regex(path, '\\?')[2]), '&')), '&')
-     END AS surt,
+  {_SURT_EXPR_DUCK} AS surt,
   ts14,
-  array_to_string(list_reverse(string_split(
-      regexp_replace(host, '^www\\d*\\.', ''), '.')), ',')
-  || ')' || lower(string_split_regex(path, '\\?')[1])
-  || CASE WHEN instr(path, '?') = 0 THEN ''
-          ELSE '?' || array_to_string(list_sort(string_split(
-                 lower(string_split_regex(path, '\\?')[2]), '&')), '&')
-     END
-  || ' ' || ts14 || ' {"url":"' || url || '","mime":"' || mime
+  {_SURT_EXPR_DUCK}
+  || ' ' || ts14 || ' {{"url":"' || url || '","mime":"' || mime
   || '","status":"' || CAST(status AS VARCHAR) || '","digest":"' || digest
-  || '","length":"' || CAST(length AS VARCHAR) || '"}' AS cdxj_line
+  || '","length":"' || CAST(length AS VARCHAR) || '"}}' AS cdxj_line
 FROM pages_cdx"""
 
 
@@ -3769,6 +3765,58 @@ UNION ALL
 SELECT 'https://loop.example.com/a', NULL, NULL, TRUE
 UNION ALL
 SELECT 'https://loop.example.com/b', NULL, NULL, TRUE""")
+
+
+def q_surt_collapse(spark, sf_dir):
+    """Canonical-URL collapse on SURT keys (operators/dedup.py
+    ``surt_collapse``): corpus URLs augmented with deterministic
+    www-prefixed and query-reordered VARIANTS (every third doc) must fold
+    back onto their canonical representative — earliest capture wins,
+    variant/capture counts per key. Oracle replays the canonicalization
+    and the argmin relationally."""
+    from chrono_scraper_spark.operators.dedup import surt_collapse
+
+    pages = cdx_pages_view(spark, sf_dir).select(
+        "url", "warc_ts", "ts14", "doc_id")
+    variants = (pages.filter(F.col("doc_id") % 3 == 0)
+                .select(F.regexp_replace("url", "^https://",
+                                         "https://www.").alias("url"),
+                        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+                        .alias("warc_ts"),
+                        F.date_format(
+                            F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"),
+                            "yyyyMMddHHmmss").alias("ts14"),
+                        "doc_id"))
+    return surt_collapse(pages.unionByName(variants))
+
+
+SQL_SURT_COLLAPSE = f"WITH pages_cdx AS ({PAGES_CTE_DUCK})" + f""",
+aug AS (
+  SELECT url, warc_ts, ts14, host, path FROM pages_cdx
+  UNION ALL
+  SELECT regexp_replace(url, '^https://', 'https://www.') AS url,
+    warc_ts + INTERVAL 1 HOUR AS warc_ts,
+    strftime(warc_ts + INTERVAL 1 HOUR, '%Y%m%d%H%M%S') AS ts14,
+    host, path
+  FROM pages_cdx WHERE doc_id % 3 = 0
+),
+keyed AS (
+  SELECT {_SURT_EXPR_DUCK} AS surt, url, warc_ts, ts14 FROM aug
+),
+ranked AS (
+  SELECT surt, url, ts14,
+    row_number() OVER (PARTITION BY surt
+                       ORDER BY warc_ts, url, ts14) AS rn
+  FROM keyed
+),
+counts AS (
+  SELECT surt, count(DISTINCT url) AS n_variants,
+    count(*) AS n_captures
+  FROM keyed GROUP BY surt
+)
+SELECT r.surt, r.url, r.ts14, c.n_variants, c.n_captures
+FROM ranked r JOIN counts c ON r.surt = c.surt
+WHERE r.rn = 1"""
 
 
 def q_unicode_clean(spark, sf_dir):
@@ -4661,6 +4709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits": q_hits,  # Kleinberg hubs & authorities (graph family)
     "url_tree": q_url_tree,  # hierarchical path-prefix rollup
     "quantile_sketch": q_quantile_sketch,  # mergeable log2-bin quantiles
+    "surt_collapse": q_surt_collapse,  # canonical-URL dedup on SURT keys
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -4820,4 +4869,5 @@ ORACLES: dict[str, str] = {
     "hits": SQL_HITS,
     "url_tree": SQL_URL_TREE,
     "quantile_sketch": SQL_QUANTILE_SKETCH,
+    "surt_collapse": SQL_SURT_COLLAPSE,
 }

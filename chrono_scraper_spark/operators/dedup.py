@@ -232,3 +232,29 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
          .when(F.col("old_digest").eqNullSafe(F.col("new_digest")),
                F.lit("unchanged"))
          .otherwise(F.lit("changed")).alias("change"))
+
+
+def surt_collapse(pages: DataFrame) -> DataFrame:
+    """Canonical-URL collapse on the SURT key: URL variants that differ
+    only in scheme, a leading www-label, case, query-parameter order, or
+    fragment (functions/urls.surt_key canonicalization) fold to ONE
+    representative — the earliest capture, ties broken by (url, ts14).
+    The web-archive analog of D1's digest collapse, keyed on URL IDENTITY
+    instead of content: 'http://www.example.com/p?b=2&a=1' and
+    'https://example.com/p?a=1&b=2' are the same resource to a crawler
+    even when their bytes differ across captures.
+
+    One aggregation keyed on surt (min-struct argmin + counts share the
+    shuffle). Returns (surt, url, ts14, n_variants, n_captures).
+    """
+    from ..functions.urls import surt_key
+
+    keyed = pages.withColumn("__surt", surt_key(F.col("url")))
+    best = F.min(F.struct("warc_ts", "url", "ts14")).alias("b")
+    return (keyed.groupBy(F.col("__surt").alias("surt"))
+            .agg(best,
+                 F.countDistinct("url").alias("n_variants"),
+                 F.count("*").alias("n_captures"))
+            .select("surt", F.col("b.url").alias("url"),
+                    F.col("b.ts14").alias("ts14"),
+                    "n_variants", "n_captures"))

@@ -103,3 +103,29 @@ def test_snapshot_diff_plan_single_full_outer_join(spark):
         .executedPlan().toString()
     assert "FullOuter" in plan
     assert plan.count("SortMergeJoin") == 1  # one key join, no window
+
+
+def test_surt_collapse_variants_fold(spark):
+    from chrono_scraper_spark.operators.dedup import surt_collapse
+
+    rows = [
+        # three spellings of one resource, captured at different times
+        ("https://example.com/p?b=2&a=1", "2020-01-02 00:00:00", "t2"),
+        ("https://www.example.com/p?a=1&b=2", "2020-01-01 00:00:00", "t1"),
+        ("http://EXAMPLE.com/p?a=1&b=2", "2020-01-03 00:00:00", "t3"),
+        # a different resource on the same host
+        ("https://example.com/q", "2020-01-01 00:00:00", "t4"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, s) for u, t, s in rows],
+        "url string, warc_ts string, ts14 string").withColumn(
+        "warc_ts", F.to_timestamp("warc_ts"))
+    got = {r["surt"]: r for r in surt_collapse(df).collect()}
+    assert set(got) == {"com,example)/p?a=1&b=2", "com,example)/q"}
+    p = got["com,example)/p?a=1&b=2"]
+    # earliest capture is the representative; all 3 variants counted
+    assert p["url"] == "https://www.example.com/p?a=1&b=2"
+    assert p["ts14"] == "t1" and p["n_variants"] == 3
+    assert p["n_captures"] == 3
+    q = got["com,example)/q"]
+    assert q["n_variants"] == 1 and q["n_captures"] == 1
