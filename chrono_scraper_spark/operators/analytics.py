@@ -284,12 +284,38 @@ def log2_quantile_sketch(df: DataFrame, col: str,
 
     Returns (q int, bin int, upper_bound long, cum_count long, n long).
     """
+    return quantiles_from_histogram(log2_histogram(df, col), qs)
+
+
+def log2_histogram(df: DataFrame, col: str) -> DataFrame:
+    """The sketch STATE: (bin, cnt) with bin = bit length of the value
+    (0 for ≤0). Histograms from different shards/days/streams merge by
+    ``unionByName → groupBy(bin).sum(cnt)`` — plain addition, the
+    property that makes the sketch distributable (see
+    ``merge_histograms``)."""
     x = F.col(col).cast("long")
     b = F.when(x <= 0, F.lit(0)).otherwise(F.length(F.bin(x))).cast("int")
-    hist = (df.select(b.alias("bin"))
+    return (df.select(b.alias("bin"))
             .groupBy("bin").agg(F.count("*").alias("cnt")))
-    # ≤ 65 rows from here on: the window is a formality, not a shuffle
-    # of data (single partition of a 65-row frame)
+
+
+def merge_histograms(*hists: DataFrame) -> DataFrame:
+    """Merge sketch states by addition — the mergeability contract:
+    quantiles_from_histogram(merge(h(A), h(B))) ==
+    quantiles_from_histogram(h(A ∪ B)) exactly (same integers, not
+    approximately)."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantiles_from_histogram(hist: DataFrame,
+                             qs: tuple = (50, 90, 99)) -> DataFrame:
+    """Quantile estimates from a (bin, cnt) sketch state.
+
+    ≤ 65 rows from here on: the window is a formality, not a shuffle
+    of data (single partition of a 65-row frame)."""
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = (hist
            .withColumn("cum_count", F.sum("cnt").over(w))

@@ -155,3 +155,29 @@ def test_log2_quantile_sketch_zero_and_determinism(spark):
     got = {r["q"]: (r["bin"], r["upper_bound"])
            for r in log2_quantile_sketch(df1, "v", (50,)).collect()}
     assert got[50] == (0, 0)  # ten zeros dominate the median
+
+
+def test_log2_histogram_merge_exactness(spark):
+    """Mergeability contract: quantiles from merged shard histograms ==
+    quantiles from the whole dataset, exactly."""
+    from pyspark.sql import functions as F
+
+    from chrono_scraper_spark.operators.analytics import (
+        log2_histogram,
+        log2_quantile_sketch,
+        merge_histograms,
+        quantiles_from_histogram,
+    )
+
+    whole = spark.range(1, 500).select(F.col("id").alias("v"))
+    a = whole.filter("v % 3 = 0")
+    b = whole.filter("v % 3 = 1")
+    c = whole.filter("v % 3 = 2")
+    merged = merge_histograms(log2_histogram(a, "v"),
+                              log2_histogram(b, "v"),
+                              log2_histogram(c, "v"))
+    got = {tuple(r) for r in
+           quantiles_from_histogram(merged, (50, 90, 99)).collect()}
+    want = {tuple(r) for r in
+            log2_quantile_sketch(whole, "v", (50, 90, 99)).collect()}
+    assert got == want
