@@ -1,0 +1,102 @@
+"""Spider mode: link-guided frontier expansion over the capture archive.
+
+The reference's frontier comes from CDX discovery (every capture matching
+the project seeds); a SPIDER starts from a seed URL set and reaches only
+what links reach — the crawl shape every general-purpose crawler runs and
+the natural way to harvest a coherent subgraph out of a 10^10-capture
+archive (follow links from a hub page instead of fetching a domain
+wholesale).
+
+Composition, not new machinery: each round is ``CrawlJob.run_round`` via
+its ``discovered`` injection (the same single code path batch and
+streaming rounds share), and expansion is ``operators/links.extract_links``
+over the html of the captures fetched THIS round, joined back to the
+archive for the targets' captures. The seen set, filter chain,
+politeness budgets, ordering, extraction, and idempotent commits are all
+the round's own; the spider adds exactly one archive semi-join and one
+url_seen anti-join per round.
+
+Scale shape: the corpus discovery frame is computed once and cached; per
+round the only new work is links(html of fetched rows) — fetched-rows
+cardinality, not corpus — and two key joins (dst_url semi-join against
+the archive, url anti-join against url_seen). Frontier growth is bounded
+by the politeness budget exactly like a live crawler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import ts14 as _ts14
+from ..operators.dedup import collapse_digest, in_batch_dedup
+from ..operators.links import extract_links
+from ..sources.cdx import discover, read_pages
+from .crawl import FRONTIER_KEY
+
+
+def run_spider(job, seed_urls, max_rounds: int = 10) -> list[dict]:
+    """Run link-guided rounds until the reachable set is exhausted or
+    ``max_rounds`` is hit. ``seed_urls``: list of URL strings or a
+    DataFrame with a ``url`` column. Returns per-round counter dicts
+    (each also carries ``spider_new_urls`` — the fresh URLs the round's
+    links discovered)."""
+    spark = job.spark
+    if not isinstance(seed_urls, DataFrame):
+        seed_urls = spark.createDataFrame(
+            [(u,) for u in seed_urls], "url string")
+    pages = read_pages(spark, job.pages_path)
+    if "ts14" not in pages.columns:
+        pages = pages.withColumn("ts14", _ts14(F.col("warc_ts")))
+    raw = discover(pages, job.seeds,
+                   allowed_mime=None if job.include_attachments
+                   else ["text/html"]).cache()
+
+    def _caps(urls: DataFrame) -> DataFrame:
+        hit = raw.join(urls.select("url"), "url", "left_semi")
+        return in_batch_dedup(collapse_digest(hit), FRONTIER_KEY)
+
+    cands = _caps(seed_urls)
+    stats: list[dict] = []
+    for r in range(max_rounds):
+        # carry the frontier deferred by the previous round (the same
+        # union run_stream_round does — discovered= injection bypasses
+        # run_round's own carry path)
+        if r > 0:
+            prev = job._prev_versions(r)
+            if prev.get("frontier") is not None:
+                carried = job._read_pinned("frontier", prev,
+                                           "url string").drop("decision")
+                cands = cands.unionByName(carried,
+                                          allowMissingColumns=True)
+                if "retry_count" in cands.columns:
+                    cands = cands.withColumn(
+                        "retry_count",
+                        F.coalesce(F.col("retry_count"),
+                                   F.lit(0).cast("int")))
+                cands = in_batch_dedup(cands, FRONTIER_KEY)
+        res = job.run_round(r, discovered=cands)
+        # expand: links from the captures fetched this round (archive
+        # html of the fetched keys — fetched cardinality, not corpus)
+        fetched = (job.cat.read("fetch_log")
+                   .filter((F.col("round_idx") == r)
+                           & (F.col("fetch_status") == "completed"))
+                   .select("url", "ts14"))
+        payload = (pages.join(fetched, ["url", "ts14"], "left_semi")
+                   .select("url", "host", "html"))
+        targets = (extract_links(payload)
+                   .select(F.col("dst_url").alias("url")).distinct())
+        seen = job.cat.read("url_seen").select("url").distinct()
+        fresh = targets.join(seen, "url", "left_anti")
+        # fresh IN-ARCHIVE urls only: off-archive links (dead ends the
+        # replay cannot fetch) neither count nor cost a round
+        cands = _caps(fresh)
+        n_new = cands.select("url").distinct().count()
+        res["spider_new_urls"] = n_new
+        stats.append(res)
+        # done only when links uncovered nothing AND no deferred rows
+        # are owed a next round (budget-deferred work must drain)
+        if n_new == 0 and not res.get("deferred"):
+            break
+    raw.unpersist()
+    return stats

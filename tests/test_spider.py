@@ -1,0 +1,100 @@
+"""Spider mode (plans/spider.py): link-guided frontier expansion.
+
+Planted graph over a replay archive: a → {b, c}, b → d, e isolated.
+Spidering from a must crawl exactly {a, b, c, d}, discovering each at
+its link distance; e (present in the archive, unlinked) must never be
+fetched. Off-archive links resolve to nothing and are dropped silently.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime
+
+from chrono_scraper_spark.plans.catalog import SnapshotCatalog
+from chrono_scraper_spark.plans.crawl import CrawlJob
+from chrono_scraper_spark.plans.spider import run_spider
+
+A = "https://s.example/a"
+B = "https://s.example/b"
+C = "https://t.example/c"
+D = "https://s.example/d"
+E = "https://s.example/e"
+
+
+def _page(url, host, links, seed):
+    words = " ".join(f"w{seed}word{i}" for i in range(60))
+    nav = "".join(f'<a href="{h}">go</a>' for h in links)
+    html = (f"<html><head><title>t{seed}</title></head><body>"
+            f"<nav>{nav}</nav>"
+            f"<article><p>{words}</p></article></body></html>").encode()
+    # length is CDX metadata, not len(html): keep it inside the F4 size
+    # window so the filter chain admits every page
+    return (url, host, datetime(2020, 1, 1, seed), html, words, "en",
+            "text/html", 200, hashlib.md5(words.encode()).hexdigest(),
+            5000 + seed)
+
+
+def _corpus(spark, tmp_path, a_links=("/b", C)):
+    rows = [
+        _page(A, "s.example", list(a_links), 1),      # relative + absolute
+        _page(B, "s.example", [D, "#frag",
+                               "mailto:x@y", "https://offsite.example/x"],
+              2),                                      # junk hrefs dropped
+        _page(C, "t.example", [], 3),
+        _page(D, "s.example", [], 4),
+        _page(E, "s.example", [A], 5),                 # E links a, unlinked
+    ]
+    path = str(tmp_path / "spider_pages")
+    spark.createDataFrame(
+        rows,
+        "url string, host string, warc_ts timestamp, html binary, "
+        "text string, lang string, mime string, status int, "
+        "digest string, length long").write.parquet(path)
+    return path
+
+
+def _seeds(spark):
+    return spark.createDataFrame(
+        [(1, r"https://.*", "regex", None, None, None)],
+        "project_id int, domain_name string, match_type string, "
+        "url_path string, from_date date, to_date date")
+
+
+def test_spider_reaches_linked_set_only(spark, tmp_path):
+    corpus = _corpus(spark, tmp_path)
+    job = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "wh")),
+                   corpus, _seeds(spark), rps=10.0, burst=10,
+                   round_seconds=60.0)
+    stats = run_spider(job, [A], max_rounds=10)
+
+    seen = {r["url"]: r["first_seen_round"]
+            for r in job.cat.read("url_seen").collect()}
+    assert set(seen) == {A, B, C, D}          # e never reached
+    assert seen[A] == 0
+    assert seen[B] == 1 and seen[C] == 1      # distance-1
+    assert seen[D] == 2                       # distance-2 via b
+    # expansion counters (fresh IN-ARCHIVE urls — the offsite link from b
+    # counts for nothing): round 0 uncovered {b, c}, round 1 {d},
+    # round 2 nothing -> stop before max_rounds
+    assert [s["spider_new_urls"] for s in stats] == [2, 1, 0]
+    assert len(stats) == 3
+
+
+def test_spider_respects_politeness_budget(spark, tmp_path):
+    """Budget 1/host/round, a links b, d, AND c: b and d share s.example,
+    so one of them MUST defer a round (carried deferred frontier), while
+    c proceeds on its own host — the spider inherits the scheduler, it
+    does not bypass it."""
+    corpus = _corpus(spark, tmp_path, a_links=("/b", "/d", C))
+    job = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "wh2")),
+                   corpus, _seeds(spark), rps=0.02, burst=0,
+                   round_seconds=60.0)  # int(0.02*60) = 1 fetch/host/round
+    run_spider(job, [A], max_rounds=10)
+    seen = {r["url"]: r["first_seen_round"]
+            for r in job.cat.read("url_seen").collect()}
+    assert set(seen) == {A, B, C, D}
+    # b and d were BOTH distance-1 candidates in round 1; the 1/host
+    # budget admits b (url asc tie-break), defers d to round 2
+    assert seen[B] == 1 and seen[C] == 1
+    assert seen[D] == 2
