@@ -213,9 +213,17 @@ def kmeans_clusters(docs: DataFrame, k: int = 8, iters: int = 2,
                              F.md5(F.col(id_col).cast("string")),
                              id_col)) - 1)
                      .cast("long").alias("cluster_id")))
+    # The centroid table is referenced TWICE per iteration (its norms and
+    # the dot products), and each next iteration's cent nests the previous
+    # assign — left lazy the plan doubles per iteration (2^iters subtree
+    # copies; 87 Exchanges at iters=2 in the cohesion caller). cent is at
+    # most k·max_features rows, so an eager localCheckpoint per iteration
+    # makes the loop linear in iters for the cost of materializing a few
+    # thousand rows.
     cent = (vec.join(F.broadcast(seeds), id_col)
             .select("cluster_id", "term",
-                    F.col("w").cast(_DEC).alias("cw")))
+                    F.col("w").cast(_DEC).alias("cw"))
+            .localCheckpoint(eager=True))
 
     assign = None
     for step in range(iters):
@@ -238,7 +246,8 @@ def kmeans_clusters(docs: DataFrame, k: int = 8, iters: int = 2,
         if step < iters - 1:
             cent = (vec.join(assign.select(id_col, "cluster_id"), id_col)
                     .groupBy("cluster_id", "term")
-                    .agg(F.sum(F.col("w").cast(_DEC)).alias("cw")))
+                    .agg(F.sum(F.col("w").cast(_DEC)).alias("cw"))
+                    .localCheckpoint(eager=True))
 
     return assign.select(
         id_col, "cluster_id",
@@ -267,8 +276,12 @@ def cluster_cohesion(docs: DataFrame, k: int = 8, iters: int = 2,
     centroid (topic_modeling.py:430-433)."""
     vectors = tfidf_terms(docs, id_col, text_col, min_df, max_df_frac,
                           max_features).localCheckpoint(eager=True)
+    # assign feeds three derivations (unit vectors, sizes, and through
+    # them the cohesion join) — truncate the k-means lineage once so each
+    # is a scan of the (doc, cluster) result, not a re-run of the loop
     assign = kmeans_clusters(docs, k, iters, id_col, text_col, min_df,
-                             max_df_frac, max_features, vectors=vectors)
+                             max_df_frac, max_features, vectors=vectors
+                             ).localCheckpoint(eager=True)
     norm2 = vectors.groupBy(id_col).agg(
         F.sum(F.col("w").cast(_DEC) * F.col("w")).alias("_dn2"))
     unit = (vectors.join(norm2, id_col)
@@ -277,8 +290,10 @@ def cluster_cohesion(docs: DataFrame, k: int = 8, iters: int = 2,
                     F.floor(F.col("w")
                             / F.sqrt(F.col("_dn2").cast("double"))
                             * 1e9).cast("long").alias("u_nano")))
+    # referenced by both the sum-of-squares agg and the top-terms ranking;
+    # ≤ k·max_features rows, so materialize once
     comp = unit.groupBy("cluster_id", "term").agg(
-        F.sum("u_nano").alias("s"))
+        F.sum("u_nano").alias("s")).localCheckpoint(eager=True)
     sums = comp.groupBy("cluster_id").agg(
         F.sum(F.col("s").cast(_DEC) * F.col("s")).alias("_ss2"))
     sizes = assign.groupBy("cluster_id").agg(
@@ -458,7 +473,13 @@ def topic_assign(docs: DataFrame, topics: DataFrame,
     topics = topics.localCheckpoint(eager=True)
     toks = docs.select(F.col(id_col),
                        F.explode(T.tokens(F.col(text_col))).alias("term"))
-    nt = toks.groupBy(id_col).agg(F.count("*").alias("_n"))
+    # per-doc token counts as a zero-shuffle projection (size of the token
+    # array) instead of a second explode + agg over the corpus; the >0
+    # filter keeps the exploded branch's inner-join semantics (token-less
+    # docs absent)
+    nt = (docs.select(F.col(id_col),
+                      F.size(T.tokens(F.col(text_col))).alias("_n"))
+          .filter(F.col("_n") > 0))
     tot = topics.groupBy(F.col(topic_col)).agg(
         F.sum(F.col(cnt_col)).alias("_tot"))
     vv = topics.agg(F.count_distinct(F.col(term_col)).alias("_v"))
