@@ -3050,6 +3050,62 @@ SELECT CAST(b.q AS INT) AS q, b.bin,
 FROM best b JOIN cum c ON b.bin = c.bin"""
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Deterministic mergeable HyperLogLog (operators/analytics.py
+    ``hll_distinct``): per-host approximate COUNT(DISTINCT url), p=8.
+    md5-derived buckets/rhos make registers AND estimate bit-identical
+    cross-engine (Spark's approx_count_distinct state is neither); the
+    harmonic sum is exact-integer so the single double division sees
+    identical operands. Exact twins stay the small-N path (A8/A10
+    countDistinct)."""
+    from chrono_scraper_spark.operators.analytics import hll_distinct
+
+    pages = cdx_pages_view(spark, sf_dir)
+    return hll_distinct(pages.select("host", "url"), "url",
+                        keys=("host",))
+
+
+SQL_HLL_DISTINCT = f"WITH pages_cdx AS ({PAGES_CTE_DUCK})" + """,
+h AS (SELECT host, md5(url) AS hh FROM pages_cdx),
+rr AS (
+  SELECT host,
+    (strpos('0123456789abcdef', substring(hh, 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substring(hh, 2, 1)) - 1 AS bucket,
+    CASE WHEN regexp_replace(substring(hh, 3, 14), '^0+', '') = ''
+         THEN 57
+         ELSE (14 - length(regexp_replace(substring(hh, 3, 14),
+                                          '^0+', ''))) * 4
+              + CASE WHEN strpos('0123456789abcdef',
+                       substring(regexp_replace(substring(hh, 3, 14),
+                                 '^0+', ''), 1, 1)) - 1 >= 8 THEN 0
+                     WHEN strpos('0123456789abcdef',
+                       substring(regexp_replace(substring(hh, 3, 14),
+                                 '^0+', ''), 1, 1)) - 1 >= 4 THEN 1
+                     WHEN strpos('0123456789abcdef',
+                       substring(regexp_replace(substring(hh, 3, 14),
+                                 '^0+', ''), 1, 1)) - 1 >= 2 THEN 2
+                     ELSE 3 END + 1 END AS rho
+  FROM h),
+regs AS (SELECT host, bucket, max(rho) AS register
+         FROM rr GROUP BY host, bucket),
+agg AS (SELECT host, count(*) AS nb,
+          sum(((1::BIGINT << (57 - register)))::HUGEINT) AS s
+        FROM regs GROUP BY host),
+fin AS (SELECT host,
+          s + (256 - nb)::HUGEINT * ((1::BIGINT << 57))::HUGEINT AS st,
+          256 - nb AS v
+        FROM agg)
+SELECT host,
+  CAST(floor(CASE WHEN 0.7213 / (1 + 1.079 / 256) * 256 * 256
+                       * power(2, 57) / CAST(st AS DOUBLE) <= 2.5 * 256
+                       AND v > 0
+                  THEN 256 * ln(256 / CAST(v AS DOUBLE))
+                  ELSE 0.7213 / (1 + 1.079 / 256) * 256 * 256
+                       * power(2, 57) / CAST(st AS DOUBLE) END
+             + 0.5) AS BIGINT) AS est_distinct
+FROM fin"""
+
+
 def q_url_tree(spark, sf_dir):
     """Hierarchical path-prefix rollup (operators/analytics.py
     ``url_tree_stats``): per (host, depth≤3, '/seg1/…/') — distinct URLs,
@@ -4709,6 +4765,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits": q_hits,  # Kleinberg hubs & authorities (graph family)
     "url_tree": q_url_tree,  # hierarchical path-prefix rollup
     "quantile_sketch": q_quantile_sketch,  # mergeable log2-bin quantiles
+    "hll_distinct": q_hll_distinct,  # mergeable deterministic HLL
     "surt_collapse": q_surt_collapse,  # canonical-URL dedup on SURT keys
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
@@ -4869,5 +4926,6 @@ ORACLES: dict[str, str] = {
     "hits": SQL_HITS,
     "url_tree": SQL_URL_TREE,
     "quantile_sketch": SQL_QUANTILE_SKETCH,
+    "hll_distinct": SQL_HLL_DISTINCT,
     "surt_collapse": SQL_SURT_COLLAPSE,
 }

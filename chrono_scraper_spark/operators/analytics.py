@@ -333,3 +333,115 @@ def quantiles_from_histogram(hist: DataFrame,
                         "shiftleft(CAST(1 AS BIGINT), bin) - 1"))
                     .cast("long").alias("upper_bound"),
                     "cum_count", "n"))
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct sketch (deterministic, mergeable, cross-engine)
+# --------------------------------------------------------------------------
+#
+# The third mergeable sketch next to log2_histogram (quantiles) and the
+# Bloom/Cuckoo seen filters (membership): approximate COUNT DISTINCT whose
+# state is ≤ 2^p small ints per group — map-side combinable, mergeable
+# across shards/days/streams by per-bucket MAX, and (unlike Spark's
+# approx_count_distinct, whose HLL++ state is neither portable nor
+# inspectable) built from md5 so the registers AND the estimate are
+# bit-identical on any engine with md5/strpos/regexp_replace — the DuckDB
+# oracle replays it exactly. Flajolet et al. 2007 semantics: bucket = first
+# p bits of the hash, rho = 1 + leading zeros of the next 56 bits (capped
+# 57), estimate = alpha_m * m^2 / sum(2^-register) with the small-range
+# linear-counting correction; the large-range correction targets 2^32-ball
+# hash collisions and does not apply to a 56-bit rho-field (disclosed).
+# Standard error ≈ 1.04/sqrt(m) — 6.5% at the default p=8; raise p for the
+# 10^10-URL frontier (p=14 → 0.8%, 16 KiB of state per group).
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _hll_check_p(p: int) -> int:
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
+    return p // 4
+
+
+def hll_registers(df: DataFrame, col: str, keys: tuple = (),
+                  p: int = 8) -> DataFrame:
+    """Sketch STATE: (*keys, bucket, register) with register = max rho seen
+    in the bucket — ≤ 2^p rows per group (absent buckets ≡ register 0).
+    One projection + one max-agg; merge states with
+    ``merge_hll_registers``."""
+    k = _hll_check_p(p)
+    hexcol = F.md5(F.col(col).cast("string"))
+    bucket = None
+    for i in range(1, k + 1):
+        d = (F.expr(f"locate(substring(_h, {i}, 1), '{_HEXDIGITS}')") - 1)
+        term = d * (16 ** (k - i))
+        bucket = term if bucket is None else bucket + term
+    rho = F.expr(f"""
+        CASE WHEN regexp_replace(substring(_h, {k + 1}, 14), '^0+', '') = ''
+             THEN 57
+             ELSE (14 - length(regexp_replace(substring(_h, {k + 1}, 14),
+                                              '^0+', ''))) * 4
+                  + CASE WHEN locate(substring(regexp_replace(
+                                substring(_h, {k + 1}, 14), '^0+', ''),
+                                1, 1), '{_HEXDIGITS}') - 1 >= 8 THEN 0
+                         WHEN locate(substring(regexp_replace(
+                                substring(_h, {k + 1}, 14), '^0+', ''),
+                                1, 1), '{_HEXDIGITS}') - 1 >= 4 THEN 1
+                         WHEN locate(substring(regexp_replace(
+                                substring(_h, {k + 1}, 14), '^0+', ''),
+                                1, 1), '{_HEXDIGITS}') - 1 >= 2 THEN 2
+                         ELSE 3 END + 1 END""")
+    return (df.select(*keys, hexcol.alias("_h"))
+            .select(*keys, bucket.cast("int").alias("bucket"),
+                    rho.cast("int").alias("rho"))
+            .groupBy(*keys, "bucket")
+            .agg(F.max("rho").alias("register")))
+
+
+def merge_hll_registers(*regs: DataFrame, keys: tuple = ()) -> DataFrame:
+    """Merge sketch states by per-bucket MAX — the mergeability contract:
+    estimate(merge(sketch(A), sketch(B))) == estimate(sketch(A ∪ B))
+    exactly (identical registers, hence identical estimate — not merely
+    close)."""
+    out = regs[0]
+    for r in regs[1:]:
+        out = out.unionByName(r)
+    return (out.groupBy(*keys, "bucket")
+            .agg(F.max("register").alias("register")))
+
+
+def hll_estimate(regs: DataFrame, keys: tuple = (),
+                 p: int = 8) -> DataFrame:
+    """(*keys, est_distinct) from a register table. The harmonic-mean sum
+    is computed in EXACT integers — Σ 2^(57-register) as decimal, absent
+    buckets contributing 2^57 each — so the one double division at the end
+    sees identical operands on every engine/partitioning. Empty input →
+    est_distinct 0 via the linear-counting branch."""
+    _hll_check_p(p)
+    m = 1 << p
+    agg = regs.groupBy(*keys).agg(
+        F.count("*").alias("_nb"),
+        F.sum(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - register)"
+                     " AS DECIMAL(20, 0))").cast("decimal(38,0)"))
+        .alias("_s"))
+    est = F.expr(f"""
+        CASE WHEN 0.7213 / (1 + 1.079 / {m}) * {m} * {m} * power(2, 57)
+                  / CAST(_st AS DOUBLE) <= 2.5 * {m} AND _v > 0
+             THEN {m} * ln({m} / CAST(_v AS DOUBLE))
+             ELSE 0.7213 / (1 + 1.079 / {m}) * {m} * {m} * power(2, 57)
+                  / CAST(_st AS DOUBLE) END""")
+    return (agg.select(
+        *keys,
+        (F.coalesce(F.col("_s"), F.lit(0).cast("decimal(38,0)"))
+         + (F.lit(m) - F.col("_nb")).cast("decimal(38,0)")
+         * F.lit(1 << 57).cast("decimal(38,0)")).alias("_st"),
+        (F.lit(m) - F.col("_nb")).alias("_v"))
+        .select(*keys, F.floor(est + F.lit(0.5)).cast("long")
+                .alias("est_distinct")))
+
+
+def hll_distinct(df: DataFrame, col: str, keys: tuple = (),
+                 p: int = 8) -> DataFrame:
+    """Convenience: per-group approximate COUNT(DISTINCT col) via the
+    deterministic HLL sketch — ``hll_estimate(hll_registers(df))``."""
+    return hll_estimate(hll_registers(df, col, keys, p), keys, p)

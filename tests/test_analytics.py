@@ -181,3 +181,66 @@ def test_log2_histogram_merge_exactness(spark):
     want = {tuple(r) for r in
             log2_quantile_sketch(whole, "v", (50, 90, 99)).collect()}
     assert got == want
+
+
+def test_hll_registers_match_python_twin(spark):
+    """Every (bucket, register) pair must equal the bit-level reference
+    computation — the sketch's cross-engine determinism claim."""
+    import hashlib
+
+    vals = [f"u{i}" for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {(r["bucket"], r["register"])
+           for r in A.hll_registers(df, "v").collect()}
+    regs: dict = {}
+    for v in vals:
+        h = hashlib.md5(v.encode()).hexdigest()
+        b = int(h[:2], 16)
+        rem = int(h[2:16], 16)
+        rho = 57 if rem == 0 else 56 - rem.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    assert got == set(regs.items())
+
+
+def test_hll_estimate_accuracy_and_small_range(spark):
+    big = spark.range(20000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    est = A.hll_distinct(big, "v").collect()[0]["est_distinct"]
+    # standard error 1.04/sqrt(256) ~ 6.5% at p=8; 3 sigma bound
+    assert abs(est - 20000) / 20000 < 0.20
+    # linear-counting regime (n << m): near-exact
+    small = spark.range(50).select(
+        F.concat(F.lit("x"), F.col("id")).alias("v"))
+    s = A.hll_distinct(small, "v").collect()[0]["est_distinct"]
+    assert abs(s - 50) <= 3
+    # duplicates must not move the estimate (distinct semantics)
+    dup = big.unionByName(big)
+    assert A.hll_distinct(dup, "v").collect()[0]["est_distinct"] == est
+
+
+def test_hll_merge_exactness_and_grouping(spark):
+    """merge(sketch(A), sketch(B)) must produce the identical register
+    table — and hence the identical estimate — as sketch(A ∪ B)."""
+    whole = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    a = whole.filter(F.xxhash64("v") % 2 == 0)
+    b = whole.join(a, ["g", "v"], "left_anti")
+    merged = A.merge_hll_registers(
+        A.hll_registers(a, "v", keys=("g",)),
+        A.hll_registers(b, "v", keys=("g",)), keys=("g",))
+    got = {tuple(r) for r in merged.collect()}
+    want = {tuple(r)
+            for r in A.hll_registers(whole, "v", keys=("g",)).collect()}
+    assert got == want
+    ge = {r["g"]: r["est_distinct"]
+          for r in A.hll_estimate(merged, keys=("g",)).collect()}
+    we = {r["g"]: r["est_distinct"]
+          for r in A.hll_distinct(whole, "v", keys=("g",)).collect()}
+    assert ge == we and set(ge) == {"0", "1", "2"}
+
+
+def test_hll_rejects_bad_p(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        A.hll_registers(df, "v", p=7)
