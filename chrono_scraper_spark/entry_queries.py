@@ -3106,6 +3106,45 @@ SELECT host,
 FROM fin"""
 
 
+def q_cms_host_counts(spark, sf_dir):
+    """Deterministic mergeable count-min sketch (operators/analytics.py
+    ``cms_build``/``cms_query``, d=4 w=1024): per-host capture-count
+    estimates — min over the host's 4 salted-md5 cells, overestimate-only.
+    Sketch state is ≤ d·w longs regardless of corpus size; states merge
+    by cell addition. The exact twin is a plain count(*) groupBy; the
+    sketch is the shape that survives 10^10 keys."""
+    from chrono_scraper_spark.operators.analytics import (
+        cms_build,
+        cms_query,
+    )
+
+    pages = cdx_pages_view(spark, sf_dir).select("host")
+    return cms_query(cms_build(pages, "host"), pages, "host")
+
+
+_CMS_BUCKET = """((strpos('0123456789abcdef', substring({h}, 1, 1)) - 1)
+      * 256
+      + (strpos('0123456789abcdef', substring({h}, 2, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substring({h}, 3, 1)) - 1) % 1024"""
+
+SQL_CMS_HOST_COUNTS = (
+    f"WITH pages_cdx AS ({PAGES_CTE_DUCK})" + """,
+rows_t AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+hx AS (SELECT r, md5(r::VARCHAR || ':' || host) AS h
+       FROM pages_cdx CROSS JOIN rows_t),
+cells AS (SELECT r, """ + _CMS_BUCKET.format(h="h") + """ AS col_bucket,
+    count(*) AS cnt
+  FROM hx GROUP BY 1, 2),
+qc AS (SELECT q.host, r.r AS r,
+    """ + _CMS_BUCKET.format(h="md5(r.r::VARCHAR || ':' || q.host)")
+    + """ AS col_bucket
+  FROM (SELECT DISTINCT host FROM pages_cdx) q CROSS JOIN rows_t r)
+SELECT q.host, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+FROM qc q LEFT JOIN cells c
+  ON q.r = c.r AND q.col_bucket = c.col_bucket
+GROUP BY q.host""")
+
+
 def q_url_tree(spark, sf_dir):
     """Hierarchical path-prefix rollup (operators/analytics.py
     ``url_tree_stats``): per (host, depth≤3, '/seg1/…/') — distinct URLs,
@@ -4766,6 +4805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_tree": q_url_tree,  # hierarchical path-prefix rollup
     "quantile_sketch": q_quantile_sketch,  # mergeable log2-bin quantiles
     "hll_distinct": q_hll_distinct,  # mergeable deterministic HLL
+    "cms_host_counts": q_cms_host_counts,  # mergeable count-min sketch
     "surt_collapse": q_surt_collapse,  # canonical-URL dedup on SURT keys
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
@@ -4927,5 +4967,6 @@ ORACLES: dict[str, str] = {
     "url_tree": SQL_URL_TREE,
     "quantile_sketch": SQL_QUANTILE_SKETCH,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "cms_host_counts": SQL_CMS_HOST_COUNTS,
     "surt_collapse": SQL_SURT_COLLAPSE,
 }

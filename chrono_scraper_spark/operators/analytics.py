@@ -445,3 +445,65 @@ def hll_distinct(df: DataFrame, col: str, keys: tuple = (),
     """Convenience: per-group approximate COUNT(DISTINCT col) via the
     deterministic HLL sketch — ``hll_estimate(hll_registers(df))``."""
     return hll_estimate(hll_registers(df, col, keys, p), keys, p)
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (deterministic, mergeable frequency estimates)
+# --------------------------------------------------------------------------
+
+def _cms_coords(col: Column, d: int, w: int):
+    """d (row, bucket) pairs for a key: bucket_i = value of the first 3 hex
+    chars of md5(i || ':' || key) mod w — salt-per-row md5, identical on
+    any engine with md5 + string ops (the DuckDB oracle replays it with
+    strpos digit arithmetic)."""
+    if not 1 <= d <= 8 or not 2 <= w <= 4096:
+        raise ValueError(f"need 1<=d<=8 and 2<=w<=4096, got d={d} w={w}")
+    pairs = []
+    for i in range(d):
+        h = F.md5(F.concat_ws(":", F.lit(str(i)), col.cast("string")))
+        b = (F.conv(F.substring(h, 1, 3), 16, 10).cast("int") % w)
+        pairs.append(F.struct(F.lit(i).alias("row"), b.alias("col_bucket")))
+    return F.array(*pairs)
+
+
+def cms_build(df: DataFrame, col: str, d: int = 4, w: int = 1024,
+              weight: str | None = None) -> DataFrame:
+    """Sketch STATE: (row, col_bucket, cnt) — ≤ d·w longs however large
+    the input, map-side combinable (the explode is a bounded d-wide
+    fan-out, not corpus-shaped growth). ``weight``: sum that column
+    instead of counting rows (e.g. bytes per host). Merge states with
+    ``cms_merge`` (plain addition); point-estimate with ``cms_query``
+    (min over the d cells — overestimate-only, ε·N error bound with
+    probability 1−(1/2)^d at w=2e/ε)."""
+    wcol = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    return (df.select(F.explode(_cms_coords(F.col(col), d, w))
+                      .alias("_c"), wcol.alias("_w"))
+            .groupBy(F.col("_c.row").alias("row"),
+                     F.col("_c.col_bucket").alias("col_bucket"))
+            .agg(F.sum("_w").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketch states by cell-wise addition — exact:
+    query(merge(cms(A), cms(B))) == query(cms(A ∪ B)) cell-for-cell."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return (out.groupBy("row", "col_bucket")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def cms_query(sketch: DataFrame, keys: DataFrame, col: str, d: int = 4,
+              w: int = 1024) -> DataFrame:
+    """(key, est) for each distinct key in ``keys``: min over the key's d
+    cells (absent cell ≡ 0). The sketch is ≤ d·w rows — always broadcast;
+    the keys side never shuffles."""
+    coords = (keys.select(F.col(col)).distinct()
+              .select(col, F.explode(_cms_coords(F.col(col), d, w))
+                      .alias("_c"))
+              .select(col, F.col("_c.row").alias("row"),
+                      F.col("_c.col_bucket").alias("col_bucket")))
+    return (coords.join(F.broadcast(sketch), ["row", "col_bucket"], "left")
+            .groupBy(col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("long").alias("est")))

@@ -244,3 +244,47 @@ def test_hll_rejects_bad_p(spark):
     df = spark.createDataFrame([("a",)], "v string")
     with pytest.raises(ValueError):
         A.hll_registers(df, "v", p=7)
+
+
+def test_cms_overestimate_only_and_exact_when_sparse(spark):
+    rows = [(f"h{k}",) for k in range(1, 61) for _ in range(k)]
+    df = spark.createDataFrame(rows, "host string")
+    true = {f"h{k}": k for k in range(1, 61)}
+    # w=1024 >> 60 keys: collision-free, estimates exact
+    est = {r["host"]: r["est"]
+           for r in A.cms_query(A.cms_build(df, "host"),
+                                df, "host").collect()}
+    assert est == true
+    # w=16 forces collisions: still NEVER underestimates
+    sk = A.cms_build(df, "host", d=4, w=16)
+    est16 = {r["host"]: r["est"]
+             for r in A.cms_query(sk, df, "host", d=4, w=16).collect()}
+    assert all(est16[h] >= true[h] for h in true)
+    # absent key reads 0 (all its cells may be empty) or a collision
+    # overcount, never negative / null
+    ghost = spark.createDataFrame([("nope",)], "host string")
+    g = A.cms_query(A.cms_build(df, "host"), ghost, "host").collect()
+    assert g[0]["est"] == 0
+
+
+def test_cms_merge_exactness_and_weights(spark):
+    rows = [(f"h{k}", k * 10) for k in range(1, 31) for _ in range(3)]
+    df = spark.createDataFrame(rows, "host string, nbytes int")
+    a = df.filter(F.xxhash64("host") % 2 == 0)
+    b = df.filter(F.xxhash64("host") % 2 != 0)
+    merged = A.cms_merge(A.cms_build(a, "host"), A.cms_build(b, "host"))
+    assert ({tuple(r) for r in merged.collect()}
+            == {tuple(r) for r in A.cms_build(df, "host").collect()})
+    # weighted build: per-host byte totals instead of row counts
+    est = {r["host"]: r["est"]
+           for r in A.cms_query(A.cms_build(df, "host", weight="nbytes"),
+                                df, "host").collect()}
+    assert est["h5"] == 150 and est["h30"] == 900
+
+
+def test_cms_rejects_bad_params(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        A.cms_build(df, "v", d=0)
+    with pytest.raises(ValueError):
+        A.cms_build(df, "v", w=8192)
