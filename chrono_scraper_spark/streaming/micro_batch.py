@@ -188,3 +188,68 @@ def dedup_url_stream(stream: DataFrame,
     window backstopped by the unique (url, ts) index)."""
     return (stream.withWatermark("warc_ts", watermark)
             .dropDuplicatesWithinWatermark(["url", "warc_ts"]))
+
+
+def hll_stream_writer(stream: DataFrame, catalog: SnapshotCatalog,
+                      checkpoint_dir: str, col: str = "url",
+                      keys: tuple = (), keys_schema: str = "",
+                      table: str = "url_hll", p: int = 8):
+    """Continuous distinct counting without storing the values: each
+    micro-batch's HLL registers (operators/analytics.py) merge into a
+    catalog table by per-bucket MAX. State is ≤ 2^p small ints per group
+    FOREVER — the sketch, not the URL set, is what persists. Restart-safe
+    for free: max-merge is idempotent, so a checkpoint-replayed batch
+    converges to the same registers (same guarantee class as the MERGE
+    commits, without needing per-batch delta rows)."""
+    from ..operators.analytics import hll_registers, merge_hll_registers
+
+    schema = (keys_schema + ", " if keys_schema
+              else "") + "bucket int, register int"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        regs = hll_registers(batch_df, col, keys, p)
+        prev = catalog.read_or_empty(table, schema)
+        merged = merge_hll_registers(prev, regs, keys=keys)
+        catalog.commit(table, merged, operation=f"hll_merge:{batch_id}",
+                       properties={"batch_id": batch_id})
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
+def cms_stream_writer(stream: DataFrame, catalog: SnapshotCatalog,
+                      checkpoint_dir: str, col: str = "host",
+                      table: str = "host_cms", d: int = 4, w: int = 1024,
+                      weight: str | None = None):
+    """Continuous frequency sketching: each micro-batch's count-min cells
+    land as per-batch DELTA rows keyed (batch_id, row, col_bucket) via
+    idempotent MERGE — cell addition is NOT replay-idempotent, so the
+    batch_id key carries the exactly-once guarantee instead (a replayed
+    batch's rows already exist and merge to nothing). Read the live
+    sketch with ``read_cms_sketch`` (sums the deltas — ≤ d·w rows per
+    batch; compaction collapses history whenever the table is rewritten)."""
+    from ..operators.analytics import cms_build
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        cells = (cms_build(batch_df, col, d, w, weight)
+                 .withColumn("batch_id", F.lit(int(batch_id))))
+        catalog.merge_not_matched(
+            table, cells, ["batch_id", "row", "col_bucket"],
+            properties={"batch_id": batch_id})
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
+def read_cms_sketch(catalog: SnapshotCatalog, table: str = "host_cms"):
+    """The live count-min state: per-batch delta cells summed — exactly
+    ``cms_merge`` over every micro-batch ever committed."""
+    return (catalog.read(table)
+            .groupBy("row", "col_bucket")
+            .agg(F.sum("cnt").alias("cnt")))

@@ -210,3 +210,69 @@ def test_dedup_url_stream_drops_replays(spark, tmp_path):
                  spark.sql("select url from dedup_sink").collect())
     assert got == [("https://a/x",), ("https://a/y",),
                    ("https://b/w",), ("https://b/z",)]
+
+
+def test_hll_stream_matches_batch_sketch(spark, tmp_path, stream_corpus):
+    """Registers maintained across micro-batches by max-merge must equal
+    the one-shot batch sketch over the whole corpus — and replaying the
+    stream over the same checkpoint must change nothing (max-merge
+    idempotency = restart safety)."""
+    from chrono_scraper_spark.operators.analytics import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    stream = MB.read_pages_stream(spark, stream_corpus,
+                                  max_files_per_trigger=2)
+    q = MB.hll_stream_writer(stream, cat, str(tmp_path / "ck"),
+                             col="url").start()
+    q.awaitTermination(120)
+    assert len(cat.snapshots("url_hll")) >= 2   # several batches merged
+    got = {tuple(r) for r in cat.read("url_hll").collect()}
+    whole = spark.read.parquet(stream_corpus)
+    want = {tuple(r) for r in hll_registers(whole, "url").collect()}
+    assert got == want
+    n_est = hll_estimate(cat.read("url_hll")).collect()[0]["est_distinct"]
+    assert n_est > 0
+
+    q2 = MB.hll_stream_writer(
+        MB.read_pages_stream(spark, stream_corpus), cat,
+        str(tmp_path / "ck"), col="url").start()
+    q2.awaitTermination(60)
+    assert {tuple(r) for r in cat.read("url_hll").collect()} == want
+
+
+def test_cms_stream_matches_batch_and_replay_idempotent(
+        spark, tmp_path, stream_corpus):
+    from chrono_scraper_spark.operators.analytics import (
+        cms_build,
+        cms_query,
+    )
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    stream = MB.read_pages_stream(spark, stream_corpus,
+                                  max_files_per_trigger=2)
+    q = MB.cms_stream_writer(stream, cat, str(tmp_path / "ck"),
+                             col="host").start()
+    q.awaitTermination(120)
+    whole = spark.read.parquet(stream_corpus)
+    live = MB.read_cms_sketch(cat)
+    assert ({tuple(r) for r in live.collect()}
+            == {tuple(r) for r in cms_build(whole, "host").collect()})
+    # per-host estimates from the streamed sketch = exact counts here
+    # (sparse regime), proving the delta-sum read path end-to-end
+    est = {r["host"]: r["est"]
+           for r in cms_query(live, whole, "host").collect()}
+    true = {r["host"]: r["n"] for r in
+            whole.groupBy("host").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert all(est[h] >= n for h, n in true.items())
+
+    # replay: same checkpoint, no new files -> delta table unchanged
+    n_rows = cat.read("host_cms").count()
+    q2 = MB.cms_stream_writer(
+        MB.read_pages_stream(spark, stream_corpus), cat,
+        str(tmp_path / "ck"), col="host").start()
+    q2.awaitTermination(60)
+    assert cat.read("host_cms").count() == n_rows
