@@ -307,3 +307,63 @@ def test_robots_wildcard_matcher_matches_python_twin(spark, cases):
     for i, (pat, path) in enumerate(cases):
         expect_kept = not _py_robots_match("/" + path, "/" + pat)
         assert (f"u{i}" in kept) == expect_kept, (pat, path)
+
+
+@SET
+@given(st.lists(st.text(alphabet=st.sampled_from(list("abc0:/")),
+                        min_size=0, max_size=12),
+                min_size=1, max_size=60),
+       st.integers(min_value=2, max_value=5))
+def test_hll_split_invariance_property(spark, vals, n_parts):
+    """HLL registers are a pure function of the value SET: any partition
+    of the data into shards, merged in any order, and any duplication
+    must reproduce the whole-set register table exactly."""
+    from chrono_scraper_spark.operators.analytics import (
+        hll_registers,
+        merge_hll_registers,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    want = {tuple(r) for r in hll_registers(df, "v").collect()}
+    shards = [df.filter(F.pmod(F.xxhash64("v"), n_parts) == i)
+              for i in range(n_parts)]
+    merged = merge_hll_registers(*reversed(
+        [hll_registers(s, "v") for s in shards]))
+    assert {tuple(r) for r in merged.collect()} == want
+    # idempotency: merging a sketch with itself changes nothing
+    twice = merge_hll_registers(hll_registers(df, "v"),
+                                hll_registers(df, "v"))
+    assert {tuple(r) for r in twice.collect()} == want
+
+
+@SET
+@given(st.lists(st.tuples(
+    st.text(alphabet=st.sampled_from(list("xyz")), min_size=1,
+            max_size=4),
+    st.integers(min_value=1, max_value=9)),
+    min_size=1, max_size=40))
+def test_cms_never_underestimates_property(spark, items):
+    """For ANY multiset and a deliberately tiny width (max collisions),
+    every point estimate >= the true count, and shard-merge equals the
+    one-shot sketch cell-for-cell."""
+    from collections import Counter
+
+    from chrono_scraper_spark.operators.analytics import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+
+    rows = [(k,) for k, n in items for _ in range(n)]
+    true = Counter(k for k, n in items for _ in range(n))
+    df = spark.createDataFrame(rows, "k string")
+    sk = cms_build(df, "k", d=2, w=4)
+    est = {r["k"]: r["est"]
+           for r in cms_query(sk, df, "k", d=2, w=4).collect()}
+    assert all(est[k] >= n for k, n in true.items()), (est, dict(true))
+    a = df.filter(F.pmod(F.xxhash64("k"), 2) == 0)
+    b = df.filter(F.pmod(F.xxhash64("k"), 2) == 1)
+    merged = cms_merge(cms_build(a, "k", d=2, w=4),
+                       cms_build(b, "k", d=2, w=4))
+    assert ({tuple(r) for r in merged.collect()}
+            == {tuple(r) for r in sk.collect()})
