@@ -507,3 +507,35 @@ def cms_query(sketch: DataFrame, keys: DataFrame, col: str, d: int = 4,
             .groupBy(col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("long").alias("est")))
+
+
+def hll_union_estimate(a: DataFrame, b: DataFrame, keys: tuple = (),
+                       p: int = 8) -> DataFrame:
+    """|A ∪ B| from two register tables — estimate of the max-merged
+    sketch (exact HLL semantics: the merged sketch IS the union's
+    sketch)."""
+    return hll_estimate(merge_hll_registers(a, b, keys=keys), keys, p)
+
+
+def hll_intersection_estimate(a: DataFrame, b: DataFrame,
+                              keys: tuple = (), p: int = 8) -> DataFrame:
+    """|A ∩ B| by inclusion-exclusion over three sketch estimates:
+    est(A) + est(B) − est(A ∪ B), floored at 0. Error compounds
+    (~3 × the single-sketch standard error, worse for small overlaps —
+    the standard HLL-intersection caveat; use a higher p when the
+    overlap matters). The cross-crawl overlap question — how many URLs
+    do two crawls share — without storing either URL set."""
+    ea = hll_estimate(a, keys, p).withColumnRenamed("est_distinct", "_ea")
+    eb = hll_estimate(b, keys, p).withColumnRenamed("est_distinct", "_eb")
+    eu = (hll_union_estimate(a, b, keys, p)
+          .withColumnRenamed("est_distinct", "_eu"))
+    if keys:
+        j = ea.join(eb, list(keys), "outer").join(eu, list(keys), "outer")
+    else:
+        j = ea.join(eb).join(eu)
+    return j.select(
+        *keys,
+        F.greatest(F.coalesce("_ea", F.lit(0))
+                   + F.coalesce("_eb", F.lit(0))
+                   - F.coalesce("_eu", F.lit(0)),
+                   F.lit(0)).cast("long").alias("est_overlap"))

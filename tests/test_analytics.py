@@ -288,3 +288,32 @@ def test_cms_rejects_bad_params(spark):
         A.cms_build(df, "v", d=0)
     with pytest.raises(ValueError):
         A.cms_build(df, "v", w=8192)
+
+
+def test_hll_union_and_intersection_estimates(spark):
+    """Union estimate == estimate of the merged sketch (exact property);
+    inclusion-exclusion overlap lands near the true intersection."""
+    a = spark.range(0, 6000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    b = spark.range(4000, 10000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    ra, rb = A.hll_registers(a, "v"), A.hll_registers(b, "v")
+    eu = A.hll_union_estimate(ra, rb).collect()[0]["est_distinct"]
+    whole = A.hll_distinct(a.unionByName(b), "v") \
+        .collect()[0]["est_distinct"]
+    assert eu == whole
+    ov = A.hll_intersection_estimate(ra, rb).collect()[0]["est_overlap"]
+    # true overlap 2000 of 10000; inclusion-exclusion ~3x single-sketch
+    # error (6.5% of 10000) -> generous 1000 absolute bound
+    assert abs(ov - 2000) < 1000
+    # disjoint sets: overlap clamps at >= 0
+    c = spark.range(50000, 51000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    ovd = A.hll_intersection_estimate(
+        ra, A.hll_registers(c, "v")).collect()[0]["est_overlap"]
+    assert 0 <= ovd < 800
+    # grouped variant joins on the keys
+    ga = A.hll_registers(a.withColumn("g", F.lit("x")), "v", keys=("g",))
+    gb = A.hll_registers(b.withColumn("g", F.lit("x")), "v", keys=("g",))
+    rows = A.hll_intersection_estimate(ga, gb, keys=("g",)).collect()
+    assert len(rows) == 1 and rows[0]["g"] == "x"
