@@ -40,6 +40,12 @@ from .. import config as C
 
 PINNED_EXTRACTOR_VERSION = "css-extractor-1"
 
+#: HTML5 §13.2.3.2 encoding prescan: a meta charset declaration inside
+#: the first 1024 bytes (covers both <meta charset="x"> and
+#: <meta http-equiv=... content="text/html; charset=x"> forms)
+_RE_META_CHARSET = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-:.]+)", re.I)
+
 _RE_ARTICLE = re.compile(r"<article>(.*?)</article>", re.S)
 _RE_TITLE = re.compile(r"<title>(.*?)</title>", re.S)
 _RE_PARA = re.compile(r"<p>(.*?)</p>", re.S)
@@ -116,6 +122,30 @@ def _paras_between(body: str) -> list[str]:
         out.append(inner)
 
 
+def _decode_html(b: bytes) -> str:
+    """bytes → str with real-web charset handling, deterministically:
+    BOM first (UTF-8/UTF-16 LE/BE), then the HTML5 1024-byte prescan for
+    a meta charset declaration, else UTF-8 with replacement — the archive
+    corpus (ASCII/UTF-8, no meta charset) decodes byte-identically to the
+    old utf-8-only path, while latin-1 / windows-125x / shift_jis pages
+    stop producing mojibake."""
+    if b.startswith(b"\xef\xbb\xbf"):
+        return b[3:].decode("utf-8", errors="replace")
+    if b.startswith(b"\xff\xfe"):
+        return b[2:].decode("utf-16-le", errors="replace")
+    if b.startswith(b"\xfe\xff"):
+        return b[2:].decode("utf-16-be", errors="replace")
+    m = _RE_META_CHARSET.search(b[:1024])
+    if m:
+        enc = m.group(1).decode("ascii", errors="ignore").lower()
+        if enc not in ("utf-8", "utf8"):
+            try:
+                return b.decode(enc, errors="replace")
+            except LookupError:   # unknown label → HTML5 fallback
+                pass
+    return b.decode("utf-8", errors="replace")
+
+
 def extract_one(
     html_bytes: bytes,
 ) -> tuple[str | None, str | None, str, int, str | None, str | None,
@@ -129,7 +159,7 @@ def extract_one(
     if html_bytes is None:
         return None, None, "none", 0, None, None, None
     try:
-        doc = html_bytes.decode("utf-8", errors="replace")
+        doc = _decode_html(html_bytes)
     except Exception:
         return None, None, "none", 0, None, None, None
 

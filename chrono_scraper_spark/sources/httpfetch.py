@@ -90,6 +90,12 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
             }
             if range_hdr:
                 headers["Range"] = range_hdr
+            else:
+                # transfer compression for full-page fetches; NOT for
+                # range reads — a Range applies to the (encoded)
+                # representation, and WARC member slices are themselves
+                # gzip members the WARC layer decodes
+                headers["Accept-Encoding"] = "gzip"
             conn.request("GET", path, headers=headers)
             resp = conn.getresponse()
             status = resp.status
@@ -113,6 +119,20 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                 finally:
                     pools.pop(key, None)
                 return None, status, "body exceeds max size"
+            enc = (resp.getheader("Content-Encoding") or "").lower()
+            if body and enc in ("gzip", "x-gzip") and range_hdr is None:
+                import zlib
+                try:
+                    # bounded streaming decompress: a gzip bomb stops at
+                    # the same cap the wire body honors instead of
+                    # materializing first (16+MAX_WBITS = gzip wrapper)
+                    z = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                    d = z.decompress(body, _MAX_BODY_BYTES + 1)
+                except Exception as exc:
+                    return None, status, f"gzip decode failed: {exc}"
+                if len(d) > _MAX_BODY_BYTES:
+                    return None, status, "body exceeds max size"
+                body = d
             if 200 <= status < 300:
                 return body, status, None
             return None, status, f"HTTP {status}"

@@ -258,3 +258,43 @@ def test_readability_lite_malformed_html_safe():
                                     "because the walker unwinds") \
         is not None
     assert extract_readability_lite("<<<>>>&#x;") is None
+
+
+def test_decode_html_charset_prescan():
+    """Real-web charset handling: BOMs and the HTML5 1024-byte meta
+    prescan route non-UTF-8 pages through the declared codec; plain
+    ASCII/UTF-8 is byte-identical to the old utf-8-only path."""
+    from chrono_scraper_spark.operators.extraction import (
+        _decode_html,
+        extract_one,
+    )
+
+    body = ("<html><head><meta charset=\"iso-8859-1\"><title>café"
+            "</title></head><body><article><p>déjà vu "
+            + "w " * 60 + "</p></article></body></html>")
+    latin = body.encode("latin-1")
+    assert "déjà vu" in _decode_html(latin)
+    text, title, method, wc, *_ = extract_one(latin)
+    assert title == "café" and "déjà vu" in text
+
+    # content= form, windows-1251 cyrillic
+    ru = ("<html><head><meta http-equiv=\"Content-Type\" content=\""
+          "text/html; charset=windows-1251\"></head><body><article>"
+          "<p>привет</p></article>"
+          "</body></html>").encode("windows-1251")
+    assert "привет" in _decode_html(ru)
+
+    # BOMs win over everything
+    assert _decode_html("hi".encode("utf-8-sig")) == "hi"
+    assert _decode_html("hi".encode("utf-16-le",)
+                        ) != ""  # no BOM -> utf-8 replace, no crash
+    assert _decode_html(b"\xff\xfe" + "ab".encode("utf-16-le")) == "ab"
+    assert _decode_html(b"\xfe\xff" + "ab".encode("utf-16-be")) == "ab"
+
+    # unknown label falls back to utf-8; utf-8 page with declaration
+    # unchanged; declaration OUTSIDE the 1024-byte prescan ignored
+    assert _decode_html(b"<meta charset=bogus-enc>ok") == \
+        "<meta charset=bogus-enc>ok"
+    pad = b" " * 1100
+    far = pad + b"<meta charset=\"iso-8859-1\">" + "é".encode("utf-8")
+    assert _decode_html(far).endswith("é")   # decoded as utf-8, not latin-1

@@ -31,6 +31,8 @@ class _Store:
         self.force_status: dict[str, int] = {}       # raw path -> status
         self.fail_n: dict[str, int] = {}             # raw path -> remaining
         self.redirects: dict[str, str] = {}          # raw path -> location
+        self.gzip_paths: set[str] = set()            # paths served gzipped
+        self.gzip_raw: dict[str, bytes] = {}         # pre-gzipped payloads
         self.hits: list[str] = []
         self.lock = threading.Lock()
 
@@ -72,6 +74,10 @@ def _make_handler(store: _Store):
         def _send(self, status: int, body: bytes):
             self.send_response(status)
             self.send_header("Content-Type", "text/html")
+            if self.path in store.gzip_paths and status == 200:
+                import gzip as _gz
+                body = store.gzip_raw.get(self.path, _gz.compress(body))
+                self.send_header("Content-Encoding", "gzip")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -452,3 +458,42 @@ def test_crawl_live_robots_wildcard_rules(spark, tmp_path, server):
     others = [r["url"] for r in live.cat.read("url_seen").collect()
               if "/articles/entry-" in r["url"] and r["url"] != blocked]
     assert others, "non-matching /articles/ urls must still be crawled"
+
+
+def test_gzip_transfer_decoded_and_bounded(spark, server):
+    """Content-Encoding: gzip bodies arrive decoded (crawlers must accept
+    compressed transfer); a gzip bomb stops at the size cap instead of
+    materializing; corrupt gzip is a per-row error, not an exception."""
+    import gzip
+
+    store, base = server
+    page = b"<html><article><p>" + b"gzip payload words " * 40 \
+        + b"</p></article></html>"
+    store.pages[("20240101000000", "https://gz.example/ok")] = page
+    store.pages[("20240101000000", "https://gz.example/bomb")] = b"x"
+    store.pages[("20240101000000", "https://gz.example/corrupt")] = b"x"
+    p_ok = "/20240101000000/https://gz.example/ok"
+    p_bomb = "/20240101000000/https://gz.example/bomb"
+    p_corrupt = "/20240101000000/https://gz.example/corrupt"
+    from chrono_scraper_spark.sources import httpfetch as HF
+    store.gzip_paths |= {p_ok, p_bomb, p_corrupt}
+    store.gzip_raw[p_bomb] = gzip.compress(
+        b"\0" * (HF._MAX_BODY_BYTES + 1024))
+    store.gzip_raw[p_corrupt] = b"\x1f\x8b\x08\x00garbage-not-gzip"
+
+    df = _frontier(spark, [
+        ("https://gz.example/ok", "20240101000000", "gz.example"),
+        ("https://gz.example/bomb", "20240101000000", "gz.example"),
+        ("https://gz.example/corrupt", "20240101000000", "gz.example"),
+    ])
+    out = {r["url"]: r for r in
+           fetch_http(df, url_template=TEMPLATE.format(base=base),
+                      max_retries=0).collect()}
+    ok = out["https://gz.example/ok"]
+    assert bytes(ok["html"]) == page and ok["http_status"] == 200
+    bomb = out["https://gz.example/bomb"]
+    assert bomb["html"] is None
+    assert "exceeds max size" in bomb["fetch_err"]
+    bad = out["https://gz.example/corrupt"]
+    assert bad["html"] is None
+    assert "gzip decode failed" in bad["fetch_err"]
