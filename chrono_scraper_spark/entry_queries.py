@@ -3325,7 +3325,7 @@ def _linked_pages(spark, sf_dir):
         dst_host, F.lit("/ref-"), (F.col("doc_id") % 97).cast("string"),
         F.lit('">'), w1, F.lit(" guide</a></p>"),
         F.when(F.col("doc_id") % 4 == 0,
-               F.concat(F.lit('<a href="/local/page-'),
+               F.concat(F.lit('<a rel="nofollow" href="/local/page-'),
                         (F.col("doc_id") % 50).cast("string"),
                         F.lit('">local <b>'), w1, F.lit("</b></a>")))
         .otherwise(F.lit("")),
@@ -3348,7 +3348,7 @@ END ||
 '/ref-' || CAST(doc_id % 97 AS VARCHAR) || '">' ||
 string_split(coalesce(text, ''), ' ')[1] || ' guide</a></p>' ||
 CASE WHEN doc_id % 4 = 0
-     THEN '<a href="/local/page-' || CAST(doc_id % 50 AS VARCHAR) ||
+     THEN '<a rel="nofollow" href="/local/page-' || CAST(doc_id % 50 AS VARCHAR) ||
           '">local <b>' || string_split(coalesce(text, ''), ' ')[1] ||
           '</b></a>'
      ELSE '' END ||
@@ -3369,6 +3369,9 @@ tags AS (
 parsed AS (
   SELECT src_url, src_host,
     regexp_extract(tag, '(?i)href\\s*=\\s*["'']([^"'']*)["'']', 1) AS href,
+    (',' || regexp_replace(
+       lower(regexp_extract(tag, '(?i)rel\\s*=\\s*["'']([^"'']*)["'']', 1)),
+       '\\s+', ',', 'g') || ',') LIKE '%,nofollow,%' AS nofollow,
     trim(regexp_replace(
       lower(regexp_replace(
         regexp_extract(tag, '(?is)^<a[^>]*>(.*)</a>$', 1),
@@ -3383,14 +3386,14 @@ kept AS (
     AND lower(href) NOT LIKE 'javascript:%'
 ),
 resolved AS (
-  SELECT src_url, src_host, href, anchor_text,
+  SELECT src_url, src_host, href, anchor_text, nofollow,
     CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
          WHEN href LIKE '/%' THEN 'https://' || src_host || href
     END AS dst_url
   FROM kept
 ),
 links AS (
-  SELECT src_url, src_host, href, anchor_text, dst_url,
+  SELECT src_url, src_host, href, anchor_text, nofollow, dst_url,
     regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
   FROM resolved WHERE dst_url IS NOT NULL
 )"""
@@ -3410,6 +3413,75 @@ def q_link_extract(spark, sf_dir):
 
 SQL_LINK_EXTRACT = ("WITH " + _LINKS_CTES + """
 SELECT src_url, src_host, href, anchor_text, dst_url, dst_host FROM links""")
+
+
+def q_links_nofollow(spark, sf_dir):
+    """Per-link ``rel="nofollow"`` reporting (operators/links.py): the
+    planted local link carries the token; the spider and link graph can
+    drop such edges without re-parsing html. Same RE2-safe tag pass as
+    link_extract — the flag is one rel-extraction + token membership on
+    a comma-normalized string."""
+    from chrono_scraper_spark.operators.links import extract_links
+
+    return extract_links(_linked_pages(spark, sf_dir)).select(
+        "src_url", "href", "dst_url", "nofollow")
+
+
+SQL_LINKS_NOFOLLOW = ("WITH " + _LINKS_CTES + """
+SELECT src_url, href, dst_url, nofollow FROM links""")
+
+
+def q_meta_robots(spark, sf_dir):
+    """Page-level REP directives (operators/links.py::meta_robots):
+    <meta name="robots"> parsed to (url, noindex, nofollow), 'none'
+    implying both, absent tag implying neither — planted across both
+    quote styles and all four directive shapes."""
+    from chrono_scraper_spark.operators.links import meta_robots
+
+    pages = cdx_pages_view(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(F.col("doc_id") % 5 == 1,
+              F.lit("<meta name='robots' content='nofollow'>"))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit('<meta name="robots" content="none">'))
+        .when(F.col("doc_id") % 5 == 3,
+              F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit("")),
+        F.lit("</head><body></body></html>"))
+    return meta_robots(pages.withColumn("html", html))
+
+
+SQL_META_ROBOTS = f"WITH pages_cdx AS ({PAGES_CTE_DUCK})" + """,
+p AS (
+  SELECT url, '<html><head>' ||
+    CASE WHEN doc_id % 5 = 0
+           THEN '<meta name="robots" content="noindex, nofollow">'
+         WHEN doc_id % 5 = 1
+           THEN '<meta name=''robots'' content=''nofollow''>'
+         WHEN doc_id % 5 = 2 THEN '<meta name="robots" content="none">'
+         WHEN doc_id % 5 = 3
+           THEN '<meta name="robots" content="index, follow">'
+         ELSE '' END || '</head><body></body></html>' AS html
+  FROM pages_cdx),
+t AS (
+  SELECT url,
+    regexp_extract(html,
+      '(?is)<meta\\s[^>]*name\\s*=\\s*["'']robots["''][^>]*>', 0) AS tag
+  FROM p),
+c AS (
+  SELECT url,
+    ',' || regexp_replace(
+      lower(regexp_extract(tag,
+        '(?i)content\\s*=\\s*["'']([^"'']*)["'']', 1)),
+      '\\s+', '', 'g') || ',' AS content
+  FROM t)
+SELECT url,
+  (content LIKE '%,noindex,%' OR content LIKE '%,none,%') AS noindex,
+  (content LIKE '%,nofollow,%' OR content LIKE '%,none,%') AS nofollow
+FROM c"""
 
 
 def q_anchor_texts(spark, sf_dir):
@@ -4805,6 +4877,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_tree": q_url_tree,  # hierarchical path-prefix rollup
     "quantile_sketch": q_quantile_sketch,  # mergeable log2-bin quantiles
     "hll_distinct": q_hll_distinct,  # mergeable deterministic HLL
+    "links_nofollow": q_links_nofollow,  # rel=nofollow link flags
+    "meta_robots": q_meta_robots,  # page-level REP directives
     "cms_host_counts": q_cms_host_counts,  # mergeable count-min sketch
     "surt_collapse": q_surt_collapse,  # canonical-URL dedup on SURT keys
     "filter_decisions": q_filter_decisions,
@@ -4967,6 +5041,8 @@ ORACLES: dict[str, str] = {
     "url_tree": SQL_URL_TREE,
     "quantile_sketch": SQL_QUANTILE_SKETCH,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "links_nofollow": SQL_LINKS_NOFOLLOW,
+    "meta_robots": SQL_META_ROBOTS,
     "cms_host_counts": SQL_CMS_HOST_COUNTS,
     "surt_collapse": SQL_SURT_COLLAPSE,
 }

@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 TAG_RE = r"(?is)<a\s[^>]*>.*?</a>"
 HREF_RE = "(?i)href\\s*=\\s*[\"']([^\"']*)[\"']"
 INNER_RE = r"(?is)^<a[^>]*>(.*)</a>$"
+REL_RE = "(?i)rel\\s*=\\s*[\"']([^\"']*)[\"']"
+META_ROBOTS_RE = r"(?is)<meta\s[^>]*name\s*=\s*[\"']robots[\"'][^>]*>"
+META_CONTENT_RE = "(?i)content\\s*=\\s*[\"']([^\"']*)[\"']"
 
 
 def _norm_anchor(inner: Column) -> Column:
@@ -42,14 +45,23 @@ def extract_links(pages: DataFrame, html_col: str = "html",
                   url_col: str = "url",
                   host_col: str = "host") -> DataFrame:
     """One row per resolvable ``<a href>`` tag:
-    (src_url, src_host, href, anchor_text, dst_url, dst_host)."""
+    (src_url, src_host, href, anchor_text, dst_url, dst_host, nofollow).
+    ``nofollow`` is the per-link ``rel="nofollow"`` token (REP page-level
+    directives live in ``meta_robots``); graph/spider consumers decide
+    whether to honor it — extraction only reports it."""
     html = F.col(html_col).cast("string")
     tags = F.regexp_extract_all(html, F.lit(TAG_RE), F.lit(0))
+    rel_norm = F.concat(
+        F.lit(","),
+        F.regexp_replace(F.lower(F.regexp_extract("tag", REL_RE, 1)),
+                         r"[\s]+", ","),
+        F.lit(","))
     out = (pages
            .select(F.col(url_col).alias("src_url"),
                    F.col(host_col).alias("src_host"),
                    F.explode(tags).alias("tag"))
            .withColumn("href", F.regexp_extract("tag", HREF_RE, 1))
+           .withColumn("nofollow", rel_norm.contains(",nofollow,"))
            .withColumn("anchor_text",
                        _norm_anchor(F.regexp_extract("tag", INNER_RE, 1)))
            .filter((F.col("href") != "")
@@ -85,3 +97,32 @@ def host_edges(links: DataFrame) -> DataFrame:
     return (links.select(F.col("src_host").alias("src"),
                          F.col("dst_host").alias("dst"))
             .filter(F.col("dst") != "").distinct())
+
+
+def meta_robots(pages: DataFrame, html_col: str = "html",
+                url_col: str = "url") -> DataFrame:
+    """Page-level Robots-Exclusion-Protocol directives from
+    ``<meta name="robots" content="...">``: (url, noindex, nofollow).
+
+    ``noindex`` → the page may be fetched but must not enter the search
+    index (compose: ``pages_out.join(meta_robots(pages).filter("noindex")
+    .select("url"), "url", "left_anti")`` before ``build_page_index``);
+    ``nofollow`` → none of the page's links may seed further crawling
+    (the spider honors this). ``none`` implies both (Google/REP
+    convention). Token membership is tested on a comma-normalized
+    lowercase content string — pure codegen regexp/contains, no UDF, and
+    byte-replayable in the DuckDB oracle. Absent tag → both false."""
+    html = F.col(html_col).cast("string")
+    tag = F.regexp_extract(html, META_ROBOTS_RE, 0)
+    content = F.concat(
+        F.lit(","),
+        F.regexp_replace(
+            F.lower(F.regexp_extract(tag, META_CONTENT_RE, 1)),
+            r"[\s]+", ""),
+        F.lit(","))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        (content.contains(",noindex,")
+         | content.contains(",none,")).alias("noindex"),
+        (content.contains(",nofollow,")
+         | content.contains(",none,")).alias("nofollow"))

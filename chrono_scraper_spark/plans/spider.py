@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.urls import ts14 as _ts14
 from ..operators.dedup import collapse_digest, in_batch_dedup
-from ..operators.links import extract_links
+from ..operators.links import extract_links, meta_robots
 from ..sources.cdx import discover, read_pages
 from .crawl import FRONTIER_KEY
 
@@ -84,7 +84,14 @@ def run_spider(job, seed_urls, max_rounds: int = 10) -> list[dict]:
                    .select("url", "ts14"))
         payload = (pages.join(fetched, ["url", "ts14"], "left_semi")
                    .select("url", "host", "html"))
+        # honor the Robots Exclusion Protocol at page level: drop
+        # rel="nofollow" links, and drop ALL links from pages whose
+        # <meta name="robots"> says nofollow/none
+        nf_pages = (meta_robots(payload).filter("nofollow")
+                    .select(F.col("url").alias("src_url")))
         targets = (extract_links(payload)
+                   .filter(~F.col("nofollow"))
+                   .join(nf_pages, "src_url", "left_anti")
                    .select(F.col("dst_url").alias("url")).distinct())
         seen = job.cat.read("url_seen").select("url").distinct()
         fresh = targets.join(seen, "url", "left_anti")

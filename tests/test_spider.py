@@ -98,3 +98,39 @@ def test_spider_respects_politeness_budget(spark, tmp_path):
     # budget admits b (url asc tie-break), defers d to round 2
     assert seen[B] == 1 and seen[C] == 1
     assert seen[D] == 2
+
+
+def test_spider_honors_nofollow(spark, tmp_path):
+    """rel="nofollow" links and pages whose <meta name="robots"> says
+    nofollow must not seed expansion: a→b normal, a→c rel=nofollow,
+    b(meta nofollow)→d. Only {a, b} are ever crawled."""
+    words = " ".join(f"w{i}" for i in range(60))
+    art = f"<article><p>{words}</p></article>"
+
+    def row(url, html, seed):
+        return (url, "s.example", datetime(2020, 1, 1, seed),
+                html.encode(), words, "en", "text/html", 200,
+                hashlib.md5(f"{url}{seed}".encode()).hexdigest(),
+                5000 + seed)
+
+    rows = [
+        row(A, f'<html><body><a href="/b">b</a>'
+               f'<a rel="nofollow noopener" href="{C}">c</a>{art}'
+               f"</body></html>", 1),
+        row(B, f'<html><head><meta name="robots" content="nofollow">'
+               f'</head><body><a href="/d">d</a>{art}</body></html>', 2),
+        row(C, f"<html><body>{art}</body></html>", 3),
+        row(D, f"<html><body>{art}</body></html>", 4),
+    ]
+    path = str(tmp_path / "nf_pages")
+    spark.createDataFrame(
+        rows,
+        "url string, host string, warc_ts timestamp, html binary, "
+        "text string, lang string, mime string, status int, "
+        "digest string, length long").write.parquet(path)
+    job = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "wh3")),
+                   path, _seeds(spark), rps=10.0, burst=10,
+                   round_seconds=60.0)
+    run_spider(job, [A], max_rounds=10)
+    seen = {r["url"] for r in job.cat.read("url_seen").collect()}
+    assert seen == {A, B}
