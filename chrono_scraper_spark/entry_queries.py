@@ -3484,6 +3484,56 @@ SELECT url,
 FROM c"""
 
 
+def q_rel_canonical(spark, sf_dir):
+    """Author-declared canonical URLs (operators/links.py::
+    rel_canonical): <link rel="canonical"> resolved under the
+    extract_links href policy, identity default when absent — the
+    collapse key search engines use for duplicate content. Planted:
+    every 3rd page declares an absolute canonical, every 7th a
+    root-relative one, others none."""
+    from chrono_scraper_spark.operators.links import rel_canonical
+
+    pages = cdx_pages_view(spark, sf_dir)
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit('<link rel="canonical" href="https://'),
+                        F.col("host"), F.lit("/canon-"),
+                        (F.col("doc_id") % 11).cast("string"),
+                        F.lit('">')))
+        .when(F.col("doc_id") % 7 == 0,
+              F.concat(F.lit("<link rel='canonical' href='/c/"),
+                       (F.col("doc_id") % 13).cast("string"),
+                       F.lit("'>")))
+        .otherwise(F.lit("")),
+        F.lit("</head><body></body></html>"))
+    return rel_canonical(pages.withColumn("html", html))
+
+
+SQL_REL_CANONICAL = f"WITH pages_cdx AS ({PAGES_CTE_DUCK})" + """,
+p AS (
+  SELECT url, host, '<html><head>' ||
+    CASE WHEN doc_id % 3 = 0
+           THEN '<link rel="canonical" href="https://' || host ||
+                '/canon-' || CAST(doc_id % 11 AS VARCHAR) || '">'
+         WHEN doc_id % 7 = 0
+           THEN '<link rel=''canonical'' href=''/c/' ||
+                CAST(doc_id % 13 AS VARCHAR) || '''>'
+         ELSE '' END || '</head><body></body></html>' AS html
+  FROM pages_cdx),
+t AS (
+  SELECT url, host,
+    regexp_extract(regexp_extract(html,
+        '(?is)<link\\s[^>]*rel\\s*=\\s*["'']canonical["''][^>]*>', 0),
+      '(?i)href\\s*=\\s*["'']([^"'']*)["'']', 1) AS href
+  FROM p)
+SELECT url,
+  coalesce(CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+                WHEN href LIKE '/%' THEN 'https://' || host || href
+           END, url) AS canonical_url
+FROM t"""
+
+
 def q_anchor_texts(spark, sf_dir):
     """Anchor-text aggregation per target URL (how the web describes each
     page — the classic document-expansion signal): one hash agg on
@@ -4879,6 +4929,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,  # mergeable deterministic HLL
     "links_nofollow": q_links_nofollow,  # rel=nofollow link flags
     "meta_robots": q_meta_robots,  # page-level REP directives
+    "rel_canonical": q_rel_canonical,  # author-declared canonical URLs
     "cms_host_counts": q_cms_host_counts,  # mergeable count-min sketch
     "surt_collapse": q_surt_collapse,  # canonical-URL dedup on SURT keys
     "filter_decisions": q_filter_decisions,
@@ -5043,6 +5094,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "links_nofollow": SQL_LINKS_NOFOLLOW,
     "meta_robots": SQL_META_ROBOTS,
+    "rel_canonical": SQL_REL_CANONICAL,
     "cms_host_counts": SQL_CMS_HOST_COUNTS,
     "surt_collapse": SQL_SURT_COLLAPSE,
 }

@@ -126,3 +126,32 @@ def meta_robots(pages: DataFrame, html_col: str = "html",
          | content.contains(",none,")).alias("noindex"),
         (content.contains(",nofollow,")
          | content.contains(",none,")).alias("nofollow"))
+
+
+LINK_CANONICAL_RE = (r"(?is)<link\s[^>]*rel\s*=\s*[\"']canonical[\"']"
+                     r"[^>]*>")
+
+
+def rel_canonical(pages: DataFrame, html_col: str = "html",
+                  url_col: str = "url",
+                  host_col: str = "host") -> DataFrame:
+    """``<link rel="canonical" href="...">`` per page:
+    (url, canonical_url) with the same conservative href policy as
+    ``extract_links`` (absolute kept, root-relative resolved against the
+    page host, anything else → NULL). Pages without the tag (or with an
+    unresolvable href) carry canonical_url = url — the identity default
+    that makes the output directly usable as a collapse key:
+    ``pages.join(rel_canonical(pages), "url").groupBy("canonical_url")``
+    is the duplicate-content collapse search engines apply, and composes
+    with ``dedup.collapse_digest`` / ``analytics.surt_collapse`` (which
+    canonicalize syntactically where this uses the author's own
+    declaration)."""
+    html = F.col(html_col).cast("string")
+    tag = F.regexp_extract(html, LINK_CANONICAL_RE, 0)
+    href = F.regexp_extract(tag, HREF_RE, 1)
+    resolved = (F.when(href.rlike("(?i)^https?://"), href)
+                .when(href.startswith("/"),
+                      F.concat(F.lit("https://"), F.col(host_col), href)))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(resolved, F.col(url_col)).alias("canonical_url"))

@@ -98,3 +98,30 @@ def test_links_feed_host_authority(spark):
                                      iters=3).collect()}
     assert set(ranks) == {"a.example", "b.example", "c.example"}
     assert all(v > 0 for v in ranks.values())
+
+
+def test_rel_canonical_policy(spark):
+    from chrono_scraper_spark.operators.links import rel_canonical
+
+    rows = [
+        ("u1", "h.example",
+         b'<html><head><link rel="canonical" '
+         b'href="https://other.example/real"></head></html>'),
+        ("u2", "h.example",
+         b"<html><head><link rel='canonical' href='/canon'></head>"),
+        ("u3", "h.example",
+         b'<html><head><link rel="canonical" href="page.html">'),  # bare
+        ("u4", "h.example", b"<html><head></head></html>"),        # absent
+        ("u5", "h.example",
+         b'<html><head><LINK REL="CANONICAL" HREF="/up"></head>'),  # case
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, html binary")
+    got = {r["url"]: r["canonical_url"]
+           for r in rel_canonical(df).collect()}
+    assert got == {
+        "u1": "https://other.example/real",
+        "u2": "https://h.example/canon",
+        "u3": "u3",          # bare-relative unresolvable -> identity
+        "u4": "u4",
+        "u5": "https://h.example/up",
+    }
