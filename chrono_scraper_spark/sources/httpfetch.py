@@ -59,18 +59,51 @@ DEFAULT_MAX_RETRIES = 3
 _MAX_BODY_BYTES = 64 * 1024 * 1024  # refuse to buffer >64 MB of one page
 
 
+def _parse_retry_after(value: str | None) -> float | None:
+    """RFC 9110 §10.2.3 Retry-After: delta-seconds or an HTTP-date.
+    Returns non-negative seconds, or None when absent/unparseable."""
+    if not value:
+        return None
+    v = value.strip()
+    if v.isdigit():
+        return float(v)
+    try:
+        from email.utils import parsedate_to_datetime
+        dt = parsedate_to_datetime(v)
+        import datetime as _dt
+        now = _dt.datetime.now(_dt.timezone.utc)
+        return max(0.0, (dt - now).total_seconds())
+    except Exception:
+        return None
+
+
+def _retry_delay(attempt: int, backoff_base_s: float,
+                 retry_after_s: float | None,
+                 max_retry_after_s: float = 30.0) -> float:
+    """Delay before retry ``attempt`` (1-based): exponential backoff,
+    raised to the server's Retry-After when one was sent — capped at
+    ``max_retry_after_s`` so a hostile header cannot park the worker."""
+    d = (backoff_base_s * (2 ** (attempt - 1))
+         if attempt and backoff_base_s > 0 else 0.0)
+    if retry_after_s is not None:
+        d = max(d, min(retry_after_s, max_retry_after_s))
+    return d
+
+
 def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                user_agent: str, max_redirects: int = 3,
                range_hdr: str | None = None) -> tuple:
     """One GET through the partition's keep-alive pool.
-    Returns (body: bytes|None, status: int|None, err: str|None).
+    Returns (body: bytes|None, status: int|None, err: str|None,
+    retry_after_s: float|None — parsed whenever the server sent the
+    header, honored by the caller's retry pacing).
     ``range_hdr`` ("bytes=a-b") requests a byte slice — the S6 WARC
     (offset, length) member read; 206 Partial Content is a success."""
     seen = 0
     while True:
         parts = urlsplit(target_url)
         if parts.scheme not in ("http", "https"):
-            return None, None, f"unsupported scheme: {parts.scheme}"
+            return None, None, f"unsupported scheme: {parts.scheme}", None
         key = (parts.scheme, parts.netloc)
         conn = pools.get(key)
         if conn is None:
@@ -99,6 +132,7 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
             conn.request("GET", path, headers=headers)
             resp = conn.getresponse()
             status = resp.status
+            ra = _parse_retry_after(resp.getheader("Retry-After"))
             # follow redirects like httpx follow_redirects=True (:112)
             if status in (301, 302, 303, 307, 308) and seen < max_redirects:
                 loc = resp.getheader("Location")
@@ -118,7 +152,7 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                     conn.close()
                 finally:
                     pools.pop(key, None)
-                return None, status, "body exceeds max size"
+                return None, status, "body exceeds max size", ra
             enc = (resp.getheader("Content-Encoding") or "").lower()
             if body and enc in ("gzip", "x-gzip") and range_hdr is None:
                 import zlib
@@ -129,20 +163,20 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                     z = zlib.decompressobj(16 + zlib.MAX_WBITS)
                     d = z.decompress(body, _MAX_BODY_BYTES + 1)
                 except Exception as exc:
-                    return None, status, f"gzip decode failed: {exc}"
+                    return None, status, f"gzip decode failed: {exc}", ra
                 if len(d) > _MAX_BODY_BYTES:
-                    return None, status, "body exceeds max size"
+                    return None, status, "body exceeds max size", ra
                 body = d
             if 200 <= status < 300:
-                return body, status, None
-            return None, status, f"HTTP {status}"
+                return body, status, None, ra
+            return None, status, f"HTTP {status}", ra
         except Exception as exc:  # socket errors, timeouts, bad responses
             # a broken connection is not reusable — drop it from the pool
             try:
                 conn.close()
             finally:
                 pools.pop(key, None)
-            return None, None, f"{type(exc).__name__}: {exc}"
+            return None, None, f"{type(exc).__name__}: {exc}", None
 
 
 def fetch_http(
@@ -207,10 +241,14 @@ def fetch_http(
                         if prev is not None and now - prev < min_interval_s:
                             time.sleep(min_interval_s - (now - prev))
                     body = status = err = None
+                    retry_after = None
                     for attempt in range(max_retries + 1):
-                        if attempt and backoff_base_s > 0:
-                            time.sleep(backoff_base_s * (2 ** (attempt - 1)))
-                        body, status, err = _fetch_one(
+                        if attempt:
+                            d = _retry_delay(attempt, backoff_base_s,
+                                             retry_after)
+                            if d > 0:
+                                time.sleep(d)
+                        body, status, err, retry_after = _fetch_one(
                             pools, target, timeout_s=timeout_s,
                             user_agent=user_agent, range_hdr=rng)
                         if body is not None or (

@@ -32,6 +32,7 @@ class _Store:
         self.fail_n: dict[str, int] = {}             # raw path -> remaining
         self.redirects: dict[str, str] = {}          # raw path -> location
         self.gzip_paths: set[str] = set()            # paths served gzipped
+        self.retry_after: dict[str, str] = {}        # path -> header value
         self.gzip_raw: dict[str, bytes] = {}         # pre-gzipped payloads
         self.hits: list[str] = []
         self.lock = threading.Lock()
@@ -74,6 +75,8 @@ def _make_handler(store: _Store):
         def _send(self, status: int, body: bytes):
             self.send_response(status)
             self.send_header("Content-Type", "text/html")
+            if status in (429, 503) and self.path in store.retry_after:
+                self.send_header("Retry-After", store.retry_after[self.path])
             if self.path in store.gzip_paths and status == 200:
                 import gzip as _gz
                 body = store.gzip_raw.get(self.path, _gz.compress(body))
@@ -497,3 +500,48 @@ def test_gzip_transfer_decoded_and_bounded(spark, server):
     bad = out["https://gz.example/corrupt"]
     assert bad["html"] is None
     assert "gzip decode failed" in bad["fetch_err"]
+
+
+def test_retry_after_parsing_and_delay_policy():
+    """Pure retry-pacing policy: delta-seconds and HTTP-date forms parse,
+    garbage is ignored, the server's Retry-After raises the backoff but a
+    hostile value is capped."""
+    from email.utils import format_datetime
+    import datetime as dt
+
+    from chrono_scraper_spark.sources.httpfetch import (
+        _parse_retry_after,
+        _retry_delay,
+    )
+
+    assert _parse_retry_after("7") == 7.0
+    assert _parse_retry_after("  120 ") == 120.0
+    assert _parse_retry_after(None) is None
+    assert _parse_retry_after("soon") is None
+    future = dt.datetime.now(dt.timezone.utc) + dt.timedelta(seconds=60)
+    got = _parse_retry_after(format_datetime(future, usegmt=True))
+    assert got is not None and 55 <= got <= 61
+    past = dt.datetime.now(dt.timezone.utc) - dt.timedelta(seconds=60)
+    assert _parse_retry_after(format_datetime(past, usegmt=True)) == 0.0
+
+    assert _retry_delay(1, 0.0, None) == 0.0
+    assert _retry_delay(2, 0.5, None) == 1.0          # plain backoff
+    assert _retry_delay(1, 0.5, 3.0) == 3.0           # server wins when larger
+    assert _retry_delay(3, 2.0, 3.0) == 8.0           # backoff wins when larger
+    assert _retry_delay(1, 0.0, 9999.0) == 30.0       # hostile header capped
+
+
+def test_retry_after_header_in_live_loop(spark, server):
+    """503 + Retry-After: 0 still recovers through the real loop (the
+    header path executes inside the executor without stalling it)."""
+    store, base = server
+    store.pages[("20240105000000", "https://ra.example/p")] = \
+        b"<html>after-retry</html>"
+    path = "/20240105000000/https://ra.example/p"
+    store.fail_n[path] = 1
+    store.retry_after = {path: "0"}
+    df = _frontier(spark, [("https://ra.example/p", "20240105000000",
+                            "ra.example")])
+    out = fetch_http(df, url_template=TEMPLATE.format(base=base),
+                     max_retries=2).collect()[0]
+    assert bytes(out["html"]) == b"<html>after-retry</html>"
