@@ -96,14 +96,16 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
     """One GET through the partition's keep-alive pool.
     Returns (body: bytes|None, status: int|None, err: str|None,
     retry_after_s: float|None — parsed whenever the server sent the
-    header, honored by the caller's retry pacing).
+    header, honored by the caller's retry pacing, content_type:
+    str|None — the media type token of the response Content-Type,
+    lowercased, parameters stripped).
     ``range_hdr`` ("bytes=a-b") requests a byte slice — the S6 WARC
     (offset, length) member read; 206 Partial Content is a success."""
     seen = 0
     while True:
         parts = urlsplit(target_url)
         if parts.scheme not in ("http", "https"):
-            return None, None, f"unsupported scheme: {parts.scheme}", None
+            return None, None, f"unsupported scheme: {parts.scheme}", None, None
         key = (parts.scheme, parts.netloc)
         conn = pools.get(key)
         if conn is None:
@@ -133,6 +135,8 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
             resp = conn.getresponse()
             status = resp.status
             ra = _parse_retry_after(resp.getheader("Retry-After"))
+            ctype = ((resp.getheader("Content-Type") or "")
+                     .split(";")[0].strip().lower() or None)
             # follow redirects like httpx follow_redirects=True (:112)
             if status in (301, 302, 303, 307, 308) and seen < max_redirects:
                 loc = resp.getheader("Location")
@@ -152,7 +156,7 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                     conn.close()
                 finally:
                     pools.pop(key, None)
-                return None, status, "body exceeds max size", ra
+                return None, status, "body exceeds max size", ra, ctype
             enc = (resp.getheader("Content-Encoding") or "").lower()
             if body and enc in ("gzip", "x-gzip") and range_hdr is None:
                 import zlib
@@ -163,20 +167,20 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                     z = zlib.decompressobj(16 + zlib.MAX_WBITS)
                     d = z.decompress(body, _MAX_BODY_BYTES + 1)
                 except Exception as exc:
-                    return None, status, f"gzip decode failed: {exc}", ra
+                    return None, status, f"gzip decode failed: {exc}", ra, ctype
                 if len(d) > _MAX_BODY_BYTES:
-                    return None, status, "body exceeds max size", ra
+                    return None, status, "body exceeds max size", ra, ctype
                 body = d
             if 200 <= status < 300:
-                return body, status, None, ra
-            return None, status, f"HTTP {status}", ra
+                return body, status, None, ra, ctype
+            return None, status, f"HTTP {status}", ra, ctype
         except Exception as exc:  # socket errors, timeouts, bad responses
             # a broken connection is not reusable — drop it from the pool
             try:
                 conn.close()
             finally:
                 pools.pop(key, None)
-            return None, None, f"{type(exc).__name__}: {exc}", None
+            return None, None, f"{type(exc).__name__}: {exc}", None, None
 
 
 def fetch_http(
@@ -214,7 +218,8 @@ def fetch_http(
         list(scheduled.schema.fields)
         + [T.StructField(html_col, T.BinaryType()),
            T.StructField("http_status", T.IntegerType()),
-           T.StructField("fetch_err", T.StringType())])
+           T.StructField("fetch_err", T.StringType()),
+           T.StructField("content_type", T.StringType())])
     in_cols = [f.name for f in scheduled.schema.fields]
     retry_statuses = {429, 500, 502, 503, 504}
 
@@ -223,7 +228,7 @@ def fetch_http(
         last_at: dict[str, float] = {}   # netloc -> monotonic seconds
         try:
             for pdf in batches:
-                bodies, statuses, errs = [], [], []
+                bodies, statuses, errs, ctypes = [], [], [], []
                 if range_cols:
                     ranges = [
                         f"bytes={int(o)}-{int(o) + int(ln) - 1}"
@@ -240,7 +245,7 @@ def fetch_http(
                         now = time.monotonic()
                         if prev is not None and now - prev < min_interval_s:
                             time.sleep(min_interval_s - (now - prev))
-                    body = status = err = None
+                    body = status = err = ctype = None
                     retry_after = None
                     for attempt in range(max_retries + 1):
                         if attempt:
@@ -248,7 +253,8 @@ def fetch_http(
                                              retry_after)
                             if d > 0:
                                 time.sleep(d)
-                        body, status, err, retry_after = _fetch_one(
+                        body, status, err, retry_after, ctype = \
+                            _fetch_one(
                             pools, target, timeout_s=timeout_s,
                             user_agent=user_agent, range_hdr=rng)
                         if body is not None or (
@@ -260,10 +266,12 @@ def fetch_http(
                     bodies.append(body)
                     statuses.append(status)
                     errs.append(err)
+                    ctypes.append(ctype)
                 res = pdf[in_cols].copy()
                 res[html_col] = pd.Series(bodies, dtype=object)
                 res["http_status"] = pd.array(statuses, dtype="Int32")
                 res["fetch_err"] = pd.Series(errs, dtype=object)
+                res["content_type"] = pd.Series(ctypes, dtype=object)
                 yield res
         finally:
             for conn in pools.values():

@@ -545,3 +545,26 @@ def test_retry_after_header_in_live_loop(spark, server):
     out = fetch_http(df, url_template=TEMPLATE.format(base=base),
                      max_retries=2).collect()[0]
     assert bytes(out["html"]) == b"<html>after-retry</html>"
+
+
+def test_content_type_surfaced(spark, server):
+    """The response media type rides along (lowercased, parameters
+    stripped) — the mime truth source for extractor routing when there is
+    no CDX metadata; transport failures carry NULL."""
+    store, base = server
+    store.pages[("20240106000000", "https://ct.example/p")] = b"<html>x</html>"
+    df = _frontier(spark, [
+        ("https://ct.example/p", "20240106000000", "ct.example"),
+        ("https://ct.example/missing", "20240106000000", "ct.example"),
+    ])
+    got = {r["url"]: r for r in
+           fetch_http(df, url_template=TEMPLATE.format(base=base),
+                      max_retries=0).collect()}
+    assert got["https://ct.example/p"]["content_type"] == "text/html"
+    # 404s still expose the server's declared type; refused connections None
+    assert got["https://ct.example/missing"]["content_type"] == "text/html"
+    refused = fetch_http(
+        _frontier(spark, [("https://x.example/a", "2024", "x.example")]),
+        url_template="http://127.0.0.1:1/{ts14}/{url}",
+        max_retries=0, timeout_s=2.0).collect()[0]
+    assert refused["content_type"] is None
