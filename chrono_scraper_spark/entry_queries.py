@@ -3368,9 +3368,9 @@ tags AS (
 ),
 parsed AS (
   SELECT src_url, src_host,
-    regexp_extract(tag, '(?i)href\\s*=\\s*["'']([^"'']*)["'']', 1) AS href,
+    regexp_extract(regexp_extract(tag, '(?is)^<a[^>]*>', 0), '(?i)href\\s*=\\s*["'']([^"'']*)["'']', 1) AS href,
     (',' || regexp_replace(
-       lower(regexp_extract(tag, '(?i)rel\\s*=\\s*["'']([^"'']*)["'']', 1)),
+       lower(regexp_extract(regexp_extract(tag, '(?is)^<a[^>]*>', 0), '(?i)rel\\s*=\\s*["'']([^"'']*)["'']', 1)),
        '\\s+', ',', 'g') || ',') LIKE '%,nofollow,%' AS nofollow,
     trim(regexp_replace(
       lower(regexp_replace(
@@ -3468,15 +3468,16 @@ p AS (
   FROM pages_cdx),
 t AS (
   SELECT url,
-    regexp_extract(html,
-      '(?is)<meta\\s[^>]*name\\s*=\\s*["'']robots["''][^>]*>', 0) AS tag
+    regexp_extract_all(html,
+      '(?is)<meta\\s[^>]*name\\s*=\\s*["'']robots["''][^>]*>') AS tags
   FROM p),
 c AS (
   SELECT url,
     ',' || regexp_replace(
-      lower(regexp_extract(tag,
-        '(?i)content\\s*=\\s*["'']([^"'']*)["'']', 1)),
-      '\\s+', '', 'g') || ',' AS content
+      lower(coalesce(array_to_string(list_transform(tags, t ->
+        regexp_extract(t,
+          '(?i)content\\s*=\\s*["'']([^"'']*)["'']', 1)), ','), '')),
+      '\\s+', ',', 'g') || ',' AS content
   FROM t)
 SELECT url,
   (content LIKE '%,noindex,%' OR content LIKE '%,none,%') AS noindex,

@@ -352,7 +352,8 @@ def quantiles_from_histogram(hist: DataFrame,
 # linear-counting correction; the large-range correction targets 2^32-ball
 # hash collisions and does not apply to a 56-bit rho-field (disclosed).
 # Standard error ≈ 1.04/sqrt(m) — 6.5% at the default p=8; raise p for the
-# 10^10-URL frontier (p=14 → 0.8%, 16 KiB of state per group).
+# 10^10-URL frontier (p=12 → 1.6%, 4096 small ints; p=16 → 0.4% — p must
+# be a multiple of 4: buckets come from whole hex nibbles).
 
 _HEXDIGITS = "0123456789abcdef"
 
@@ -370,6 +371,10 @@ def hll_registers(df: DataFrame, col: str, keys: tuple = (),
     One projection + one max-agg; merge states with
     ``merge_hll_registers``."""
     k = _hll_check_p(p)
+    # COUNT(DISTINCT) semantics ignore NULLs — so must the sketch (a NULL
+    # value would otherwise produce a phantom NULL bucket that biases the
+    # estimate upward by shrinking the empty-bucket correction)
+    df = df.filter(F.col(col).isNotNull())
     hexcol = F.md5(F.col(col).cast("string"))
     bucket = None
     for i in range(1, k + 1):

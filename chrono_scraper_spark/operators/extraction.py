@@ -38,13 +38,39 @@ from pyspark.sql.functions import pandas_udf
 
 from .. import config as C
 
-PINNED_EXTRACTOR_VERSION = "css-extractor-1"
+PINNED_EXTRACTOR_VERSION = "css-extractor-2"  # v2: charset prescan
 
-#: HTML5 §13.2.3.2 encoding prescan: a meta charset declaration inside
-#: the first 1024 bytes (covers both <meta charset="x"> and
-#: <meta http-equiv=... content="text/html; charset=x"> forms)
-_RE_META_CHARSET = re.compile(
-    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-:.]+)", re.I)
+#: HTML5 §13.2.3.2 encoding prescan pieces: meta tags inside the first
+#: 1024 bytes, comments skipped; a charset ATTRIBUTE is honored on any
+#: meta tag (content="..." values are blanked first so 'charset=' inside
+#: a description can never match), and a charset inside a content value
+#: only on http-equiv="content-type" tags
+_RE_HTML_COMMENT = re.compile(rb"<!--.*?-->", re.S)
+_RE_META_TAG = re.compile(rb"<meta\s[^>]*>", re.I | re.S)
+_RE_ATTR_CONTENT = re.compile(
+    rb"content\s*=\s*(\"[^\"]*\"|'[^']*')", re.I | re.S)
+_RE_CHARSET_VAL = re.compile(
+    rb"charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-:.]+)", re.I)
+_RE_HTTP_EQUIV_CT = re.compile(
+    rb"http-equiv\s*=\s*[\"']?content-type[\"']?", re.I)
+
+
+def _prescan_charset(head: bytes) -> str | None:
+    """The declared encoding label from the first 1024 bytes, or None."""
+    head = _RE_HTML_COMMENT.sub(b"", head)
+    for m in _RE_META_TAG.finditer(head):
+        tag = m.group(0)
+        # charset attribute form — search with content values blanked
+        attr_only = _RE_ATTR_CONTENT.sub(b"", tag)
+        am = _RE_CHARSET_VAL.search(attr_only)
+        if am:
+            return am.group(1).decode("ascii", errors="ignore").lower()
+        # http-equiv content-type form — charset lives IN the content value
+        if _RE_HTTP_EQUIV_CT.search(tag):
+            cm = _RE_CHARSET_VAL.search(tag)
+            if cm:
+                return cm.group(1).decode("ascii", errors="ignore").lower()
+    return None
 
 _RE_ARTICLE = re.compile(r"<article>(.*?)</article>", re.S)
 _RE_TITLE = re.compile(r"<title>(.*?)</title>", re.S)
@@ -135,14 +161,15 @@ def _decode_html(b: bytes) -> str:
         return b[2:].decode("utf-16-le", errors="replace")
     if b.startswith(b"\xfe\xff"):
         return b[2:].decode("utf-16-be", errors="replace")
-    m = _RE_META_CHARSET.search(b[:1024])
-    if m:
-        enc = m.group(1).decode("ascii", errors="ignore").lower()
-        if enc not in ("utf-8", "utf8"):
-            try:
-                return b.decode(enc, errors="replace")
-            except LookupError:   # unknown label → HTML5 fallback
-                pass
+    enc = _prescan_charset(b[:1024])
+    # HTML5 prescan rule: a declared utf-16 is treated as utf-8 (the
+    # bytes were readable as ASCII-compatible to reach this point)
+    if enc and enc not in ("utf-8", "utf8", "utf-16", "utf-16le",
+                           "utf-16be", "utf16"):
+        try:
+            return b.decode(enc, errors="replace")
+        except LookupError:   # unknown label → HTML5 fallback
+            pass
     return b.decode("utf-8", errors="replace")
 
 
@@ -580,8 +607,14 @@ def with_extraction_cached(
     now = _time.time() if now is None else now
     mime_expr = (F.col(mime_col) if mime_col in pages.columns
                  else F.lit("text/html"))
+    # the kernel identity is part of the key: a hit must be provably
+    # equivalent to recomputation, so a kernel upgrade (version bump) or a
+    # kernel switch (pinned vs real) must miss old entries rather than
+    # serve results the current kernel would not produce
     keyed = pages.withColumn("__mime", mime_expr) \
-        .withColumn("__pk", F.md5(F.col(html_col)))
+        .withColumn("__pk", F.md5(F.concat(
+            F.lit(f"{PINNED_EXTRACTOR_VERSION}|{kernel}|"),
+            F.md5(F.col(html_col)))))
 
     def _live(df: DataFrame) -> DataFrame:
         if ttl_seconds is None:

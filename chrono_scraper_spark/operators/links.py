@@ -51,16 +51,19 @@ def extract_links(pages: DataFrame, html_col: str = "html",
     whether to honor it — extraction only reports it."""
     html = F.col(html_col).cast("string")
     tags = F.regexp_extract_all(html, F.lit(TAG_RE), F.lit(0))
+    # rel= must come from the OPENING tag only — the anchor's visible text
+    # may mention rel="nofollow" without the link carrying it
+    open_tag = F.regexp_extract("tag", r"(?is)^<a[^>]*>", 0)
     rel_norm = F.concat(
         F.lit(","),
-        F.regexp_replace(F.lower(F.regexp_extract("tag", REL_RE, 1)),
+        F.regexp_replace(F.lower(F.regexp_extract(open_tag, REL_RE, 1)),
                          r"[\s]+", ","),
         F.lit(","))
     out = (pages
            .select(F.col(url_col).alias("src_url"),
                    F.col(host_col).alias("src_host"),
                    F.explode(tags).alias("tag"))
-           .withColumn("href", F.regexp_extract("tag", HREF_RE, 1))
+           .withColumn("href", F.regexp_extract(open_tag, HREF_RE, 1))
            .withColumn("nofollow", rel_norm.contains(",nofollow,"))
            .withColumn("anchor_text",
                        _norm_anchor(F.regexp_extract("tag", INNER_RE, 1)))
@@ -109,16 +112,18 @@ def meta_robots(pages: DataFrame, html_col: str = "html",
     .select("url"), "url", "left_anti")`` before ``build_page_index``);
     ``nofollow`` → none of the page's links may seed further crawling
     (the spider honors this). ``none`` implies both (Google/REP
-    convention). Token membership is tested on a comma-normalized
-    lowercase content string — pure codegen regexp/contains, no UDF, and
-    byte-replayable in the DuckDB oracle. Absent tag → both false."""
+    convention). ALL robots meta tags combine (REP: directives are the
+    union across tags), and tokens may be comma- or space-separated.
+    Pure codegen regexp/contains — no UDF — and byte-replayable in the
+    DuckDB oracle. Absent tag → both false."""
     html = F.col(html_col).cast("string")
-    tag = F.regexp_extract(html, META_ROBOTS_RE, 0)
+    tags = F.regexp_extract_all(html, F.lit(META_ROBOTS_RE), F.lit(0))
+    contents = F.transform(
+        tags, lambda t: F.regexp_extract(t, META_CONTENT_RE, 1))
     content = F.concat(
         F.lit(","),
-        F.regexp_replace(
-            F.lower(F.regexp_extract(tag, META_CONTENT_RE, 1)),
-            r"[\s]+", ""),
+        F.regexp_replace(F.lower(F.array_join(contents, ",")),
+                         r"[\s]+", ","),
         F.lit(","))
     return pages.select(
         F.col(url_col).alias("url"),

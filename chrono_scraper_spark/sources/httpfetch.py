@@ -65,8 +65,14 @@ def _parse_retry_after(value: str | None) -> float | None:
     if not value:
         return None
     v = value.strip()
-    if v.isdigit():
-        return float(v)
+    # isdecimal, not isdigit: http headers decode as latin-1, and e.g.
+    # '²'.isdigit() is True while float('²') raises — a hostile header
+    # must never turn a good response into a transport failure
+    if v.isdecimal():
+        try:
+            return float(v)
+        except ValueError:
+            return None
     try:
         from email.utils import parsedate_to_datetime
         dt = parsedate_to_datetime(v)
@@ -160,17 +166,32 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
             enc = (resp.getheader("Content-Encoding") or "").lower()
             if body and enc in ("gzip", "x-gzip") and range_hdr is None:
                 import zlib
+                # bounded streaming decompress across ALL gzip members
+                # (multi-member streams are valid gzip — some CDNs emit
+                # them): a bomb stops at the same cap the wire body
+                # honors instead of materializing first, and a stream
+                # that ends mid-member is an error, not a silently
+                # truncated "success"
+                out, total, data = [], 0, body
                 try:
-                    # bounded streaming decompress: a gzip bomb stops at
-                    # the same cap the wire body honors instead of
-                    # materializing first (16+MAX_WBITS = gzip wrapper)
-                    z = zlib.decompressobj(16 + zlib.MAX_WBITS)
-                    d = z.decompress(body, _MAX_BODY_BYTES + 1)
+                    while data:
+                        z = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                        d = z.decompress(data,
+                                         _MAX_BODY_BYTES + 1 - total)
+                        out.append(d)
+                        total += len(d)
+                        if total > _MAX_BODY_BYTES:
+                            return (None, status, "body exceeds max size",
+                                    ra, ctype)
+                        if not z.eof:
+                            return (None, status,
+                                    "gzip decode failed: truncated stream",
+                                    ra, ctype)
+                        data = z.unused_data
                 except Exception as exc:
-                    return None, status, f"gzip decode failed: {exc}", ra, ctype
-                if len(d) > _MAX_BODY_BYTES:
-                    return None, status, "body exceeds max size", ra, ctype
-                body = d
+                    return None, status, f"gzip decode failed: {exc}", \
+                        ra, ctype
+                body = b"".join(out)
             if 200 <= status < 300:
                 return body, status, None, ra, ctype
             return None, status, f"HTTP {status}", ra, ctype

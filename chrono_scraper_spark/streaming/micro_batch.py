@@ -203,6 +203,11 @@ def hll_stream_writer(stream: DataFrame, catalog: SnapshotCatalog,
     commits, without needing per-batch delta rows)."""
     from ..operators.analytics import hll_registers, merge_hll_registers
 
+    if keys and not keys_schema:
+        raise ValueError(
+            "keys requires keys_schema (e.g. keys=('host',), "
+            "keys_schema='host string') — the empty first-batch frame "
+            "must carry the key columns")
     schema = (keys_schema + ", " if keys_schema
               else "") + "bucket int, register int"
 

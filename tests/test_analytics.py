@@ -317,3 +317,13 @@ def test_hll_union_and_intersection_estimates(spark):
     gb = A.hll_registers(b.withColumn("g", F.lit("x")), "v", keys=("g",))
     rows = A.hll_intersection_estimate(ga, gb, keys=("g",)).collect()
     assert len(rows) == 1 and rows[0]["g"] == "x"
+
+
+def test_hll_ignores_nulls(spark):
+    """COUNT(DISTINCT) semantics: NULL values contribute nothing (no
+    phantom bucket, no estimate bias)."""
+    vals = spark.createDataFrame(
+        [(f"u{i}",) for i in range(200)] + [(None,)] * 50, "v string")
+    clean = vals.filter(F.col("v").isNotNull())
+    assert ({tuple(r) for r in A.hll_registers(vals, "v").collect()}
+            == {tuple(r) for r in A.hll_registers(clean, "v").collect()})

@@ -298,3 +298,44 @@ def test_decode_html_charset_prescan():
     pad = b" " * 1100
     far = pad + b"<meta charset=\"iso-8859-1\">" + "é".encode("utf-8")
     assert _decode_html(far).endswith("é")   # decoded as utf-8, not latin-1
+
+
+def test_charset_prescan_attribute_vs_content_value():
+    """HTML5 prescan precision: 'charset=' inside a content VALUE of a
+    non-content-type meta (or inside a comment) must NOT reroute the
+    decode; the http-equiv content-type form must; a declared utf-16 is
+    treated as utf-8 (HTML5 rule)."""
+    from chrono_scraper_spark.operators.extraction import _decode_html
+
+    utf8 = "résumé".encode("utf-8")
+    trap = (b'<meta name="description" content="set charset=shift_jis!">'
+            + utf8)
+    assert "résumé" in _decode_html(trap)          # stayed utf-8
+    comment = b'<!-- <meta charset="iso-8859-1"> -->' + utf8
+    assert "résumé" in _decode_html(comment)       # comment skipped
+    equiv = (b'<meta http-equiv="Content-Type" '
+             b'content="text/html; charset=iso-8859-1">'
+             + "déjà".encode("latin-1"))
+    assert "déjà" in _decode_html(equiv)
+    u16 = b'<meta charset="utf-16">' + utf8        # HTML5: decode as utf-8
+    assert "résumé" in _decode_html(u16)
+
+
+def test_extract_cache_key_is_kernel_versioned(spark, tmp_path):
+    """A kernel upgrade must MISS old cache entries: the cache key folds
+    in the extractor version + kernel, so no stored digest can equal the
+    bare payload md5 an older scheme used."""
+    import hashlib
+
+    from chrono_scraper_spark.operators.extraction import (
+        with_extraction_cached,
+    )
+    from chrono_scraper_spark.plans.catalog import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    html = (b"<html><head><title>t</title></head><body><article><p>"
+            + b"word " * 60 + b"</p></article></body></html>")
+    df = spark.createDataFrame([(html, "text/html")], "html binary, mime string")
+    with_extraction_cached(df, cat).collect()
+    cached = {r["digest"] for r in cat.read("extract_cache").collect()}
+    assert cached and hashlib.md5(html).hexdigest() not in cached

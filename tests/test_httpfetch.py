@@ -568,3 +568,45 @@ def test_content_type_surfaced(spark, server):
         url_template="http://127.0.0.1:1/{ts14}/{url}",
         max_retries=0, timeout_s=2.0).collect()[0]
     assert refused["content_type"] is None
+
+
+def test_retry_after_nondecimal_unicode_is_ignored():
+    """http headers decode as latin-1; '²'.isdigit() is True but float()
+    raises — a hostile header must parse to None, never escape."""
+    from chrono_scraper_spark.sources.httpfetch import _parse_retry_after
+
+    assert _parse_retry_after("²") is None        # superscript two
+    # arabic-indic digits: float() happens to accept them — fine; the
+    # invariant is that no header value ever raises
+    assert _parse_retry_after("١٢") in (None, 12.0)
+    assert _parse_retry_after("12") == 12.0
+
+
+def test_gzip_multi_member_and_truncated(spark, server):
+    """A concatenation of gzip members is valid gzip (CDN-produced) and
+    must decode in full; a stream cut mid-member is an error, not a
+    silently truncated success."""
+    import gzip
+
+    store, base = server
+    part1 = b"<html><article><p>first half words "
+    part2 = b"second half words</p></article></html>"
+    store.pages[("20240107000000", "https://mm.example/multi")] = b"x"
+    store.pages[("20240107000000", "https://mm.example/cut")] = b"x"
+    p_multi = "/20240107000000/https://mm.example/multi"
+    p_cut = "/20240107000000/https://mm.example/cut"
+    store.gzip_paths |= {p_multi, p_cut}
+    store.gzip_raw[p_multi] = gzip.compress(part1) + gzip.compress(part2)
+    store.gzip_raw[p_cut] = gzip.compress(b"full body")[:-6]  # drop CRC
+
+    df = _frontier(spark, [
+        ("https://mm.example/multi", "20240107000000", "mm.example"),
+        ("https://mm.example/cut", "20240107000000", "mm.example"),
+    ])
+    got = {r["url"]: r for r in
+           fetch_http(df, url_template=TEMPLATE.format(base=base),
+                      max_retries=0).collect()}
+    multi = got["https://mm.example/multi"]
+    assert bytes(multi["html"]) == part1 + part2
+    cut = got["https://mm.example/cut"]
+    assert cut["html"] is None and "gzip decode failed" in cut["fetch_err"]

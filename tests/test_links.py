@@ -125,3 +125,39 @@ def test_rel_canonical_policy(spark):
         "u4": "u4",
         "u5": "https://h.example/up",
     }
+
+
+def test_nofollow_and_href_from_opening_tag_only(spark):
+    """An anchor whose VISIBLE TEXT mentions rel=/href= must not poison
+    extraction: attributes parse from the opening tag only."""
+    from chrono_scraper_spark.operators.links import extract_links
+
+    rows = [("u", "h.example",
+             b'<html><body>'
+             b'<a href="/guide">how to use rel="nofollow" links</a>'
+             b'<a name="x">the href="/evil" syntax explained</a>'
+             b'<a rel="nofollow" href="/blocked">real nofollow</a>'
+             b'</body></html>')]
+    df = spark.createDataFrame(rows, "url string, host string, html binary")
+    got = {r["dst_url"]: r["nofollow"] for r in extract_links(df).collect()}
+    assert got == {"https://h.example/guide": False,
+                   "https://h.example/blocked": True}  # /evil never a link
+
+
+def test_meta_robots_multi_tag_and_space_tokens(spark):
+    """REP: directives union across ALL robots meta tags, and tokens may
+    be space-separated."""
+    from chrono_scraper_spark.operators.links import meta_robots
+
+    rows = [
+        ("u1", b'<html><head><meta name="robots" content="noindex">'
+               b'<meta name="robots" content="nofollow"></head></html>'),
+        ("u2", b'<html><head><meta name="robots" '
+               b'content="noindex nofollow"></head></html>'),
+        ("u3", b"<html><head></head></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: (r["noindex"], r["nofollow"])
+           for r in meta_robots(df).collect()}
+    assert got == {"u1": (True, True), "u2": (True, True),
+                   "u3": (False, False)}

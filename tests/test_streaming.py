@@ -276,3 +276,10 @@ def test_cms_stream_matches_batch_and_replay_idempotent(
         str(tmp_path / "ck"), col="host").start()
     q2.awaitTermination(60)
     assert cat.read("host_cms").count() == n_rows
+
+
+def test_hll_stream_writer_keys_require_schema(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="keys_schema"):
+        MB.hll_stream_writer(None, cat, str(tmp_path / "ck"),
+                             col="url", keys=("host",))
