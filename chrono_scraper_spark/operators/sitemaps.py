@@ -37,6 +37,8 @@ URL_BLOCK_RE = r"(?is)<url>.*?</url>"
 SMAP_BLOCK_RE = r"(?is)<sitemap>.*?</sitemap>"
 LOC_RE = r"(?is)<loc>\s*(.*?)\s*</loc>"
 LASTMOD_RE = r"(?is)<lastmod>\s*(.*?)\s*</lastmod>"
+CHANGEFREQ_RE = r"(?is)<changefreq>\s*(.*?)\s*</changefreq>"
+PRIORITY_RE = r"(?is)<priority>\s*(.*?)\s*</priority>"
 
 
 def sitemap_urls_from_robots(robots: DataFrame) -> DataFrame:
@@ -57,9 +59,13 @@ def sitemap_urls_from_robots(robots: DataFrame) -> DataFrame:
 
 def parse_sitemaps(bodies: DataFrame, host_col: str = "host",
                    body_col: str = "body") -> DataFrame:
-    """``(host, loc, lastmod)`` page entries from urlset sitemap bodies.
-    One row per ``<url>`` block with a non-empty ``<loc>``; ``lastmod``
-    NULL when the block omits it."""
+    """``(host, loc, lastmod, changefreq, priority)`` page entries from
+    urlset sitemap bodies. One row per ``<url>`` block with a non-empty
+    ``<loc>``; the optional fields are NULL when the block omits them.
+    ``changefreq`` is the lowercased protocol token (always/hourly/daily/
+    weekly/monthly/yearly/never — a publisher HINT feeding
+    ``changefreq_interval_s`` and the recrawl scheduler); ``priority`` is
+    the 0.0-1.0 double (malformed values → NULL via try_cast)."""
     body = F.col(body_col).cast("string")
     blocks = F.regexp_extract_all(body, F.lit(URL_BLOCK_RE), F.lit(0))
     out = (bodies
@@ -67,10 +73,38 @@ def parse_sitemaps(bodies: DataFrame, host_col: str = "host",
                    F.explode(blocks).alias("block"))
            .select("host",
                    F.regexp_extract("block", LOC_RE, 1).alias("loc"),
-                   F.regexp_extract("block", LASTMOD_RE, 1).alias("lastmod"))
+                   F.regexp_extract("block", LASTMOD_RE, 1).alias("lastmod"),
+                   F.lower(F.regexp_extract("block", CHANGEFREQ_RE, 1))
+                   .alias("changefreq"),
+                   F.regexp_extract("block", PRIORITY_RE, 1)
+                   .alias("priority"))
            .filter(F.col("loc") != ""))
-    return out.withColumn(
-        "lastmod", F.when(F.col("lastmod") != "", F.col("lastmod")))
+    return (out
+            .withColumn("lastmod",
+                        F.when(F.col("lastmod") != "", F.col("lastmod")))
+            .withColumn("changefreq",
+                        F.when(F.col("changefreq") != "",
+                               F.col("changefreq")))
+            .withColumn("priority",
+                        F.expr("try_cast(priority AS DOUBLE)")))
+
+
+#: sitemap changefreq token → revisit interval in seconds ('always' maps
+#: to 5 min like a news crawler's floor; 'never' to NULL — lastmod alone
+#: governs). The publisher hint composes with recrawl_schedule's measured
+#: Poisson rate via least()/greatest() at the caller's policy.
+_CHANGEFREQ_S = {"always": 300, "hourly": 3600, "daily": 86400,
+                 "weekly": 604800, "monthly": 2629800, "yearly": 31557600}
+
+
+def changefreq_interval_s(col):
+    """Column expr: changefreq token → seconds (unknown/never → NULL)."""
+    expr = None
+    for tok, secs in _CHANGEFREQ_S.items():
+        branch = F.when(col == tok, F.lit(secs).cast("long"))
+        expr = branch if expr is None else expr.when(
+            col == tok, F.lit(secs).cast("long"))
+    return expr
 
 
 def sitemap_index_refs(bodies: DataFrame, host_col: str = "host",

@@ -74,3 +74,35 @@ def test_sitemap_recrawl_status(spark):
     assert got["https://h/sameday"][0] == "fresh"
     assert got["https://h/noclaim"][0] == "fresh"
     assert got["https://h/new"] == ("new", None)
+
+
+def test_parse_sitemaps_changefreq_priority(spark):
+    """Optional urlset fields: changefreq token (lowercased), priority
+    double (malformed -> NULL), both NULL when omitted; the interval
+    mapping covers every protocol token."""
+    from chrono_scraper_spark.operators.sitemaps import (
+        changefreq_interval_s,
+        parse_sitemaps,
+    )
+
+    body = ("<?xml version='1.0'?><urlset>"
+            "<url><loc>https://h/a</loc><changefreq>Daily</changefreq>"
+            "<priority>0.8</priority></url>"
+            "<url><loc>https://h/b</loc><priority>high</priority></url>"
+            "<url><loc>https://h/c</loc></url>"
+            "</urlset>")
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    got = {r["loc"]: (r["changefreq"], r["priority"])
+           for r in parse_sitemaps(df).collect()}
+    assert got == {"https://h/a": ("daily", 0.8),
+                   "https://h/b": (None, None),   # malformed priority
+                   "https://h/c": (None, None)}
+    from pyspark.sql import functions as F
+
+    iv = spark.createDataFrame(
+        [(t,) for t in ["always", "hourly", "daily", "weekly", "monthly",
+                        "yearly", "never", "bogus", None]], "cf string")
+    out = {r["cf"]: r["s"] for r in iv.select(
+        "cf", changefreq_interval_s(F.col("cf")).alias("s")).collect()}
+    assert out["daily"] == 86400 and out["always"] == 300
+    assert out["never"] is None and out["bogus"] is None and out[None] is None
