@@ -309,3 +309,42 @@ def test_partitioned_index_prunes_and_matches(spark, tmp_path):
 
     # empty query -> empty frame, schema intact
     assert read_pruned_postings(spark, path, [], 16).count() == 0
+
+
+def test_noindex_pages_excluded_from_search(spark):
+    """The documented REP composition: pages whose meta robots says
+    noindex are fetched (they exist in pages_out) but anti-joined out
+    before build_page_index — search can never return them."""
+    from chrono_scraper_spark.operators.index import (
+        build_inverted_terms,
+        build_page_index,
+        search,
+    )
+    from chrono_scraper_spark.operators.links import meta_robots
+
+    words = "findable token stream " * 20
+    rows = [
+        ("u1", f"<html><head></head><body>{words}</body></html>"),
+        ("u2", '<html><head><meta name="robots" content="noindex">'
+               f"</head><body>{words}</body></html>"),
+    ]
+    raw = spark.createDataFrame(rows, "url string, html string")
+    pages_out = raw.select(
+        F.col("url").alias("url_canon"), F.lit("0").alias("ts14"),
+        F.lit("").alias("title"), F.lit(words).alias("extracted_text"),
+        F.lit(words).alias("content"),
+        F.lit(0.5).alias("quality_score"),
+        F.lit(60).cast("long").alias("word_count"))
+    flags = meta_robots(raw.select("url", F.col("html").cast("binary")
+                                   .alias("html")))
+    indexable = pages_out.join(
+        flags.filter("noindex").select(F.col("url").alias("url_canon")),
+        "url_canon", "left_anti")
+    pi = build_page_index(indexable) if "content" not in indexable.columns \
+        else indexable
+    cols = ["url_canon", "ts14", "title", "content", "quality_score",
+            "word_count"]
+    inv = build_inverted_terms(pi.select(*cols))
+    hits = search(pi.select(*cols), inv, "findable token",
+                  limit=10).collect()
+    assert {h["url_canon"] for h in hits} == {"u1"}
