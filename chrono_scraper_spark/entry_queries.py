@@ -1121,6 +1121,45 @@ FROM tf JOIN q ON tf.term = q.term
 GROUP BY doc_id"""
 
 
+def q_saved_query_match(spark, sf_dir):
+    """Saved-query alerting (operators/alerts.py): a table of standing
+    searches matched against the documents — a doc matches when it
+    contains EVERY query term (AND semantics, engine tokenizer). The
+    corpus tokenizes once; the query-term table broadcasts."""
+    from chrono_scraper_spark.operators.alerts import match_saved_queries
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    saved = spark.createDataFrame(
+        [(1, "data window"), (2, "merge batch spark"),
+         (3, "zzqx-no-such-term"), (4, "")],
+        "query_id int, query string")
+    return match_saved_queries(d, saved)
+
+
+SQL_SAVED_QUERY_MATCH = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({OG.tokens_sql('text')}) AS term
+  FROM documents
+),
+saved AS (
+  SELECT * FROM (VALUES (1, 'data window'),
+                        (2, 'merge batch spark'),
+                        (3, 'zzqx-no-such-term'), (4, '')) s(query_id, q)
+),
+qterms AS (
+  SELECT DISTINCT query_id, unnest({OG.tokens_sql('q')}) AS term FROM saved
+),
+nq AS (SELECT query_id, count(*) AS _nq FROM qterms GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, qt.query_id, count(*) AS _nm
+  FROM toks t JOIN qterms qt ON t.term = qt.term
+  GROUP BY 1, 2
+)
+SELECT h.query_id, h.doc_id
+FROM hits h JOIN nq ON h.query_id = nq.query_id
+WHERE h._nm = nq._nq"""
+
+
 def q_bm25_rank(spark, sf_dir):
     """Okapi BM25 relevance over the documents inverted index (engine
     addition beyond the Meilisearch rule chain — ``index.bm25_rank``).
@@ -4931,6 +4970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "links_nofollow": q_links_nofollow,  # rel=nofollow link flags
     "meta_robots": q_meta_robots,  # page-level REP directives
     "rel_canonical": q_rel_canonical,  # author-declared canonical URLs
+    "saved_query_match": q_saved_query_match,  # standing-search alerts
     "cms_host_counts": q_cms_host_counts,  # mergeable count-min sketch
     "surt_collapse": q_surt_collapse,  # canonical-URL dedup on SURT keys
     "filter_decisions": q_filter_decisions,
@@ -5096,6 +5136,7 @@ ORACLES: dict[str, str] = {
     "links_nofollow": SQL_LINKS_NOFOLLOW,
     "meta_robots": SQL_META_ROBOTS,
     "rel_canonical": SQL_REL_CANONICAL,
+    "saved_query_match": SQL_SAVED_QUERY_MATCH,
     "cms_host_counts": SQL_CMS_HOST_COUNTS,
     "surt_collapse": SQL_SURT_COLLAPSE,
 }

@@ -258,3 +258,28 @@ def read_cms_sketch(catalog: SnapshotCatalog, table: str = "host_cms"):
     return (catalog.read(table)
             .groupBy("row", "col_bucket")
             .agg(F.sum("cnt").alias("cnt")))
+
+
+def alerts_stream_writer(stream: DataFrame, catalog: SnapshotCatalog,
+                         checkpoint_dir: str, saved: DataFrame,
+                         table: str = "alerts", id_col: str = "url",
+                         text_col: str = "text"):
+    """Standing-search alert feed: each micro-batch of new captures runs
+    ``alerts.match_saved_queries`` against the registered query table and
+    lands matches keyed (query_id, id) via idempotent MERGE — an alert
+    fires exactly once per (query, capture), checkpoint replays converge,
+    and the per-batch cost is batch-cardinality (the corpus never
+    re-tokenizes)."""
+    from ..operators.alerts import match_saved_queries
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        m = match_saved_queries(batch_df, saved, id_col=id_col,
+                                text_col=text_col)
+        catalog.merge_not_matched(table, m, ["query_id", id_col],
+                                  properties={"batch_id": batch_id})
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
