@@ -4024,6 +4024,28 @@ UNION ALL
 SELECT 'https://loop.example.com/b', NULL, NULL, TRUE""")
 
 
+def q_latest_captures(spark, sf_dir):
+    """Newest capture per URL (operators/dedup.py::latest_captures) —
+    the "current view" collapse behind a user-facing search index, dual
+    of surt_collapse's earliest-representative. One max-struct argmax
+    agg; ties beyond ts14 resolve by the remaining columns' struct
+    order (mirrored in the oracle's ORDER BY)."""
+    from chrono_scraper_spark.operators.dedup import latest_captures
+
+    pages = cdx_pages_view(spark, sf_dir).select(
+        "url", "ts14", "digest", "status")
+    return latest_captures(pages)
+
+
+SQL_LATEST_CAPTURES = f"WITH pages_cdx AS ({PAGES_CTE_DUCK})" + """,
+r AS (
+  SELECT url, ts14, digest, status,
+    row_number() OVER (PARTITION BY url
+                       ORDER BY ts14 DESC, digest DESC, status DESC) AS rn
+  FROM pages_cdx)
+SELECT url, ts14, digest, status FROM r WHERE rn = 1"""
+
+
 def q_surt_collapse(spark, sf_dir):
     """Canonical-URL collapse on SURT keys (operators/dedup.py
     ``surt_collapse``): corpus URLs augmented with deterministic
@@ -4973,6 +4995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "saved_query_match": q_saved_query_match,  # standing-search alerts
     "cms_host_counts": q_cms_host_counts,  # mergeable count-min sketch
     "surt_collapse": q_surt_collapse,  # canonical-URL dedup on SURT keys
+    "latest_captures": q_latest_captures,  # current-view collapse (newest)
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -5139,4 +5162,5 @@ ORACLES: dict[str, str] = {
     "saved_query_match": SQL_SAVED_QUERY_MATCH,
     "cms_host_counts": SQL_CMS_HOST_COUNTS,
     "surt_collapse": SQL_SURT_COLLAPSE,
+    "latest_captures": SQL_LATEST_CAPTURES,
 }

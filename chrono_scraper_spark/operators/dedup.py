@@ -258,3 +258,25 @@ def surt_collapse(pages: DataFrame) -> DataFrame:
             .select("surt", F.col("b.url").alias("url"),
                     F.col("b.ts14").alias("ts14"),
                     "n_variants", "n_captures"))
+
+
+def latest_captures(pages: DataFrame, key_cols: tuple = ("url",),
+                    ts_col: str = "ts14") -> DataFrame:
+    """Newest capture per URL — the collapse behind a "current view"
+    search index (every older snapshot stays queryable via time travel;
+    the user-facing default shows one row per resource). One max-struct
+    argmax aggregation sharing a single shuffle on the key; ties beyond
+    the timestamp resolve by the remaining columns' struct order,
+    deterministically. Returns the input schema, one row per key.
+
+    The dual of ``surt_collapse`` (which keeps the EARLIEST capture as
+    the canonical representative for dedup accounting); compose the two
+    by feeding surt-keyed pages in with ``key_cols=("surt",)``."""
+    keys = [F.col(c) for c in key_cols]
+    rest = [c for c in pages.columns if c not in key_cols]
+    ordered = [ts_col] + [c for c in rest if c != ts_col]
+    agg = pages.groupBy(*keys).agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("_b"))
+    return agg.select(*key_cols,
+                      *[F.col(f"_b.{c}").alias(c) for c in ordered]) \
+        .select(*pages.columns)

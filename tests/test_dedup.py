@@ -129,3 +129,20 @@ def test_surt_collapse_variants_fold(spark):
     assert p["n_captures"] == 3
     q = got["com,example)/q"]
     assert q["n_variants"] == 1 and q["n_captures"] == 1
+
+
+def test_latest_captures_argmax(spark):
+    from chrono_scraper_spark.operators.dedup import latest_captures
+
+    rows = [("u1", "2020", "d1", 200), ("u1", "2022", "d2", 200),
+            ("u1", "2021", "d3", 404), ("u2", "2019", "d4", 200)]
+    df = spark.createDataFrame(
+        rows, "url string, ts14 string, digest string, status int")
+    got = {r["url"]: (r["ts14"], r["digest"], r["status"])
+           for r in latest_captures(df).collect()}
+    assert got == {"u1": ("2022", "d2", 200), "u2": ("2019", "d4", 200)}
+    assert latest_captures(df).columns == df.columns
+    # deterministic under any partitioning
+    got2 = {r["url"]: (r["ts14"], r["digest"], r["status"])
+            for r in latest_captures(df.repartition(8)).collect()}
+    assert got2 == got
