@@ -571,11 +571,13 @@ def with_extraction_cached(
     TTL (robust_content_extractor.py:197-241). The engine analog is a
     catalog-native cache table — ``(digest, mime) → core extraction columns``
     — maintained with insert-only MERGE (one O(delta) fragment per round,
-    same merge-on-read shape as every other engine table). The key is the
-    hash of the EXACT kernel input (``md5(html)``), not the CDX *content*
-    digest: two captures can share extracted-text digests while their raw
-    payloads (and hence metadata like pub_date) differ — keying on the
-    payload hash makes a hit provably equivalent to recomputation.
+    same merge-on-read shape as every other engine table). The key is
+    ``md5(version|kernel|md5(html))`` — the hash of the EXACT kernel input
+    (the payload bytes, not the CDX *content* digest: two captures can
+    share extracted-text digests while their raw payloads and hence
+    metadata differ) FOLDED WITH the kernel identity, so a hit is provably
+    equivalent to recomputation and a kernel upgrade or switch misses
+    stale entries instead of serving them.
 
     1. distinct un-cached ``(md5(payload), mime)`` keys are extracted ONCE —
        the in-batch distinct means duplicate payloads cross the Arrow

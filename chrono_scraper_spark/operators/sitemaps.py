@@ -101,9 +101,9 @@ def changefreq_interval_s(col):
     """Column expr: changefreq token → seconds (unknown/never → NULL)."""
     expr = None
     for tok, secs in _CHANGEFREQ_S.items():
-        branch = F.when(col == tok, F.lit(secs).cast("long"))
-        expr = branch if expr is None else expr.when(
-            col == tok, F.lit(secs).cast("long"))
+        v = F.lit(secs).cast("long")
+        expr = F.when(col == tok, v) if expr is None \
+            else expr.when(col == tok, v)
     return expr
 
 

@@ -188,6 +188,12 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                                     "gzip decode failed: truncated stream",
                                     ra, ctype)
                         data = z.unused_data
+                        # trailing non-gzip bytes after a COMPLETE member
+                        # (zero padding, CRLF from buggy middleware) are
+                        # tolerated like browsers/curl do — only another
+                        # gzip member continues the loop
+                        if data and not data.startswith(b"\x1f\x8b"):
+                            break
                 except Exception as exc:
                     return None, status, f"gzip decode failed: {exc}", \
                         ra, ctype

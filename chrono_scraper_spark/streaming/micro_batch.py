@@ -262,22 +262,31 @@ def read_cms_sketch(catalog: SnapshotCatalog, table: str = "host_cms"):
 
 def alerts_stream_writer(stream: DataFrame, catalog: SnapshotCatalog,
                          checkpoint_dir: str, saved: DataFrame,
-                         table: str = "alerts", id_col: str = "url",
+                         table: str = "alerts",
+                         id_col=("url", "ts14"),
                          text_col: str = "text"):
     """Standing-search alert feed: each micro-batch of new captures runs
     ``alerts.match_saved_queries`` against the registered query table and
-    lands matches keyed (query_id, id) via idempotent MERGE — an alert
-    fires exactly once per (query, capture), checkpoint replays converge,
-    and the per-batch cost is batch-cardinality (the corpus never
-    re-tokenizes)."""
+    lands matches keyed (query_id, *id_col) via idempotent MERGE. The
+    default id is the CAPTURE key (url, ts14) — a re-crawl of a matching
+    page alerts again for the new capture, while checkpoint replays of
+    the same capture converge to one row. ``ts14`` derives from
+    ``warc_ts`` when absent. Per-batch cost is batch-cardinality (the
+    corpus never re-tokenizes)."""
+    from ..functions.urls import ts14 as _ts14
     from ..operators.alerts import match_saved_queries
+
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.columns or batch_df.isEmpty():
             return
-        m = match_saved_queries(batch_df, saved, id_col=id_col,
+        df = batch_df
+        if "ts14" in ids and "ts14" not in df.columns:
+            df = df.withColumn("ts14", _ts14(F.col("warc_ts")))
+        m = match_saved_queries(df, saved, id_col=tuple(ids),
                                 text_col=text_col)
-        catalog.merge_not_matched(table, m, ["query_id", id_col],
+        catalog.merge_not_matched(table, m, ["query_id", *ids],
                                   properties={"batch_id": batch_id})
 
     return (stream.writeStream.foreachBatch(_process)

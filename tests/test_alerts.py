@@ -45,10 +45,13 @@ def test_alert_stream_matches_batch(spark, tmp_path):
         MB.read_pages_stream(spark, corpus, max_files_per_trigger=2),
         cat, str(tmp_path / "ck"), saved).start()
     q.awaitTermination(120)
-    got = {(r["query_id"], r["url"]) for r in cat.read("alerts").collect()}
-    want = {(r["query_id"], r["url"])
+    got = {(r["query_id"], r["url"], r["ts14"])
+           for r in cat.read("alerts").collect()}
+    w14 = whole.selectExpr("*",
+                           "date_format(warc_ts,'yyyyMMddHHmmss') ts14")
+    want = {(r["query_id"], r["url"], r["ts14"])
             for r in match_saved_queries(
-                whole, saved, id_col="url").collect()}
+                w14, saved, id_col=("url", "ts14")).collect()}
     assert got == want and len(want) > 0
     # replay: no new files -> no duplicate alerts
     q2 = MB.alerts_stream_writer(

@@ -610,3 +610,22 @@ def test_gzip_multi_member_and_truncated(spark, server):
     assert bytes(multi["html"]) == part1 + part2
     cut = got["https://mm.example/cut"]
     assert cut["html"] is None and "gzip decode failed" in cut["fetch_err"]
+
+
+def test_gzip_trailing_garbage_tolerated(spark, server):
+    """Zero padding / CRLF after a COMPLETE gzip member (buggy
+    middleware) must not fail the fetch — browsers and curl tolerate it;
+    only a second gzip member continues decoding."""
+    import gzip
+
+    store, base = server
+    body = b"<html>padded</html>"
+    store.pages[("20240108000000", "https://pad.example/p")] = b"x"
+    p = "/20240108000000/https://pad.example/p"
+    store.gzip_paths.add(p)
+    store.gzip_raw[p] = gzip.compress(body) + b"\x00\x00\r\n"
+    out = fetch_http(
+        _frontier(spark, [("https://pad.example/p", "20240108000000",
+                           "pad.example")]),
+        url_template=TEMPLATE.format(base=base), max_retries=0).collect()[0]
+    assert bytes(out["html"]) == body and out["fetch_err"] is None

@@ -317,7 +317,6 @@ def test_noindex_pages_excluded_from_search(spark):
     before build_page_index — search can never return them."""
     from chrono_scraper_spark.operators.index import (
         build_inverted_terms,
-        build_page_index,
         search,
     )
     from chrono_scraper_spark.operators.links import meta_robots
@@ -340,8 +339,10 @@ def test_noindex_pages_excluded_from_search(spark):
     indexable = pages_out.join(
         flags.filter("noindex").select(F.col("url").alias("url_canon")),
         "url_canon", "left_anti")
-    pi = build_page_index(indexable) if "content" not in indexable.columns \
-        else indexable
+    # the composition point is the anti-join ABOVE: whatever index
+    # projection follows (build_page_index in the crawl, a plain select
+    # here) can never see a noindex page
+    pi = indexable
     cols = ["url_canon", "ts14", "title", "content", "quality_score",
             "word_count"]
     inv = build_inverted_terms(pi.select(*cols))
