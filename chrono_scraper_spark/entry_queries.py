@@ -4892,6 +4892,367 @@ def q_unigram_pieces(spark, sf_dir):
     return train_unigram(d, vocab_size=120, em_iters=2, seed_size=500)
 
 
+def q_mime_sniff(spark, sf_dir):
+    """Content sniffing from magic bytes (operators/mime_sniff.py):
+    payloads are deterministically constructed per doc_id family (PDF/
+    gzip/PNG/ZIP magics, HTML with and without BOM, RSS/Atom XML, a
+    NUL-carrying binary, plain text) with declared Content-Types that
+    agree, lie, or carry no claim — the sniff, the mismatch flag, and
+    the resolve policy are all value-checked."""
+    from chrono_scraper_spark.operators.mime_sniff import with_sniffed_mime
+
+    pages = cdx_pages_view(spark, sf_dir).select(
+        "url", "ts14", "doc_id", "text")
+    txt = F.regexp_replace(F.substring("text", 1, 120), "[^ -~]", "")
+    fam = F.col("doc_id") % 10
+    enc = F.encode(txt, "utf-8")
+    payload = (
+        F.when(fam == 0, F.concat(F.unhex(F.lit("255044462D")), enc))
+        .when(fam == 1, F.concat(F.unhex(F.lit("1F8B08")), enc))
+        .when(fam == 2, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), enc))
+        .when(fam == 3, F.encode(F.concat(F.lit("<html><body>"), txt),
+                                 "utf-8"))
+        .when(fam == 4, F.concat(
+            F.unhex(F.lit("EFBBBF")),
+            F.encode(F.concat(F.lit("  <!doctype html><html>"), txt),
+                     "utf-8")))
+        .when(fam == 5, F.encode(F.concat(
+            F.lit('<?xml version="1.0"?><rss version="2.0">'), txt),
+            "utf-8"))
+        .when(fam == 6, F.encode(F.concat(
+            F.lit('<?xml version="1.0"?><feed xmlns="a">'), txt), "utf-8"))
+        .when(fam == 7, F.concat(F.encode(F.lit("aaa"), "utf-8"),
+                                 F.unhex(F.lit("00")), enc))
+        .when(fam == 8, F.encode(F.concat(F.lit("plain text: "), txt),
+                                 "utf-8"))
+        .otherwise(F.concat(F.unhex(F.lit("504B0304")), enc)))
+    declared = (
+        F.when(fam == 0, "text/html")
+        .when(fam == 2, "image/png")
+        .when(fam == 3, "application/octet-stream")
+        .when(fam == 4, "TEXT/HTML; charset=utf-8")
+        .when(fam == 5, "text/xml")
+        .when(fam == 7, "text/plain")
+        .when(fam == 8, "text/plain"))
+    df = pages.select("url", "ts14", payload.alias("payload"),
+                      declared.alias("content_type"))
+    return with_sniffed_mime(df, payload_col="payload").select(
+        "url", "ts14", "sniffed_mime", "mime_mismatch", "effective_mime")
+
+
+SQL_MIME_SNIFF = """
+WITH pages_cdx AS ({pages_cte}),
+p AS (
+  SELECT url, ts14, doc_id,
+    regexp_replace(substring(text, 1, 120), '[^ -~]', '', 'g') AS txt
+  FROM pages_cdx
+),
+built AS (
+  SELECT url, ts14,
+    CASE doc_id % 10
+      WHEN 0 THEN unhex('255044462D') || encode(txt)
+      WHEN 1 THEN unhex('1F8B08') || encode(txt)
+      WHEN 2 THEN unhex('89504E470D0A1A0A') || encode(txt)
+      WHEN 3 THEN encode('<html><body>' || txt)
+      WHEN 4 THEN unhex('EFBBBF') ||
+                  encode('  <!doctype html><html>' || txt)
+      WHEN 5 THEN encode('<?xml version="1.0"?><rss version="2.0">' || txt)
+      WHEN 6 THEN encode('<?xml version="1.0"?><feed xmlns="a">' || txt)
+      WHEN 7 THEN encode('aaa') || unhex('00') || encode(txt)
+      WHEN 8 THEN encode('plain text: ' || txt)
+      ELSE unhex('504B0304') || encode(txt)
+    END AS payload,
+    CASE doc_id % 10
+      WHEN 0 THEN 'text/html'
+      WHEN 2 THEN 'image/png'
+      WHEN 3 THEN 'application/octet-stream'
+      WHEN 4 THEN 'TEXT/HTML; charset=utf-8'
+      WHEN 5 THEN 'text/xml'
+      WHEN 7 THEN 'text/plain'
+      WHEN 8 THEN 'text/plain'
+    END AS content_type
+  FROM p
+),
+sniffed AS (
+  SELECT url, ts14, content_type,
+    CASE
+      WHEN hx LIKE '255044462D%' THEN 'application/pdf'
+      WHEN hx LIKE '1F8B%' THEN 'application/gzip'
+      WHEN hx LIKE '89504E470D0A1A0A%' THEN 'image/png'
+      WHEN hx LIKE 'FFD8FF%' THEN 'image/jpeg'
+      WHEN hx LIKE '474946383761%' OR hx LIKE '474946383961%'
+        THEN 'image/gif'
+      WHEN hx LIKE '424D%' THEN 'image/bmp'
+      WHEN hx LIKE '504B0304%' THEN 'application/zip'
+      WHEN hx LIKE '574152432F%' THEN 'application/warc'
+      WHEN hx LIKE '52494646%' THEN
+        CASE substring(hex(payload), 17, 8)
+          WHEN '57415645' THEN 'audio/wav'
+          WHEN '57454250' THEN 'image/webp'
+          ELSE 'application/octet-stream' END
+      WHEN pre LIKE '<?xml%' AND regexp_matches(pre, '<rss[\\s>]')
+        THEN 'application/rss+xml'
+      WHEN pre LIKE '<?xml%' AND regexp_matches(pre, '<feed[\\s>]')
+        THEN 'application/atom+xml'
+      WHEN pre LIKE '<?xml%' THEN 'application/xml'
+      WHEN pre LIKE '<!doctype%' OR pre LIKE '<html%' OR pre LIKE '<head%'
+        OR pre LIKE '<body%' OR pre LIKE '<div%' OR pre LIKE '<p%'
+        OR pre LIKE '<script%' OR pre LIKE '<title%' OR pre LIKE '<h1%'
+        OR pre LIKE '<table%' OR pre LIKE '<a %' OR pre LIKE '<a>%'
+        OR pre LIKE '<br%' OR pre LIKE '<!--%'
+        THEN 'text/html'
+      WHEN regexp_matches(left(hex(payload), 1024), '^(?:..)*?00')
+        THEN 'application/octet-stream'
+      ELSE 'text/plain'
+    END AS sniffed_mime
+  FROM (
+    SELECT url, ts14, content_type, payload,
+      left(hex(payload), 32) AS hx,
+      -- DuckDB decode() errors on invalid UTF-8 (Spark's cast replaces);
+      -- the magic-prefix families never reach the decoded-prefix branch,
+      -- so skip decoding them (gzip/png prefixes are invalid UTF-8)
+      CASE WHEN left(hex(payload), 4) IN ('1F8B', 'FFD8')
+             OR left(hex(payload), 2) = '89'
+           THEN ''
+           ELSE lower(regexp_replace(left(decode(payload), 256),
+                                     '^[﻿\\s]+', '')) END AS pre
+    FROM built)
+),
+resolved AS (
+  SELECT url, ts14, sniffed_mime,
+    nullif(lower(trim(string_split(content_type, ';')[1])), '') AS decl
+  FROM sniffed
+)
+SELECT url, ts14, sniffed_mime,
+  (decl IS NOT NULL AND sniffed_mime IS NOT NULL
+   AND decl <> sniffed_mime) AS mime_mismatch,
+  CASE
+    WHEN sniffed_mime IS NULL THEN decl
+    WHEN sniffed_mime IN ('application/gzip', 'application/pdf',
+      'application/warc', 'application/zip', 'audio/wav', 'image/bmp',
+      'image/gif', 'image/jpeg', 'image/png', 'image/webp')
+      THEN sniffed_mime
+    ELSE coalesce(CASE WHEN decl NOT IN ('application/octet-stream',
+                    'binary/octet-stream', 'application/binary',
+                    'unknown/unknown') THEN decl END, sniffed_mime)
+  END AS effective_mime
+FROM resolved""".replace("{pages_cte}", PAGES_CTE_DUCK)
+
+
+def q_soft404_detect(spark, sf_dir):
+    """Soft-404 detection (operators/soft404.py): titles/bodies are
+    deterministically planted per doc_id family (phrase hits in title
+    and body, error titles with tiny and rich bodies, tiny-deep stubs,
+    clean pages), over the corpus's real 200/404 status mix."""
+    from chrono_scraper_spark.operators.soft404 import soft404_flags
+
+    pages = cdx_pages_view(spark, sf_dir).select(
+        "url", "ts14", "doc_id", "status", "text")
+    fam = F.col("doc_id") % 7
+    title = (F.when(fam == 0, F.lit("Page Not Found"))
+             .when(fam == 1, F.lit("404"))
+             .when(fam == 2, F.lit("Error - maintenance notice"))
+             .otherwise(F.concat(F.lit("doc "),
+                                 F.col("doc_id").cast("string"))))
+    body = (F.when(fam == 0, F.lit("Sorry."))
+            .when(fam == 1, F.lit("nope"))
+            .when(fam == 3, F.concat(
+                F.lit("The requested URL was not found on this server. "),
+                F.col("text")))
+            .when(fam == 4, F.substring("text", 1, 100))
+            .otherwise(F.col("text")))
+    df = pages.select("url", "ts14",
+                      F.col("status").alias("http_status"),
+                      title.alias("title"), body.alias("text"))
+    return soft404_flags(df).select(
+        "url", "ts14", "http_status", "phrase_404", "title_error",
+        "tiny_deep", "soft404_score", "is_soft404")
+
+
+def _soft404_sql() -> str:
+    from chrono_scraper_spark.operators.soft404 import (
+        DEFAULT_TINY_CHARS,
+        DEFAULT_THRESHOLD,
+        PHRASE_404_RE,
+        TITLE_ERROR_RE,
+    )
+    phrase = PHRASE_404_RE.replace("'", "''")
+    terr = TITLE_ERROR_RE.replace("'", "''")
+    return f"""
+WITH pages_cdx AS ({PAGES_CTE_DUCK}),
+planted AS (
+  SELECT url, ts14, status AS http_status,
+    CASE doc_id % 7
+      WHEN 0 THEN 'Page Not Found'
+      WHEN 1 THEN '404'
+      WHEN 2 THEN 'Error - maintenance notice'
+      ELSE 'doc ' || CAST(doc_id AS VARCHAR)
+    END AS title,
+    CASE doc_id % 7
+      WHEN 0 THEN 'Sorry.'
+      WHEN 1 THEN 'nope'
+      WHEN 3 THEN 'The requested URL was not found on this server. '
+                  || text
+      WHEN 4 THEN substring(text, 1, 100)
+      ELSE text
+    END AS text
+  FROM pages_cdx
+),
+flags AS (
+  SELECT url, ts14, http_status,
+    (regexp_matches(lower(coalesce(title, '')), '{phrase}')
+     OR regexp_matches(lower(substring(coalesce(text, ''), 1, 400)),
+                       '{phrase}')) AS phrase_404,
+    regexp_matches(lower(coalesce(title, '')), '{terr}') AS title_error,
+    (length(coalesce(text, '')) < {DEFAULT_TINY_CHARS}
+     AND len(list_filter(
+           string_split(regexp_replace(regexp_replace(url,
+             '^https?://[^/]*', ''), '[?#].*$', ''), '/'),
+           x -> x <> '')) >= 2) AS tiny_deep
+  FROM planted
+)
+SELECT url, ts14, http_status, phrase_404, title_error, tiny_deep,
+  CAST(CASE WHEN phrase_404 THEN 3 ELSE 0 END
+     + CASE WHEN title_error THEN 2 ELSE 0 END
+     + CASE WHEN tiny_deep THEN 1 ELSE 0 END AS INT) AS soft404_score,
+  (coalesce(http_status, 200) >= 200 AND coalesce(http_status, 200) < 300
+   AND (CASE WHEN phrase_404 THEN 3 ELSE 0 END
+      + CASE WHEN title_error THEN 2 ELSE 0 END
+      + CASE WHEN tiny_deep THEN 1 ELSE 0 END) >= {DEFAULT_THRESHOLD})
+  AS is_soft404
+FROM flags"""
+
+
+SQL_SOFT404_DETECT = _soft404_sql()
+
+_MONTH_CASE_SPARK = (
+    "CASE month(mxd) WHEN 1 THEN 'Jan' WHEN 2 THEN 'Feb' WHEN 3 THEN 'Mar' "
+    "WHEN 4 THEN 'Apr' WHEN 5 THEN 'May' WHEN 6 THEN 'Jun' WHEN 7 THEN 'Jul' "
+    "WHEN 8 THEN 'Aug' WHEN 9 THEN 'Sep' WHEN 10 THEN 'Oct' "
+    "WHEN 11 THEN 'Nov' ELSE 'Dec' END")
+
+
+def q_feed_discover(spark, sf_dir):
+    """RSS/Atom feed parsing + freshness status (operators/feeds.py):
+    per-host feed bodies are deterministically constructed (doc_id%2
+    routes each URL into the host's RSS or Atom feed; doc_id%4 plants a
+    pubDate/updated after the last capture → stale, long before → fresh,
+    or no date; one feed-only item per host per kind → new), parsed with
+    the RE2-shared regexes (RFC 822 pubDate normalized through the
+    engine's locale-free English-month parse), and joined against the
+    capture log."""
+    from chrono_scraper_spark.operators.feeds import (
+        feed_recrawl_status,
+        parse_feeds,
+    )
+
+    pages = cdx_pages_view(spark, sf_dir)
+    per_url = pages.groupBy("host", "url", "doc_id").agg(
+        F.max(F.to_date("warc_ts")).alias("mxd"))
+    pub_date = (F.when(F.col("doc_id") % 4 == 0,
+                       F.date_add(F.col("mxd"), 400))
+                .when(F.col("doc_id") % 4 == 1,
+                      F.date_add(F.col("mxd"), -400))
+                .when(F.col("doc_id") % 4 == 3,
+                      F.date_add(F.col("mxd"), -1)))
+    per_url = per_url.withColumn("pd", pub_date).withColumn(
+        "mon", F.expr(_MONTH_CASE_SPARK.replace("mxd", "pd")))
+    rfc822 = F.concat(
+        F.lit("Mon, "), F.lpad(F.dayofmonth("pd").cast("string"), 2, "0"),
+        F.lit(" "), F.col("mon"), F.lit(" "),
+        F.year("pd").cast("string"), F.lit(" 04:05:06 GMT"))
+    iso_upd = F.concat(F.date_format("pd", "yyyy-MM-dd"),
+                       F.lit("T04:05:06Z"))
+    rss_item = F.concat(
+        F.lit("<item><title>t"), F.col("doc_id").cast("string"),
+        F.lit("</title><link>"), F.col("url"), F.lit("</link>"),
+        F.coalesce(F.concat(F.lit("<pubDate>"), rfc822,
+                            F.lit("</pubDate>")), F.lit("")),
+        F.lit("</item>"))
+    atom_entry = F.concat(
+        F.lit("<entry><title>t"), F.col("doc_id").cast("string"),
+        F.lit('</title><link href="'), F.col("url"),
+        F.lit('"/>'),
+        F.coalesce(F.concat(F.lit("<updated>"), iso_upd,
+                            F.lit("</updated>")), F.lit("")),
+        F.lit("</entry>"))
+    rss_bodies = (per_url.filter(F.col("doc_id") % 2 == 0)
+                  .select("host", rss_item.alias("b"))
+                  .groupBy("host")
+                  .agg(F.concat(
+                      F.lit('<?xml version="1.0"?><rss version="2.0">'
+                            "<channel>"),
+                      F.concat_ws("", F.array_sort(F.collect_list("b"))),
+                      F.lit("<item><title>only</title><link>https://"),
+                      F.col("host"),
+                      F.lit("/feed-only-rss</link><pubDate>Mon, 01 Jan "
+                            "2022 00:00:00 GMT</pubDate></item>"
+                            "</channel></rss>")).alias("body")))
+    atom_bodies = (per_url.filter(F.col("doc_id") % 2 == 1)
+                   .select("host", atom_entry.alias("b"))
+                   .groupBy("host")
+                   .agg(F.concat(
+                       F.lit('<?xml version="1.0"?><feed xmlns="a">'),
+                       F.concat_ws("", F.array_sort(F.collect_list("b"))),
+                       F.lit('<entry><title>only</title><link href='
+                             '"https://'),
+                       F.col("host"),
+                       F.lit('/feed-only-atom"/><updated>2022-01-01T00:'
+                             "00:00Z</updated></entry></feed>"))
+                       .alias("body")))
+    items = parse_feeds(rss_bodies.unionByName(atom_bodies))
+    return feed_recrawl_status(items, pages)
+
+
+SQL_FEED_DISCOVER = """
+WITH pages_cdx AS ({pages_cte}),
+per_url AS (
+  SELECT host, url, doc_id, max(CAST(warc_ts AS DATE)) AS mxd
+  FROM pages_cdx GROUP BY 1, 2, 3
+),
+dated AS (
+  SELECT host, url, doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN mxd + 400
+         WHEN doc_id % 4 = 1 THEN mxd - 400
+         WHEN doc_id % 4 = 3 THEN mxd - 1
+    END AS pd
+  FROM per_url
+),
+-- the oracle derives each item's published_iso directly from pd (the
+-- engine must round-trip it through RFC 822 / Atom text and back)
+items AS (
+  SELECT url,
+    CASE WHEN pd IS NOT NULL
+      THEN strftime(pd, '%Y-%m-%d') || 'T04:05:06' END AS published_iso,
+    CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind
+  FROM dated
+  UNION ALL
+  -- a host emits a feed-only item only when it HAS a feed of that kind
+  SELECT DISTINCT 'https://' || host || '/feed-only-rss',
+    '2022-01-01T00:00:00', 'rss' FROM per_url WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT DISTINCT 'https://' || host || '/feed-only-atom',
+    '2022-01-01T00:00:00', 'atom' FROM per_url WHERE doc_id % 2 = 1
+),
+last AS (
+  SELECT url, max(strftime(warc_ts, '%Y%m%d%H%M%S')) AS last_ts14
+  FROM pages_cdx GROUP BY url
+)
+SELECT i.url, i.published_iso, l.last_ts14 AS last_capture_ts14,
+  CASE WHEN l.last_ts14 IS NULL THEN 'new'
+       WHEN i.published_iso IS NOT NULL AND i.published_iso >
+         (substring(l.last_ts14, 1, 4) || '-'
+          || substring(l.last_ts14, 5, 2) || '-'
+          || substring(l.last_ts14, 7, 2) || 'T'
+          || substring(l.last_ts14, 9, 2) || ':'
+          || substring(l.last_ts14, 11, 2) || ':'
+          || substring(l.last_ts14, 13, 2)) THEN 'stale'
+       ELSE 'fresh' END AS status,
+  i.kind
+FROM items i LEFT JOIN last l ON i.url = l.url""".replace(
+    "{pages_cte}", PAGES_CTE_DUCK)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4996,6 +5357,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_host_counts": q_cms_host_counts,  # mergeable count-min sketch
     "surt_collapse": q_surt_collapse,  # canonical-URL dedup on SURT keys
     "latest_captures": q_latest_captures,  # current-view collapse (newest)
+    "mime_sniff": q_mime_sniff,  # magic-byte content sniffing + dispatch
+    "soft404_detect": q_soft404_detect,  # error pages served with 200
+    "feed_discover": q_feed_discover,  # RSS/Atom parsing + freshness
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -5163,4 +5527,7 @@ ORACLES: dict[str, str] = {
     "cms_host_counts": SQL_CMS_HOST_COUNTS,
     "surt_collapse": SQL_SURT_COLLAPSE,
     "latest_captures": SQL_LATEST_CAPTURES,
+    "mime_sniff": SQL_MIME_SNIFF,
+    "soft404_detect": SQL_SOFT404_DETECT,
+    "feed_discover": SQL_FEED_DISCOVER,
 }
