@@ -98,20 +98,28 @@ def _retry_delay(attempt: int, backoff_base_s: float,
 
 def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                user_agent: str, max_redirects: int = 3,
-               range_hdr: str | None = None) -> tuple:
+               range_hdr: str | None = None,
+               if_none_match: str | None = None,
+               if_modified_since: str | None = None) -> tuple:
     """One GET through the partition's keep-alive pool.
     Returns (body: bytes|None, status: int|None, err: str|None,
     retry_after_s: float|None — parsed whenever the server sent the
     header, honored by the caller's retry pacing, content_type:
     str|None — the media type token of the response Content-Type,
-    lowercased, parameters stripped).
+    lowercased, parameters stripped, resp_etag: str|None,
+    resp_last_modified: str|None — the response's validators, captured
+    so the caller can store them for the NEXT conditional request).
     ``range_hdr`` ("bytes=a-b") requests a byte slice — the S6 WARC
-    (offset, length) member read; 206 Partial Content is a success."""
+    (offset, length) member read; 206 Partial Content is a success.
+    ``if_none_match`` / ``if_modified_since`` send RFC 9110 conditional
+    headers; a 304 Not Modified comes back as a SUCCESS with no body
+    (err is None) — the revalidation fast path, not a failure."""
     seen = 0
     while True:
         parts = urlsplit(target_url)
         if parts.scheme not in ("http", "https"):
-            return None, None, f"unsupported scheme: {parts.scheme}", None, None
+            return (None, None, f"unsupported scheme: {parts.scheme}",
+                    None, None, None, None)
         key = (parts.scheme, parts.netloc)
         conn = pools.get(key)
         if conn is None:
@@ -137,12 +145,18 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                 # representation, and WARC member slices are themselves
                 # gzip members the WARC layer decodes
                 headers["Accept-Encoding"] = "gzip"
+            if if_none_match:
+                headers["If-None-Match"] = if_none_match
+            if if_modified_since:
+                headers["If-Modified-Since"] = if_modified_since
             conn.request("GET", path, headers=headers)
             resp = conn.getresponse()
             status = resp.status
             ra = _parse_retry_after(resp.getheader("Retry-After"))
             ctype = ((resp.getheader("Content-Type") or "")
                      .split(";")[0].strip().lower() or None)
+            etag = resp.getheader("ETag")
+            lastmod = resp.getheader("Last-Modified")
             # follow redirects like httpx follow_redirects=True (:112)
             if status in (301, 302, 303, 307, 308) and seen < max_redirects:
                 loc = resp.getheader("Location")
@@ -162,7 +176,8 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                     conn.close()
                 finally:
                     pools.pop(key, None)
-                return None, status, "body exceeds max size", ra, ctype
+                return (None, status, "body exceeds max size", ra,
+                        ctype, etag, lastmod)
             enc = (resp.getheader("Content-Encoding") or "").lower()
             if body and enc in ("gzip", "x-gzip") and range_hdr is None:
                 import zlib
@@ -182,11 +197,11 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                         total += len(d)
                         if total > _MAX_BODY_BYTES:
                             return (None, status, "body exceeds max size",
-                                    ra, ctype)
+                                    ra, ctype, etag, lastmod)
                         if not z.eof:
                             return (None, status,
                                     "gzip decode failed: truncated stream",
-                                    ra, ctype)
+                                    ra, ctype, etag, lastmod)
                         data = z.unused_data
                         # trailing non-gzip bytes after a COMPLETE member
                         # (zero padding, CRLF from buggy middleware) are
@@ -195,19 +210,25 @@ def _fetch_one(pools: dict, target_url: str, *, timeout_s: float,
                         if data and not data.startswith(b"\x1f\x8b"):
                             break
                 except Exception as exc:
-                    return None, status, f"gzip decode failed: {exc}", \
-                        ra, ctype
+                    return (None, status, f"gzip decode failed: {exc}",
+                            ra, ctype, etag, lastmod)
                 body = b"".join(out)
             if 200 <= status < 300:
-                return body, status, None, ra, ctype
-            return None, status, f"HTTP {status}", ra, ctype
+                return body, status, None, ra, ctype, etag, lastmod
+            if status == 304:
+                # Not Modified: the revalidation fast path — a success
+                # with no body (RFC 9110 §15.4.5); 304 responses may omit
+                # validators, the caller keeps its stored ones
+                return None, status, None, ra, ctype, etag, lastmod
+            return None, status, f"HTTP {status}", ra, ctype, etag, lastmod
         except Exception as exc:  # socket errors, timeouts, bad responses
             # a broken connection is not reusable — drop it from the pool
             try:
                 conn.close()
             finally:
                 pools.pop(key, None)
-            return None, None, f"{type(exc).__name__}: {exc}", None, None
+            return (None, None, f"{type(exc).__name__}: {exc}",
+                    None, None, None, None)
 
 
 def fetch_http(
@@ -223,6 +244,8 @@ def fetch_http(
     ts_col: str = "ts14",
     html_col: str = "html",
     range_cols: tuple[str, str] | None = None,
+    validator_cols: tuple[str, str] | None = None,
+    capture_validators: bool = False,
 ) -> DataFrame:
     """Append ``html`` (binary) + ``http_status`` (int) + ``fetch_err``
     (string) by fetching each row's URL over live HTTP.
@@ -240,13 +263,29 @@ def fetch_http(
     ``Range: bytes=offset-(offset+length-1)`` header — the Common Crawl
     CDX-pointer read (one WARC gzip member per request, S6); compose with
     ``sources.warc.decode_warc_member`` via ``fetch_warc_range``.
+
+    ``validator_cols=(etag_col, last_modified_col)`` sends per-row
+    ``If-None-Match`` / ``If-Modified-Since`` conditional headers (NULL
+    cells send nothing) — the RFC 9110 revalidation fast path: a 304 Not
+    Modified row comes back with ``html`` NULL, ``http_status`` 304 and
+    ``fetch_err`` NULL (a SUCCESS — compose with
+    ``operators.recrawl.merge_revalidated`` to reuse the stored capture).
+    ``capture_validators=True`` (implied by ``validator_cols``) appends
+    ``resp_etag`` / ``resp_last_modified`` response columns so the
+    catalog can store validators for the next round's conditionals. At
+    archive scale the 304 path is the crawl's single biggest bandwidth
+    lever: unchanged pages cost a header exchange instead of a body.
     """
+    capture_validators = capture_validators or validator_cols is not None
     out_schema = T.StructType(
         list(scheduled.schema.fields)
         + [T.StructField(html_col, T.BinaryType()),
            T.StructField("http_status", T.IntegerType()),
            T.StructField("fetch_err", T.StringType()),
-           T.StructField("content_type", T.StringType())])
+           T.StructField("content_type", T.StringType())]
+        + ([T.StructField("resp_etag", T.StringType()),
+            T.StructField("resp_last_modified", T.StringType())]
+           if capture_validators else []))
     in_cols = [f.name for f in scheduled.schema.fields]
     retry_statuses = {429, 500, 502, 503, 504}
 
@@ -256,6 +295,17 @@ def fetch_http(
         try:
             for pdf in batches:
                 bodies, statuses, errs, ctypes = [], [], [], []
+                retags, rlastmods = [], []
+                if validator_cols:
+                    conds = [
+                        (None if e is None or (isinstance(e, float)
+                                               and pd.isna(e)) else str(e),
+                         None if m is None or (isinstance(m, float)
+                                               and pd.isna(m)) else str(m))
+                        for e, m in zip(pdf[validator_cols[0]],
+                                        pdf[validator_cols[1]])]
+                else:
+                    conds = [(None, None)] * len(pdf)
                 if range_cols:
                     ranges = [
                         f"bytes={int(o)}-{int(o) + int(ln) - 1}"
@@ -263,7 +313,8 @@ def fetch_http(
                                          pdf[range_cols[1]])]
                 else:
                     ranges = [None] * len(pdf)
-                for url, ts, rng in zip(pdf[url_col], pdf[ts_col], ranges):
+                for url, ts, rng, (inm, ims) in zip(
+                        pdf[url_col], pdf[ts_col], ranges, conds):
                     target = (url_template.format(url=url, ts14=ts)
                               if url_template else url)
                     netloc = urlsplit(target).netloc
@@ -273,6 +324,7 @@ def fetch_http(
                         if prev is not None and now - prev < min_interval_s:
                             time.sleep(min_interval_s - (now - prev))
                     body = status = err = ctype = None
+                    retag = rlastmod = None
                     retry_after = None
                     for attempt in range(max_retries + 1):
                         if attempt:
@@ -280,10 +332,11 @@ def fetch_http(
                                              retry_after)
                             if d > 0:
                                 time.sleep(d)
-                        body, status, err, retry_after, ctype = \
-                            _fetch_one(
+                        (body, status, err, retry_after, ctype,
+                         retag, rlastmod) = _fetch_one(
                             pools, target, timeout_s=timeout_s,
-                            user_agent=user_agent, range_hdr=rng)
+                            user_agent=user_agent, range_hdr=rng,
+                            if_none_match=inm, if_modified_since=ims)
                         if body is not None or (
                                 status is not None
                                 and status not in retry_statuses):
@@ -294,11 +347,17 @@ def fetch_http(
                     statuses.append(status)
                     errs.append(err)
                     ctypes.append(ctype)
+                    retags.append(retag)
+                    rlastmods.append(rlastmod)
                 res = pdf[in_cols].copy()
                 res[html_col] = pd.Series(bodies, dtype=object)
                 res["http_status"] = pd.array(statuses, dtype="Int32")
                 res["fetch_err"] = pd.Series(errs, dtype=object)
                 res["content_type"] = pd.Series(ctypes, dtype=object)
+                if capture_validators:
+                    res["resp_etag"] = pd.Series(retags, dtype=object)
+                    res["resp_last_modified"] = pd.Series(
+                        rlastmods, dtype=object)
                 yield res
         finally:
             for conn in pools.values():
