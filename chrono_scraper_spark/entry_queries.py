@@ -5253,6 +5253,85 @@ FROM items i LEFT JOIN last l ON i.url = l.url""".replace(
     "{pages_cte}", PAGES_CTE_DUCK)
 
 
+def q_adaptive_budgets(spark, sf_dir):
+    """AIMD politeness budgets (operators/politeness.adaptive_budgets):
+    a synthetic fetch_log (6 rounds per host; every 17th doc plants a
+    503) folds per host in round order — halve on an error round, +2 on
+    a clean one. Both engines do the identical integer fold."""
+    from chrono_scraper_spark.operators.politeness import adaptive_budgets
+
+    pages = cdx_pages_view(spark, sf_dir)
+    log = pages.select(
+        "host",
+        (F.col("doc_id") % 6).cast("int").alias("round_idx"),
+        F.when(F.col("doc_id") % 17 == 0, 503).otherwise(200)
+        .cast("int").alias("http_status"))
+    return adaptive_budgets(log)
+
+
+SQL_ADAPTIVE_BUDGETS = """
+WITH pages_cdx AS ({pages_cte}),
+log AS (
+  SELECT host, CAST(doc_id % 6 AS INT) AS round_idx,
+    CASE WHEN doc_id % 17 = 0 THEN 503 ELSE 200 END AS http_status
+  FROM pages_cdx
+),
+flags AS (
+  SELECT host, round_idx,
+    max(CASE WHEN http_status IN (429, 500, 502, 503, 504)
+        THEN 1 ELSE 0 END) AS err
+  FROM log GROUP BY 1, 2
+),
+hist AS (
+  SELECT host, list(err ORDER BY round_idx) AS fl FROM flags GROUP BY 1
+)
+SELECT host,
+  CAST(list_reduce([8] || fl,
+    (acc, e) -> CASE WHEN e = 1 THEN greatest(1, acc // 2)
+                     ELSE least(64, acc + 2) END) AS INT) AS budget
+FROM hist""".replace("{pages_cte}", PAGES_CTE_DUCK)
+
+
+def q_latest_postings(spark, sf_dir):
+    """Current-view index restriction (index.current_view_postings):
+    postings built over EVERY capture, then semi-joined to each URL's
+    newest capture key — the search-side twin of latest_captures.
+    Output one row per surviving (url, ts14) with posting stats, so the
+    oracle checks exactly which capture's postings remain."""
+    from chrono_scraper_spark.operators.index import current_view_postings
+
+    pages = cdx_pages_view(spark, sf_dir)
+    pi = pages.select(F.col("url").alias("url_canon"), "ts14",
+                      F.lit("").alias("title"),
+                      F.col("text").alias("content"))
+    inv = build_inverted_terms(pi)
+    pages_out = pages.select(F.col("url").alias("url_canon"), "ts14")
+    cur = current_view_postings(inv, pages_out)
+    return (cur.groupBy("url_canon", "ts14")
+            .agg(F.count(F.lit(1)).alias("n_terms"),
+                 F.sum("tf").alias("tf_sum")))
+
+
+SQL_LATEST_POSTINGS = f"""
+WITH pages_cdx AS ({PAGES_CTE_DUCK}),
+toks AS (
+  SELECT url, ts14, unnest({OG.tokens_sql('text')}) AS term
+  FROM pages_cdx
+),
+tf AS (
+  SELECT url AS url_canon, ts14, term, count(*) AS tf
+  FROM toks GROUP BY 1, 2, 3
+),
+latest AS (
+  SELECT url AS url_canon, max(ts14) AS ts14 FROM pages_cdx GROUP BY 1
+)
+SELECT t.url_canon, t.ts14, CAST(count(*) AS BIGINT) AS n_terms,
+  CAST(sum(tf) AS BIGINT) AS tf_sum
+FROM tf t JOIN latest l
+  ON t.url_canon = l.url_canon AND t.ts14 = l.ts14
+GROUP BY 1, 2"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5360,6 +5439,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mime_sniff": q_mime_sniff,  # magic-byte content sniffing + dispatch
     "soft404_detect": q_soft404_detect,  # error pages served with 200
     "feed_discover": q_feed_discover,  # RSS/Atom parsing + freshness
+    "adaptive_budgets": q_adaptive_budgets,  # AIMD politeness budgets
+    "latest_postings": q_latest_postings,  # current-view index restriction
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -5530,4 +5611,6 @@ ORACLES: dict[str, str] = {
     "mime_sniff": SQL_MIME_SNIFF,
     "soft404_detect": SQL_SOFT404_DETECT,
     "feed_discover": SQL_FEED_DISCOVER,
+    "adaptive_budgets": SQL_ADAPTIVE_BUDGETS,
+    "latest_postings": SQL_LATEST_POSTINGS,
 }

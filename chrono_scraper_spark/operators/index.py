@@ -608,3 +608,30 @@ def read_pruned_postings(spark, path: str, terms: list[str],
             .filter(F.col("term_bucket").isin(buckets)
                     & F.col("term").isin(uniq))
             .drop("term_bucket"))
+
+
+def current_view_postings(inverted_terms: DataFrame,
+                          pages_out: DataFrame) -> DataFrame:
+    """Restrict the postings table to each URL's NEWEST capture — the
+    index side of the ``latest_captures`` current view.
+
+    The archive keeps every (url, ts14) capture searchable (time-travel
+    queries want the history), but the user-facing default searches the
+    CURRENT web: after a recrawl/revalidation appends a fresh capture,
+    the old capture's postings must stop matching. This is that
+    restriction as a semi-join against the newest-capture key set — no
+    postings are deleted (Iceberg-style immutability; history remains
+    queryable by searching the unrestricted table).
+
+    Shape: the key set is one argmax agg over pages_out keys (url_canon
+    → max ts14; short columns only), then one semi-join on
+    (url_canon, ts14). At 10^10 scale both sides are bucketable by
+    url_canon; the keys side is one row per URL and broadcastable per
+    term-pruned search anyway."""
+    from pyspark.sql import functions as F
+
+    latest_keys = (pages_out
+                   .groupBy("url_canon")
+                   .agg(F.max("ts14").alias("ts14")))
+    return inverted_terms.join(latest_keys, ["url_canon", "ts14"],
+                               "left_semi")

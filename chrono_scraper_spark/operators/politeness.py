@@ -447,3 +447,48 @@ def authority_budgets(ranks: DataFrame, total_budget: int,
                     F.lit(int(min_budget)),
                     (F.col("base") + F.coalesce(seat, F.lit(0)))
                     .cast("int")).alias("budget")))
+
+
+def adaptive_budgets(fetch_log: DataFrame, *,
+                     base_budget: int = 8,
+                     increase: int = 2,
+                     min_budget: int = 1,
+                     max_budget: int = 64,
+                     error_statuses: tuple = (429, 500, 502, 503, 504)
+                     ) -> DataFrame:
+    """AIMD per-host budgets from observed fetch outcomes — congestion
+    control for politeness (TCP's additive-increase /
+    multiplicative-decrease, applied per origin host).
+
+    Folds each host's round history in round order: a round containing
+    ANY throttle/server-error status (``error_statuses``) HALVES the
+    host's next-round budget (floor ``min_budget``); a clean round adds
+    ``increase`` (cap ``max_budget``). The result ``(host, budget)``
+    feeds ``schedule_round(budget_overrides=…)`` directly — static
+    source limits still compose via ``merge_budget_overrides`` (most
+    restrictive wins).
+
+    Shape: one agg to (host, round) error flags — shuffle carries
+    (host, int, bool) — one collect_list per host, then the fold is a
+    single ``aggregate`` lambda over the sorted flag array (pure
+    codegen; rounds-per-host is small by construction). Deterministic:
+    the fold order is the round order, ties don't exist (one flag per
+    round). The halving uses ``shiftright`` so both engines do the same
+    integer arithmetic."""
+    flags = (fetch_log
+             .groupBy("host", "round_idx")
+             .agg(F.max(F.when(
+                 F.col("http_status").isin(*error_statuses), 1)
+                 .otherwise(0)).alias("err")))
+    per_host = (flags
+                .groupBy("host")
+                .agg(F.array_sort(F.collect_list(
+                    F.struct(F.col("round_idx").alias("r"),
+                             F.col("err").alias("e")))).alias("hist")))
+    folded = F.aggregate(
+        F.transform("hist", lambda s: s["e"]),
+        F.lit(base_budget),
+        lambda acc, e: F.when(
+            e == 1, F.greatest(F.lit(min_budget), F.shiftright(acc, 1)))
+        .otherwise(F.least(F.lit(max_budget), acc + F.lit(increase))))
+    return per_host.select("host", folded.cast("int").alias("budget"))

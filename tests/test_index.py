@@ -349,3 +349,30 @@ def test_noindex_pages_excluded_from_search(spark):
     hits = search(pi.select(*cols), inv, "findable token",
                   limit=10).collect()
     assert {h["url_canon"] for h in hits} == {"u1"}
+
+
+def test_current_view_postings(spark):
+    """After a fresh capture lands, the old capture's postings stop
+    matching in the current view; single-capture URLs are untouched."""
+    from chrono_scraper_spark.operators.index import (
+        build_inverted_terms,
+        current_view_postings,
+    )
+
+    pi = spark.createDataFrame(
+        [("u1", "20210101000000", "", "old words here"),
+         ("u1", "20230101000000", "", "new shiny content"),
+         ("u2", "20210101000000", "", "only capture")],
+        "url_canon string, ts14 string, title string, content string")
+    inv = build_inverted_terms(pi)
+    pages_out = pi.select("url_canon", "ts14")
+    cur = current_view_postings(inv, pages_out)
+    got = {(r["term"], r["url_canon"], r["ts14"]) for r in cur.collect()}
+    assert ("new", "u1", "20230101000000") in got
+    assert ("only", "u2", "20210101000000") in got
+    # the superseded capture's postings are gone from the current view
+    assert not any(u == "u1" and t == "20210101000000"
+                   for _, u, t in got)
+    # ...but remain in the unrestricted (time-travel) table
+    assert inv.filter("url_canon = 'u1' AND ts14 = '20210101000000'") \
+        .count() > 0

@@ -447,3 +447,54 @@ def test_authority_budgets_feed_schedule_round(spark):
              out.filter("sched_status = 'scheduled'")
              .groupBy("host").count().collect()}
     assert sched == {"a.com": 9, "b.com": 1}
+
+
+# ---------------------------------------------------------------------------
+# AIMD adaptive budgets
+# ---------------------------------------------------------------------------
+
+def test_adaptive_budgets_fold(spark):
+    from chrono_scraper_spark.operators.politeness import adaptive_budgets
+
+    rows = [
+        # clean.example: 3 clean rounds -> 8 +2 +2 +2 = 14
+        ("clean.example", 0, 200), ("clean.example", 1, 200),
+        ("clean.example", 2, 404),           # hard 4xx is NOT an error round
+        # throttled.example: err, clean, err -> 8/2=4, +2=6, /2=3
+        ("throttled.example", 0, 429), ("throttled.example", 0, 200),
+        ("throttled.example", 1, 200), ("throttled.example", 2, 503),
+        # floor.example: 5 error rounds -> 8,4,2,1,1 -> floor holds at 1
+        *[("floor.example", r, 503) for r in range(5)],
+    ]
+    log = spark.createDataFrame(
+        rows, "host string, round_idx int, http_status int")
+    got = {r["host"]: r["budget"]
+           for r in adaptive_budgets(log).collect()}
+    assert got == {"clean.example": 14, "throttled.example": 3,
+                   "floor.example": 1}
+
+
+def test_adaptive_budgets_cap_and_schedule_compose(spark):
+    from chrono_scraper_spark.operators.politeness import (
+        adaptive_budgets,
+        schedule_round,
+    )
+
+    # 40 clean rounds cap at max_budget
+    log = spark.createDataFrame(
+        [("h.example", r, 200) for r in range(40)],
+        "host string, round_idx int, http_status int")
+    budgets = adaptive_budgets(log)
+    assert budgets.collect()[0]["budget"] == 64
+
+    # the output plugs into schedule_round as budget_overrides
+    frontier = spark.createDataFrame(
+        [(f"https://h.example/{i}", f"{i:014d}", "h.example", 100 - i)
+         for i in range(70)],
+        "url string, ts14 string, host string, ps int") \
+        .withColumn("decision",
+                    F.struct(F.col("ps").alias("priority_score")))
+    sched = schedule_round(frontier, round_idx=0,
+                           budget_overrides=budgets)
+    n = sched.filter("sched_status = 'scheduled'").count()
+    assert n == 64
