@@ -202,3 +202,37 @@ def test_due_selection_poisson(spark, tmp_path, server):
     c = job.run_round(1, "20230101000000")
     assert c["checked"] == 1                       # only /hot
     assert [p for p, _ in store.hits] == ["/hot"]
+
+
+def test_round_replay_converges(spark, tmp_path, server):
+    """Torn-round semantics: re-running a round with the same now_ts14
+    converges — pages_out/inverted_terms merges are key-idempotent and
+    the validators latest-wins collapse lands on the same row."""
+    store, base = server
+    store.pages["/same"] = (_html("Same", 60), '"s1"')
+    store.pages["/changed"] = (_html("New headline", 70), '"c2"')
+    root = str(tmp_path / "cat")
+    cat = _seed_catalog(spark, root, base)
+
+    job = RevalidateJob(spark, root, force_all=True)
+    job.run_round(1, "20230101000000")
+    pages_n = cat.read("pages_out").count()
+    inv_n = cat.read("inverted_terms").count()
+    vals_before = sorted(
+        (r["url"], r["etag"], r["last_modified"]) for r in latest_captures(
+            cat.read("validators"), key_cols=("url",),
+            ts_col="checked_ts14").collect())
+
+    # the replay: same round, same now_ts14 (the torn-round contract)
+    job.run_round(1, "20230101000000")
+    assert cat.read("pages_out").count() == pages_n
+    assert cat.read("inverted_terms").count() == inv_n
+    # validators converge on (url, etag, last_modified); the outcome
+    # label legitimately differs on replay ('fresh' -> 'not_modified':
+    # the replayed fetch revalidates against the already-updated etag,
+    # gets a 304, and the catalog state is ALREADY the converged one)
+    vals_after = sorted(
+        (r["url"], r["etag"], r["last_modified"]) for r in latest_captures(
+            cat.read("validators"), key_cols=("url",),
+            ts_col="checked_ts14").collect())
+    assert vals_after == vals_before
