@@ -5332,6 +5332,71 @@ FROM tf t JOIN latest l
 GROUP BY 1, 2"""
 
 
+def q_opic(spark, sf_dir):
+    """OPIC importance (graph.opic_importance) over the same synthetic
+    host edge list as host_authority — 3 synchronous cash/history
+    rounds, integer-deterministic, bit-compared against the oracle's
+    CTE replay of the identical arithmetic."""
+    from chrono_scraper_spark.operators.graph import opic_importance
+
+    pages = cdx_pages_view(spark, sf_dir)
+    k = (F.col("doc_id") * 7 + 3) % 500
+    dst = (F.when(k % 3 == 0, F.lit("mega.example.com"))
+           .when(k % 20 == 1, F.concat(F.lit("univ"),
+                                       (k % 4).cast("string"),
+                                       F.lit(".edu")))
+           .when(k % 20 == 2, F.concat(F.lit("agency"),
+                                       (k % 3).cast("string"),
+                                       F.lit(".gov")))
+           .otherwise(F.concat(F.lit("site"), (k % 40).cast("string"),
+                               F.lit(".com"))))
+    edges = (pages.select(F.col("host").alias("src"), dst.alias("dst"))
+             .distinct())
+    return opic_importance(edges, rounds=3)
+
+
+def _opic_iter_cte(i: int) -> str:
+    return f"""s{i} AS (
+  SELECT e.dst AS host, CAST(sum(c.cash // o.outdeg) AS BIGINT) AS s
+  FROM edges e JOIN c{i} c ON e.src = c.host
+  JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst),
+v{i} AS (
+  SELECT CAST(sum(CASE WHEN o.outdeg IS NULL THEN c.cash
+                       ELSE c.cash % o.outdeg END) AS BIGINT) AS v
+  FROM c{i} c LEFT JOIN outdeg o ON c.host = o.src),
+c{i + 1} AS (
+  SELECT h.host,
+    CAST(coalesce(s.s, 0)
+         + (SELECT v FROM v{i}) // (SELECT count(*) FROM hosts)
+      AS BIGINT) AS cash,
+    CAST(c.hist + c.cash AS BIGINT) AS hist
+  FROM hosts h LEFT JOIN s{i} s ON h.host = s.host
+  JOIN c{i} c ON h.host = c.host)"""
+
+
+SQL_OPIC = (f"WITH pages_cdx AS ({PAGES_CTE_DUCK}),\n"
+            + """
+ek AS (SELECT host AS src, (doc_id * 7 + 3) % 500 AS k FROM pages_cdx),
+edges0 AS (
+  SELECT DISTINCT src,
+    CASE WHEN k % 3 = 0 THEN 'mega.example.com'
+         WHEN k % 20 = 1 THEN 'univ' || CAST(k % 4 AS VARCHAR) || '.edu'
+         WHEN k % 20 = 2 THEN 'agency' || CAST(k % 3 AS VARCHAR) || '.gov'
+         ELSE 'site' || CAST(k % 40 AS VARCHAR) || '.com' END AS dst
+  FROM ek),
+edges AS (SELECT src, dst FROM edges0 WHERE src <> dst),
+hosts AS (SELECT src AS host FROM edges0 UNION SELECT dst FROM edges0),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+c0 AS (SELECT host,
+  CAST((SELECT 1000000000000 // count(*) FROM hosts) AS BIGINT) AS cash,
+  CAST(0 AS BIGINT) AS hist
+  FROM hosts),
+""" + ",\n".join(_opic_iter_cte(i) for i in range(3))
+            + "\nSELECT host, CAST(hist + cash AS BIGINT) "
+              "AS importance_nano FROM c3")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5441,6 +5506,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feed_discover": q_feed_discover,  # RSS/Atom parsing + freshness
     "adaptive_budgets": q_adaptive_budgets,  # AIMD politeness budgets
     "latest_postings": q_latest_postings,  # current-view index restriction
+    "opic": q_opic,  # on-line page importance (cash/history rounds)
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -5613,4 +5679,5 @@ ORACLES: dict[str, str] = {
     "feed_discover": SQL_FEED_DISCOVER,
     "adaptive_budgets": SQL_ADAPTIVE_BUDGETS,
     "latest_postings": SQL_LATEST_POSTINGS,
+    "opic": SQL_OPIC,
 }

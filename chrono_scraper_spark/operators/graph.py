@@ -185,3 +185,89 @@ def hits(edges: DataFrame, iters: int = 3,
     raw.unpersist()
     hosts.unpersist()
     return s
+
+
+def opic_importance(edges: DataFrame, rounds: int = 5,
+                    checkpoint_every: int = 4) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda,
+    Cobena, WWW'03) over a (src, dst) host edge list; the batch
+    synchronous variant. Returns (host, importance_nano: long).
+
+    Why it exists beside ``host_authority``: PageRank needs the whole
+    graph and converged iterations before any score is usable; OPIC's
+    cash/history pair gives a usable importance estimate for a node the
+    moment it is first seen — the crawl-scheduler-friendly member of the
+    family (importance accrues WHILE crawling). The batch rounds here
+    replay that accrual deterministically over a fixed edge snapshot.
+
+    Integer semantics (bit-identical to the DuckDB oracle):
+    cash₀ = SCALE // n, hist₀ = 0; each round, synchronously:
+
+    * every host sends ``cash DIV outdeg`` along each out-edge
+      (self-loops dropped, as in host_authority);
+    * the division REMAINDER, plus the full cash of dangling hosts
+      (no out-edges), goes to the virtual node, redistributed uniformly
+      next round as ``V DIV n`` (the ≤ n−1 nano leftover of that
+      division is dropped — documented determinism convention);
+    * hist += the cash held at the round's start.
+
+    importance = hist + cash after ``rounds``.
+
+    Plan shape = host_authority's Pregel loop plus one 1-row broadcast
+    per round (the virtual-node total — the same "corpus scalar as a
+    broadcast join" idiom as recrawl_schedule's now): edges ⋈ cash on
+    src → groupBy dst partial sums; lineage truncated every
+    ``checkpoint_every`` rounds.
+    """
+    raw = edges.select("src", "dst").cache()
+    hosts = (raw.select(F.col("src").alias("host"))
+             .union(raw.select(F.col("dst").alias("host")))
+             .distinct())
+    n = hosts.count()  # driver scalar (graph cardinality), not row data
+    if n == 0:
+        raw.unpersist()
+        return hosts.withColumn("importance_nano", F.lit(0).cast("long"))
+    e = raw.filter(F.col("src") != F.col("dst")).cache()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
+    hosts = hosts.cache()
+    state = hosts.withColumn("cash", F.lit(SCALE // n).cast("long")) \
+                 .withColumn("hist", F.lit(0).cast("long"))
+    prev = None
+    for i in range(rounds):
+        contrib = (e
+                   .join(state.select(F.col("host").alias("src"), "cash"),
+                         "src")
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("host"),
+                           F.expr("cash DIV outdeg").alias("c")))
+        sums = contrib.groupBy("host").agg(F.sum("c").alias("s"))
+        vrow = (state
+                .join(outdeg.withColumnRenamed("src", "host"),
+                      "host", "left")
+                .agg(F.sum(
+                    F.when(F.col("outdeg").isNull(), F.col("cash"))
+                    .otherwise(F.col("cash") % F.col("outdeg")))
+                    .cast("long").alias("v")))
+        state = (state
+                 .join(sums, "host", "left")
+                 .join(F.broadcast(vrow))
+                 .select(
+                     "host",
+                     (F.coalesce(F.col("s"), F.lit(0))
+                      + F.expr(f"v DIV {n}")).cast("long").alias("cash"),
+                     (F.col("hist") + F.col("cash")).cast("long")
+                     .alias("hist")))
+        if (i + 1) % checkpoint_every == 0 or i + 1 == rounds:
+            state = state.localCheckpoint(eager=True)
+        else:
+            state = state.cache()
+            state.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = state
+    out = state.select(
+        "host", (F.col("hist") + F.col("cash")).cast("long")
+        .alias("importance_nano"))
+    for df in (raw, e, outdeg, hosts):
+        df.unpersist()
+    return out

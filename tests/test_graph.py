@@ -112,3 +112,53 @@ def test_hits_deterministic_across_partitionings(spark):
     r1 = {tuple(r) for r in hits(e1, iters=3).collect()}
     r2 = {tuple(r) for r in hits(e2, iters=3).collect()}
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# OPIC
+# ---------------------------------------------------------------------------
+
+def test_opic_hand_computed(spark):
+    """Two rounds over {A<->B, C dangling (self-loop only)} match the
+    hand-derived integer cash/history values exactly."""
+    from chrono_scraper_spark.operators.graph import opic_importance
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("A", "A"), ("C", "C")],
+        "src string, dst string")
+    got = {r["host"]: r["importance_nano"]
+           for r in opic_importance(edges, rounds=2).collect()}
+    # n=3, c0=333333333333; r1: V=C's cash -> V//3=111111111111,
+    # c1={A,B:444444444444, C:111111111111}, h1=333333333333 each;
+    # r2: V=111111111111 -> 37037037037,
+    # c2={A,B:481481481481, C:37037037037}, h2={A,B:777777777777,
+    # C:444444444444}; importance = h2 + c2
+    assert got == {"A": 1259259259258, "B": 1259259259258,
+                   "C": 481481481481}
+
+
+def test_opic_cash_conservation_and_order(spark):
+    """Total importance stays near rounds+1 SCALE-units (only the
+    documented <=n-1 nano virtual-division drop per round leaks), and a
+    hub out-ranks a leaf."""
+    from chrono_scraper_spark.operators.graph import SCALE, opic_importance
+
+    edges = spark.createDataFrame(
+        [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"),
+         ("a", "b")],
+        "src string, dst string")
+    rows = opic_importance(edges, rounds=4).collect()
+    got = {r["host"]: r["importance_nano"] for r in rows}
+    n, rounds = 4, 4
+    # hist accrues each round's held cash (~SCALE per round); cash ~SCALE
+    total = sum(got.values())
+    expect = SCALE * (rounds + 1)
+    assert expect - n * rounds * 2 <= total <= expect
+    assert got["hub"] > got["c"]
+
+
+def test_opic_empty_edges(spark):
+    from chrono_scraper_spark.operators.graph import opic_importance
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert opic_importance(edges, rounds=2).count() == 0
