@@ -5397,6 +5397,99 @@ c0 AS (SELECT host,
               "AS importance_nano FROM c3")
 
 
+def q_wat_identity(spark, sf_dir):
+    """WAT (Common Crawl per-page metadata record) writer+parser
+    round-trip: each URL's link set (extract_links over the constructed
+    HTML, distinct targets, sorted), title and status are encoded as a
+    per-record-gzipped ``WARC-Type: metadata`` JSON envelope
+    (sources/warc.py::encode_wat_record) and parsed back in one pandas
+    UDF; the oracle recomputes every field from the source rows."""
+    import hashlib
+    import json as _json
+
+    from pyspark.sql import types as ST
+    from pyspark.sql.functions import pandas_udf
+
+    from chrono_scraper_spark.operators.links import extract_links
+    from chrono_scraper_spark.sources.warc import (
+        decode_warc_member,
+        encode_wat_record,
+    )
+
+    pages = _linked_pages(spark, sf_dir)
+    per_url = (extract_links(pages)
+               .groupBy("src_url")
+               .agg(F.array_sort(F.collect_set("dst_url")).alias("links")))
+    meta = pages.groupBy("url").agg(
+        F.max("ts14").alias("ts14"),
+        F.max("status").alias("status"),
+        F.max("doc_id").alias("mxid"))
+    date_iso = F.concat(
+        F.substring("ts14", 1, 4), F.lit("-"), F.substring("ts14", 5, 2),
+        F.lit("-"), F.substring("ts14", 7, 2), F.lit("T"),
+        F.substring("ts14", 9, 2), F.lit(":"), F.substring("ts14", 11, 2),
+        F.lit(":"), F.substring("ts14", 13, 2), F.lit("Z"))
+    joined = (meta.join(per_url, meta.url == per_url.src_url, "left")
+              .select("url", "ts14", "status",
+                      F.concat(F.lit("doc "), F.col("mxid").cast("string"))
+                      .alias("title"),
+                      date_iso.alias("date_iso"),
+                      F.coalesce("links", F.array().cast("array<string>"))
+                      .alias("links")))
+
+    schema = ST.StructType([
+        ST.StructField("title_rt", ST.StringType()),
+        ST.StructField("status_rt", ST.IntegerType()),
+        ST.StructField("n_links", ST.IntegerType()),
+        ST.StructField("links_md5", ST.StringType()),
+        ST.StructField("is_metadata", ST.BooleanType()),
+    ])
+
+    @pandas_udf(schema)
+    def roundtrip(url, date_iso, title, status, links):
+        import pandas as pd
+        cols = {k: [] for k in ("title_rt", "status_rt", "n_links",
+                                "links_md5", "is_metadata")}
+        for u, d, t, s, lk in zip(url, date_iso, title, status, links):
+            rec = decode_warc_member(encode_wat_record(
+                u, d, title=t, http_status=int(s), links=list(lk)))
+            env = _json.loads(rec["payload"])
+            hm = env["Envelope"]["Payload-Metadata"][
+                "HTTP-Response-Metadata"]
+            urls = [x["url"] for x in hm["HTML-Metadata"]["Links"]]
+            cols["title_rt"].append(hm["HTML-Metadata"]["Head"]["Title"])
+            cols["status_rt"].append(hm["Response-Message"]["Status"])
+            cols["n_links"].append(len(urls))
+            cols["links_md5"].append(
+                hashlib.md5("|".join(urls).encode()).hexdigest())
+            cols["is_metadata"].append(rec["warc_type"] == "metadata")
+        return pd.DataFrame(cols)
+
+    rt = roundtrip("url", "date_iso", "title", "status", "links")
+    return joined.select("url", "ts14", rt.alias("rt")).select(
+        "url", "ts14", "rt.title_rt", "rt.status_rt", "rt.n_links",
+        "rt.links_md5", "rt.is_metadata")
+
+
+SQL_WAT_IDENTITY = ("WITH " + _LINKS_CTES + """,
+lk AS (
+  SELECT src_url, list_sort(list(DISTINCT dst_url)) AS ls
+  FROM links GROUP BY src_url
+),
+meta AS (
+  SELECT url, max(ts14) AS ts14, max(status) AS status,
+    max(doc_id) AS mxid
+  FROM pages_cdx GROUP BY url
+)
+SELECT m.url, m.ts14,
+  'doc ' || CAST(m.mxid AS VARCHAR) AS title_rt,
+  CAST(m.status AS INT) AS status_rt,
+  CAST(coalesce(len(l.ls), 0) AS INT) AS n_links,
+  md5(coalesce(array_to_string(l.ls, '|'), '')) AS links_md5,
+  TRUE AS is_metadata
+FROM meta m LEFT JOIN lk l ON m.url = l.src_url""")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5507,6 +5600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "adaptive_budgets": q_adaptive_budgets,  # AIMD politeness budgets
     "latest_postings": q_latest_postings,  # current-view index restriction
     "opic": q_opic,  # on-line page importance (cash/history rounds)
+    "wat_identity": q_wat_identity,  # WAT metadata record round-trip
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -5680,4 +5774,5 @@ ORACLES: dict[str, str] = {
     "adaptive_budgets": SQL_ADAPTIVE_BUDGETS,
     "latest_postings": SQL_LATEST_POSTINGS,
     "opic": SQL_OPIC,
+    "wat_identity": SQL_WAT_IDENTITY,
 }

