@@ -5490,6 +5490,55 @@ SELECT m.url, m.ts14,
 FROM meta m LEFT JOIN lk l ON m.url = l.src_url""")
 
 
+def q_pct_normalize(spark, sf_dir):
+    """RFC 3986 §6.2.2 percent-encoding normalization
+    (functions/urls.pct_normalize): corpus URLs get planted escape
+    suffixes per doc_id family (lowercase reserved escape, encoded
+    unreserved chars, double-encoded percent, multibyte UTF-8 escapes,
+    stray/invalid percents) — uppercase-hex + decode-unreserved must
+    agree byte-for-byte with the oracle's transform."""
+    from chrono_scraper_spark.functions.urls import pct_normalize
+
+    pages = cdx_pages_view(spark, sf_dir).select("url", "ts14", "doc_id")
+    suffix = (F.when(F.col("doc_id") % 6 == 0, "?a=x%2fy")
+              .when(F.col("doc_id") % 6 == 1, "/%61%62c")
+              .when(F.col("doc_id") % 6 == 2, "/100%25%2525")
+              .when(F.col("doc_id") % 6 == 3, "/caf%c3%a9")
+              .when(F.col("doc_id") % 6 == 4, "/50%")
+              .otherwise("/x%7e%5A%1G"))
+    planted = pages.select(
+        "ts14", F.concat("url", suffix).alias("url"))
+    return planted.select("url", "ts14",
+                          pct_normalize(F.col("url")).alias("normalized"))
+
+
+SQL_PCT_NORMALIZE = """
+WITH pages_cdx AS ({pages_cte}),
+planted AS (
+  SELECT ts14,
+    url || CASE doc_id % 6
+      WHEN 0 THEN '?a=x%2fy'
+      WHEN 1 THEN '/%61%62c'
+      WHEN 2 THEN '/100%25%2525'
+      WHEN 3 THEN '/caf%c3%a9'
+      WHEN 4 THEN '/50%'
+      ELSE '/x%7e%5A%1G'
+    END AS url
+  FROM pages_cdx
+),
+parts AS (SELECT url, ts14, string_split(url, '%') AS p FROM planted)
+SELECT url, ts14,
+  p[1] || coalesce(list_aggregate(list_transform(p[2:], x ->
+    CASE WHEN NOT regexp_matches(x, '^[0-9A-Fa-f]{2}') THEN '%' || x
+         WHEN upper(x[1:2]) >= '80' THEN '%' || upper(x[1:2]) || x[3:]
+         WHEN regexp_matches(decode(unhex(upper(x[1:2]))),
+                             '^[A-Za-z0-9._~-]$')
+           THEN decode(unhex(upper(x[1:2]))) || x[3:]
+         ELSE '%' || upper(x[1:2]) || x[3:] END),
+    'string_agg', ''), '') AS normalized
+FROM parts""".replace("{pages_cte}", PAGES_CTE_DUCK)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5601,6 +5650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_postings": q_latest_postings,  # current-view index restriction
     "opic": q_opic,  # on-line page importance (cash/history rounds)
     "wat_identity": q_wat_identity,  # WAT metadata record round-trip
+    "pct_normalize": q_pct_normalize,  # RFC 3986 escape normalization
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -5775,4 +5825,5 @@ ORACLES: dict[str, str] = {
     "latest_postings": SQL_LATEST_POSTINGS,
     "opic": SQL_OPIC,
     "wat_identity": SQL_WAT_IDENTITY,
+    "pct_normalize": SQL_PCT_NORMALIZE,
 }

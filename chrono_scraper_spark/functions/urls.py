@@ -89,6 +89,40 @@ def surt_key(url: Column) -> Column:
         F.when(q.isNull(), F.lit("")).otherwise(F.concat(F.lit("?"), q)))
 
 
+def pct_normalize(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization — the
+    canonicalization step that makes ``%2f`` and ``%2F`` (and ``%61`` vs
+    ``a``) the same seen-set key:
+
+    * hex digits of every percent-escape are UPPERCASED;
+    * escapes that decode to an UNRESERVED character
+      (``A-Z a-z 0-9 - . _ ~``) are decoded — they never needed
+      encoding, and RFC 3986 says the forms are equivalent;
+    * escapes of reserved characters stay encoded (``%2F`` is NOT a
+      path slash), a stray ``%`` not followed by two hex digits passes
+      through verbatim.
+
+    Pure column expressions (split on '%', one TRANSFORM over the
+    escape-leading fragments, rejoin) — whole-stage codegen, no UDF,
+    byte-replayable in the DuckDB oracle. Compose ahead of ``url_canon``
+    / ``surt_key`` when the frontier mixes encoders (the defaults stay
+    identity-preserving: the reference keys on raw CDX URLs)."""
+    parts = F.split(url, "%")
+
+    def fix(p, i):
+        h = F.upper(F.substring(p, 1, 2))
+        rest = F.substring(p, 3, 2147483647)
+        valid = p.rlike("^[0-9A-Fa-f]{2}")
+        decoded = F.char(F.conv(h, 16, 10).cast("int"))
+        unres = (h < "80") & decoded.rlike("^[A-Za-z0-9._~-]$")
+        fixed = F.when(~valid, F.concat(F.lit("%"), p)).otherwise(
+            F.concat(F.when(unres, decoded)
+                     .otherwise(F.concat(F.lit("%"), h)), rest))
+        return F.when(i == 0, p).otherwise(fixed)
+
+    return F.array_join(F.transform(parts, fix), "")
+
+
 def ts14(ts: Column) -> Column:
     """14-char capture timestamp 'yyyyMMddHHmmss' (scraping.py:69)."""
     return F.date_format(ts, "yyyyMMddHHmmss")

@@ -367,3 +367,50 @@ def test_cms_never_underestimates_property(spark, items):
                        cms_build(b, "k", d=2, w=4))
     assert ({tuple(r) for r in merged.collect()}
             == {tuple(r) for r in sk.collect()})
+
+
+def _py_pct_normalize(u: str) -> str:
+    """RFC 3986 §6.2.2 twin of functions.urls.pct_normalize."""
+    parts = u.split("%")
+    out = [parts[0]]
+    for p in parts[1:]:
+        if re.match(r"^[0-9A-Fa-f]{2}", p):
+            h = p[:2].upper()
+            ch = chr(int(h, 16))
+            if h < "80" and re.match(r"^[A-Za-z0-9._~-]$", ch):
+                out.append(ch + p[2:])
+            else:
+                out.append("%" + h + p[2:])
+        else:
+            out.append("%" + p)
+    return "".join(out)
+
+
+@SET
+@given(st.lists(st.text(
+    alphabet=st.sampled_from(list("ab1%2Ff7EcG~._- /")),
+    max_size=24), min_size=1, max_size=30))
+def test_pct_normalize_matches_python_twin(spark, tails):
+    from chrono_scraper_spark.functions.urls import pct_normalize
+
+    urls = [f"https://h.example/{t}" for t in tails]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r["n"] for r in
+           df.select(pct_normalize(F.col("url")).alias("n")).collect()]
+    assert got == [_py_pct_normalize(u) for u in urls]
+
+
+@SET
+@given(st.lists(st.text(
+    alphabet=st.sampled_from(list("ab1%2Ff7EcG~._- /")),
+    max_size=24), min_size=1, max_size=30))
+def test_pct_normalize_idempotent(spark, tails):
+    from chrono_scraper_spark.functions.urls import pct_normalize
+
+    urls = [f"https://h.example/{t}" for t in tails]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(pct_normalize(F.col("url")).alias("n"))
+    twice = once.select(F.col("n").alias("url")) \
+        .select(pct_normalize(F.col("url")).alias("n"))
+    assert [r["n"] for r in once.collect()] == \
+        [r["n"] for r in twice.collect()]
