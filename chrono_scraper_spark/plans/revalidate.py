@@ -114,13 +114,21 @@ class RevalidateJob:
 
     # -- the round ----------------------------------------------------------
 
-    def run_round(self, round_idx: int, now_ts14: str) -> dict:
+    def run_round(self, round_idx: int, now_ts14: str,
+                  urls: DataFrame | None = None) -> dict:
+        """One revalidation round. ``urls`` (a 1-column ``url`` frame)
+        overrides the due-set selection — the hook for EXTERNAL change
+        signals: sitemap lastmod claims, feed items, alert follow-ups,
+        or a micro-batch stream (streaming.micro_batch.
+        revalidate_stream_writer)."""
         pages = self.cat.read("pages_out")
         latest = latest_captures(
             pages.select("url", "url_canon", "ts14", "host", "lang",
                          "digest", "extracted_text", "title"))
+        due = (urls.select("url").distinct() if urls is not None
+               else self._due_urls(pages))
         prior = (latest
-                 .join(self._due_urls(pages), "url", "left_semi")
+                 .join(due, "url", "left_semi")
                  .join(self._stored_validators(), "url", "left")
                  .select(
                      "url", "url_canon", "ts14", "host", "lang",

@@ -292,3 +292,30 @@ def alerts_stream_writer(stream: DataFrame, catalog: SnapshotCatalog,
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True))
+
+
+def revalidate_stream_writer(stream: DataFrame, job, checkpoint_dir: str,
+                             now_ts14_fn=None):
+    """Signal-driven revalidation: each micro-batch of ``url`` rows
+    (sitemap ``stale`` claims, feed items, alert follow-ups — whatever
+    upstream says "this page may have changed") runs ONE RevalidateJob
+    round restricted to exactly those URLs. The conditional-fetch
+    economics carry over: a false signal costs a 304 header exchange,
+    a true one re-extracts and re-indexes just that page.
+
+    ``now_ts14_fn(batch_id) -> ts14`` pins each batch's capture
+    timestamp (tests/replays pass a deterministic map; production passes
+    wall clock). Checkpoint replays converge: pages_out/inverted_terms
+    merges are key-idempotent and validators collapse latest-wins
+    (test_revalidate_plan round-replay property)."""
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns or batch_df.isEmpty():
+            return
+        now = (now_ts14_fn(batch_id) if now_ts14_fn
+               else __import__("datetime").datetime.utcnow()
+               .strftime("%Y%m%d%H%M%S"))
+        job.run_round(int(batch_id), now, urls=batch_df.select("url"))
+
+    return (stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))

@@ -236,3 +236,56 @@ def test_round_replay_converges(spark, tmp_path, server):
             cat.read("validators"), key_cols=("url",),
             ts_col="checked_ts14").collect())
     assert vals_after == vals_before
+
+
+def test_revalidate_stream_writer(spark, tmp_path, server):
+    """Signal-driven streaming revalidation: per-file micro-batches of
+    url signals each run one restricted round; catalog state matches the
+    per-batch expectations exactly."""
+    from chrono_scraper_spark.streaming.micro_batch import (
+        revalidate_stream_writer,
+    )
+
+    store, base = server
+    store.pages["/same"] = (_html("Same", 60), '"s1"')
+    store.pages["/changed"] = (_html("New headline", 70), '"c2"')
+    root = str(tmp_path / "cat")
+    cat = _seed_catalog(spark, root, base)
+
+    d = tmp_path / "signals"
+    d.mkdir()
+    spark.createDataFrame([(f"{base}/changed",)], "url string") \
+        .coalesce(1).write.parquet(str(d / "b1"))
+    spark.createDataFrame([(f"{base}/same",), (f"{base}/gone",)],
+                          "url string") \
+        .coalesce(1).write.parquet(str(d / "b2"))
+
+    job = RevalidateJob(spark, root)
+    stream = (spark.readStream.schema("url string")
+              .option("maxFilesPerTrigger", 1).parquet(str(d / "*")))
+    nows = {0: "20230101000000", 1: "20230202000000"}
+    q = revalidate_stream_writer(stream, job, str(tmp_path / "ck"),
+                                 now_ts14_fn=lambda b: nows[int(b)]) \
+        .start()
+    q.awaitTermination(180)
+
+    # exactly the signaled urls were checked, one batch each
+    checked = sorted((r["url"].rsplit("/", 1)[1], r["round_idx"])
+                     for r in cat.read("revalidate_log").collect())
+    assert ("changed", 0) in checked
+    assert ("same", 1) in checked and ("gone", 1) in checked
+    assert len(checked) == 3
+    # the changed page gained a capture at batch 0's pinned timestamp
+    pages = cat.read("pages_out")
+    assert pages.count() == 4
+    cur = {r["url"].rsplit("/", 1)[1]: r["ts14"]
+           for r in latest_captures(pages).collect()}
+    assert cur["changed"] == "20230101000000"
+    assert cur["same"] == "20210101000000"
+    # validators reflect each batch's check
+    vals = {r["url"].rsplit("/", 1)[1]: r for r in latest_captures(
+        cat.read("validators"), key_cols=("url",),
+        ts_col="checked_ts14").collect()}
+    assert vals["changed"]["etag"] == '"c2"'
+    assert vals["same"]["outcome"] == "not_modified"
+    assert vals["gone"]["outcome"] == "failed"
