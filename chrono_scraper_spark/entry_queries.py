@@ -5539,6 +5539,87 @@ SELECT url, ts14,
 FROM parts""".replace("{pages_cte}", PAGES_CTE_DUCK)
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode-script composition (textops.script_profile): corpus text
+    gets planted non-Latin samples per doc_id family (Cyrillic, Han,
+    Arabic, Hangul, Devanagari, Greek, Latin-only) — per-script counts,
+    integer ppm shares and the dominant script must match the oracle's
+    RE2 \\p{Script} counts exactly (Java spells the same classes
+    IsLatin/IsHan/…)."""
+    from chrono_scraper_spark.functions.textops import script_profile
+
+    pages = cdx_pages_view(spark, sf_dir).select(
+        "url", "ts14", "doc_id", "text")
+    base = F.regexp_replace(F.substring("text", 1, 40), "[^ -~]", "")
+    planted = (F.when(F.col("doc_id") % 7 == 0,
+                      F.concat(base, F.lit(" АБВГ дежз")))
+               .when(F.col("doc_id") % 7 == 1,
+                     F.concat(base, F.lit(" 漢字漢字漢")))
+               .when(F.col("doc_id") % 7 == 2,
+                     F.concat(base, F.lit(" العربية")))
+               .when(F.col("doc_id") % 7 == 3,
+                     F.concat(base, F.lit(" 한국어 텍스트")))
+               .when(F.col("doc_id") % 7 == 4,
+                     F.concat(base, F.lit(" हिन्दी")))
+               .when(F.col("doc_id") % 7 == 5,
+                     F.concat(base, F.lit(" ελληνικά")))
+               .otherwise(base))
+    df = pages.select("url", "ts14", planted.alias("text"))
+    return script_profile(df).drop("text")
+
+
+def _script_profile_sql() -> str:
+    from chrono_scraper_spark.functions.textops import E6, SCRIPTS
+    counts = ",\n    ".join(
+        f"CAST(length(regexp_replace(text, '[^\\p{{{re2}}}]', '', 'g')) "
+        f"AS BIGINT) AS n_{name}"
+        for name, _java, re2 in SCRIPTS)
+    total = " + ".join(f"n_{name}" for name, _j, _r in SCRIPTS)
+    ppms = ",\n  ".join(
+        f"CAST(CASE WHEN script_total > 0 "
+        f"THEN (n_{name} * {E6}) // script_total ELSE 0 END AS BIGINT) "
+        f"AS {name}_ppm"
+        for name, _j, _r in SCRIPTS)
+    # dominant: max (count, name) struct — tie-break name DESC, same as
+    # the engine's greatest() over (n, s) structs
+    dom = ("(SELECT max(struct_pack(n := x.n, s := x.s)).s FROM (VALUES "
+           + ", ".join(f"(n_{name}, '{name}')" for name, _j, _r in SCRIPTS)
+           + ") AS x(n, s))")
+    return f"""
+WITH pages_cdx AS ({PAGES_CTE_DUCK}),
+planted AS (
+  SELECT url, ts14,
+    regexp_replace(substring(text, 1, 40), '[^ -~]', '', 'g') ||
+    CASE doc_id % 7
+      WHEN 0 THEN ' АБВГ дежз'
+      WHEN 1 THEN ' 漢字漢字漢'
+      WHEN 2 THEN ' العربية'
+      WHEN 3 THEN ' 한국어 텍스트'
+      WHEN 4 THEN ' हिन्दी'
+      WHEN 5 THEN ' ελληνικά'
+      ELSE ''
+    END AS text
+  FROM pages_cdx
+),
+counted AS (
+  SELECT url, ts14,
+    {counts}
+  FROM planted
+),
+totaled AS (
+  SELECT *, CAST({total} AS BIGINT) AS script_total FROM counted
+)
+SELECT url, ts14,
+  {", ".join(f"n_{name}" for name, _j, _r in SCRIPTS)},
+  script_total,
+  {ppms},
+  CASE WHEN script_total > 0 THEN {dom} END AS dominant_script
+FROM totaled"""
+
+
+SQL_SCRIPT_PROFILE = _script_profile_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5651,6 +5732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "opic": q_opic,  # on-line page importance (cash/history rounds)
     "wat_identity": q_wat_identity,  # WAT metadata record round-trip
     "pct_normalize": q_pct_normalize,  # RFC 3986 escape normalization
+    "script_profile": q_script_profile,  # Unicode-script composition
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,
@@ -5826,4 +5908,5 @@ ORACLES: dict[str, str] = {
     "opic": SQL_OPIC,
     "wat_identity": SQL_WAT_IDENTITY,
     "pct_normalize": SQL_PCT_NORMALIZE,
+    "script_profile": SQL_SCRIPT_PROFILE,
 }

@@ -213,3 +213,62 @@ def minhash_signature(toks: Column, k: int = 3, n_hashes: int = 12) -> Column:
             F.transform(sh, lambda s: F.md5(
                 F.concat(i.cast("string"), F.lit(":"), s)))),
     )
+
+
+#: (name, Java regex script class, RE2 script class) — Spark needs the
+#: Is-prefix, DuckDB/RE2 the bare name; the CHARACTER SETS are identical
+#: (both implement Unicode Script property).
+SCRIPTS: list[tuple[str, str, str]] = [
+    ("latin", "IsLatin", "Latin"),
+    ("cyrillic", "IsCyrillic", "Cyrillic"),
+    ("han", "IsHan", "Han"),
+    ("arabic", "IsArabic", "Arabic"),
+    ("hangul", "IsHangul", "Hangul"),
+    ("devanagari", "IsDevanagari", "Devanagari"),
+    ("greek", "IsGreek", "Greek"),
+]
+
+E6 = 1_000_000
+
+
+def script_profile(df, text_col: str = "text"):
+    """Unicode-script composition per document — the multilingual-corpus
+    companion to ``langid`` (which separates languages WITHIN the Latin
+    script): per-script character counts, ppm fractions of the total
+    script-letter mass, and the dominant script. Mixed-script documents
+    (CJK with English quotes, transliteration spam, mojibake survivors)
+    are exactly the rows a training-mix curator needs to route or drop.
+
+    One zero-shuffle codegen projection: each count is
+    ``length(regexp_replace(text, '[^\\p{Script}]', ''))`` — Java
+    spells the class ``IsLatin`` where RE2 says ``Latin``, but both
+    implement the same Unicode Script property, so the DuckDB oracle
+    counts identical characters. ppm uses integer division over the
+    summed script mass (punctuation/digits/whitespace excluded from the
+    denominator); ``dominant_script`` ties break by name descending
+    (documented; a real tie means the doc is genuinely mixed)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {name: F.length(F.regexp_replace(
+        text, f"[^\\p{{{java}}}]", "")).cast("long")
+        for name, java, _re2 in SCRIPTS}
+    out = df
+    for name, c in counts.items():
+        out = out.withColumn(f"n_{name}", c)
+    total = None
+    for name, _j, _r in SCRIPTS:
+        col = F.col(f"n_{name}")
+        total = col if total is None else total + col
+    out = out.withColumn("script_total", total.cast("long"))
+    for name, _j, _r in SCRIPTS:
+        out = out.withColumn(
+            f"{name}_ppm",
+            F.when(F.col("script_total") > 0,
+                   F.expr(f"(n_{name} * {E6}) DIV script_total"))
+            .otherwise(F.lit(0)).cast("long"))
+    best = F.greatest(*[
+        F.struct(F.col(f"n_{name}").alias("n"),
+                 F.lit(name).alias("s"))
+        for name, _j, _r in SCRIPTS])
+    return out.withColumn(
+        "dominant_script",
+        F.when(F.col("script_total") > 0, best["s"]))

@@ -141,3 +141,39 @@ def test_winnow_fingerprints_matches_duckdb_twin(spark):
     want = duckdb.sql(
         f"SELECT {winnow_fingerprints_sql(repr(text))} AS fps").fetchone()[0]
     assert got == list(want)
+
+
+def test_script_profile(spark):
+    from chrono_scraper_spark.functions.textops import script_profile
+
+    df = spark.createDataFrame(
+        [("ru", "привет abc"),        # cyrillic 6 > latin 3
+         ("zh", "漢字"),
+         ("empty", ""),
+         ("punct", "123 !!! ..."),    # no script letters at all
+         ("tie", "abcАБВ")],          # 3 vs 3 -> name-desc tie-break
+        "name string, text string")
+    got = {r["name"]: r for r in script_profile(df).collect()}
+    ru = got["ru"]
+    assert (ru["n_cyrillic"], ru["n_latin"]) == (6, 3)
+    assert ru["script_total"] == 9
+    assert ru["cyrillic_ppm"] == 6_000_000 // 9
+    assert ru["dominant_script"] == "cyrillic"
+    assert got["zh"]["dominant_script"] == "han"
+    for name in ("empty", "punct"):
+        assert got[name]["script_total"] == 0
+        assert got[name]["dominant_script"] is None
+        assert got[name]["latin_ppm"] == 0
+    # documented tie-break: name descending ('latin' > 'cyrillic')
+    assert got["tie"]["dominant_script"] == "latin"
+
+
+def test_script_profile_null_text_and_plan(spark):
+    from chrono_scraper_spark.functions.textops import script_profile
+
+    df = spark.createDataFrame([("a", None)], "name string, text string")
+    r = script_profile(df).collect()[0]
+    assert r["script_total"] == 0 and r["dominant_script"] is None
+    plan = script_profile(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
