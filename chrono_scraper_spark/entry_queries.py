@@ -5620,6 +5620,18 @@ FROM totaled"""
 SQL_SCRIPT_PROFILE = _script_profile_sql()
 
 
+def q_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (quality.with_compression_ratio):
+    zlib ratio per document — rows-only (zlib is not SQL-expressible;
+    the python twin lives in test_quality), like bpe_merges."""
+    from chrono_scraper_spark.operators.quality import (
+        with_compression_ratio,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_compression_ratio(d).drop("text")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5733,6 +5745,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wat_identity": q_wat_identity,  # WAT metadata record round-trip
     "pct_normalize": q_pct_normalize,  # RFC 3986 escape normalization
     "script_profile": q_script_profile,  # Unicode-script composition
+    "compression_ratio": q_compression_ratio,  # zlib quality signal
+    # (rows-only: zlib has no SQL twin — python-twin parity in tests)
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
     "daily_stats": q_daily_stats,

@@ -1422,3 +1422,64 @@ def bpe_encode(docs: DataFrame, merges: DataFrame,
                     _enc(T.tokens(F.col(text_col))).alias("_e"))
             .select(id_col, F.col("_e.n_pieces").alias("n_pieces"),
                     F.col("_e.piece_sig").alias("piece_sig")))
+
+
+def with_compression_ratio(docs: DataFrame, text_col: str = "text",
+                           low_ppm: int = 120_000,
+                           high_ppm: int = 600_000) -> DataFrame:
+    """Compression-ratio quality signal: ``zlib(text) / len(text)``.
+
+    Highly repetitive text (crawler-trap pages, keyword stuffing,
+    boilerplate loops) compresses far below normal prose; random
+    gibberish / base64 blobs barely compress at all. Production corpus
+    pipelines gate on both tails (the signal family RefinedWeb/CCNet
+    discuss alongside the Gopher repetition rules — one number instead
+    of per-gram bookkeeping, and it catches repetition STRUCTURES grams
+    miss, e.g. long-period copy loops).
+
+    ``ratio_ppm`` = compressed_bytes·10⁶ DIV utf8_bytes (integer;
+    deterministic — zlib level 6 with a fixed strategy is a pure
+    function of the bytes); flags ``too_repetitive`` (< ``low_ppm``)
+    and ``incompressible`` (> ``high_ppm``). Empty/NULL text → NULL
+    ratio, both flags false. Measured bands on this corpus: natural
+    prose ≈ 250-450k ppm, base64-ish gibberish ≈ 680k, random
+    printables ≈ 830k, a crawler-trap copy loop ≈ 8k — the defaults
+    sit in the gaps.
+
+    zlib is not expressible in SQL, so the contract entry is rows-only
+    (like bpe_merges); correctness is held by a python twin in the unit
+    tests (the UDF body IS the twin — same zlib, same arithmetic).
+    One Arrow-batched pandas UDF; zero shuffle."""
+    from pyspark.sql import types as ST
+    from pyspark.sql.functions import pandas_udf
+
+    out_t = ST.StructType([
+        ST.StructField("ratio_ppm", ST.LongType()),
+        ST.StructField("n_bytes", ST.LongType()),
+    ])
+
+    @pandas_udf(out_t)
+    def _ratio(ts: pd.Series) -> pd.DataFrame:  # pragma: no cover
+        import zlib
+        rows = []
+        for t in ts:
+            if t is None or t == "":
+                rows.append({"ratio_ppm": None, "n_bytes": 0})
+                continue
+            raw = t.encode("utf-8")
+            comp = len(zlib.compress(raw, 6))
+            rows.append({"ratio_ppm": comp * 1_000_000 // len(raw),
+                         "n_bytes": len(raw)})
+        return pd.DataFrame(rows)
+
+    out = docs.withColumn("_cr", _ratio(F.col(text_col)))
+    return (out
+            .withColumn("ratio_ppm", F.col("_cr.ratio_ppm"))
+            .withColumn("n_bytes", F.col("_cr.n_bytes"))
+            .drop("_cr")
+            .withColumn("too_repetitive",
+                        F.coalesce(F.col("ratio_ppm") < low_ppm,
+                                   F.lit(False)))
+            .withColumn("incompressible",
+                        F.coalesce(F.col("ratio_ppm") > high_ppm,
+                                   F.lit(False))))

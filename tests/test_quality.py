@@ -855,3 +855,47 @@ def test_bpe_encode_reproduces_training_segmentation(spark):
             pieces.extend(_bpe_word(w, ranks, "</w>"))
         sig = hashlib.md5(" ".join(pieces).encode()).hexdigest()
         assert got[i] == (len(pieces), sig), i
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio signal
+# ---------------------------------------------------------------------------
+
+def test_compression_ratio_twin_and_flags(spark):
+    import zlib
+
+    from chrono_scraper_spark.operators.quality import (
+        with_compression_ratio,
+    )
+
+    prose = ("The quick brown fox jumps over the lazy dog near the "
+             "riverbank while autumn leaves drift slowly downstream. "
+             "Seventeen travellers compared notes about distant cities, "
+             "railway timetables, and the price of bread.") * 3
+    loop = "buy cheap widgets now " * 400        # crawler-trap repetition
+    import random
+    rnd = random.Random(7)
+    blob = "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz0123456789+/")
+                   for _ in range(4000))          # base64-ish gibberish
+    rows = [("prose", prose), ("loop", loop), ("blob", blob),
+            ("empty", ""), ("null", None)]
+    df = spark.createDataFrame(rows, "name string, text string")
+    got = {r["name"]: r for r in with_compression_ratio(df).collect()}
+
+    # exact python-twin parity (same zlib, same arithmetic)
+    for name, t in rows:
+        if not t:
+            assert got[name]["ratio_ppm"] is None
+            assert not got[name]["too_repetitive"]
+            assert not got[name]["incompressible"]
+            continue
+        raw = t.encode()
+        want = len(zlib.compress(raw, 6)) * 1_000_000 // len(raw)
+        assert got[name]["ratio_ppm"] == want, name
+        assert got[name]["n_bytes"] == len(raw)
+    # the tails flag; normal prose doesn't
+    assert got["loop"]["too_repetitive"]
+    assert not got["loop"]["incompressible"]
+    assert got["blob"]["incompressible"]
+    assert not got["prose"]["too_repetitive"]
+    assert not got["prose"]["incompressible"]
