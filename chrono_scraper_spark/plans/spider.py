@@ -30,18 +30,85 @@ from pyspark.sql import functions as F
 
 from ..functions.urls import ts14 as _ts14
 from ..operators.dedup import collapse_digest, in_batch_dedup
+from ..operators.feeds import discover_feeds, parse_feeds
 from ..operators.links import extract_links, meta_robots
+from ..operators.sitemaps import (
+    parse_sitemaps,
+    sitemap_index_refs,
+    sitemap_urls_from_robots,
+)
 from ..sources.cdx import discover, read_pages
 from .crawl import FRONTIER_KEY
 
+#: discovery channels run_spider can expand through each round
+CHANNELS = ("links", "feeds", "sitemaps")
 
-def run_spider(job, seed_urls, max_rounds: int = 10) -> list[dict]:
+
+def _latest_bodies(pages: DataFrame, urls: DataFrame) -> DataFrame:
+    """Archive bodies (host, body) for the given url set — the latest
+    capture per url plays the live fetch a replay cannot make. The url
+    set is discovery-sized (feeds/sitemaps a round's pages advertise),
+    so the semi-join probes the archive once and the agg is tiny."""
+    hit = pages.join(urls.select("url").distinct(), "url", "left_semi")
+    return (hit.groupBy("url", "host")
+            .agg(F.max_by(F.col("html").cast("string"), "ts14")
+                 .alias("body")))
+
+
+def _feed_targets(pages: DataFrame, payload: DataFrame) -> DataFrame:
+    """Feed channel: ``<link rel=alternate type=rss/atom>`` feeds
+    advertised by THIS round's fetched pages, their bodies replayed from
+    the archive, their ``<item>``/``<entry>`` links as frontier targets."""
+    feeds = (discover_feeds(payload)
+             .select(F.col("feed_url").alias("url")))
+    bodies = _latest_bodies(pages, feeds)
+    return parse_feeds(bodies).select(F.col("item_url").alias("url"))
+
+
+def _sitemap_targets(pages: DataFrame, payload: DataFrame,
+                     robots_bodies: DataFrame) -> DataFrame:
+    """Sitemap channel: ``Sitemap:`` lines from the robots bodies of the
+    hosts fetched THIS round, urlset bodies replayed from the archive
+    (one level of ``<sitemapindex>`` nesting, per protocol), their
+    ``<loc>`` entries as frontier targets."""
+    hosts = payload.select("host").distinct()
+    smaps = (sitemap_urls_from_robots(robots_bodies)
+             .join(hosts, "host", "left_semi")
+             .select(F.col("sitemap_url").alias("url")))
+    bodies = _latest_bodies(pages, smaps)
+    children = (sitemap_index_refs(bodies)
+                .select(F.col("child_url").alias("url")))
+    bodies = bodies.unionByName(_latest_bodies(pages, children))
+    return parse_sitemaps(bodies).select(F.col("loc").alias("url"))
+
+
+def run_spider(job, seed_urls, max_rounds: int = 10,
+               channels: tuple = ("links",),
+               robots_bodies: DataFrame | None = None) -> list[dict]:
     """Run link-guided rounds until the reachable set is exhausted or
     ``max_rounds`` is hit. ``seed_urls``: list of URL strings or a
     DataFrame with a ``url`` column. Returns per-round counter dicts
     (each also carries ``spider_new_urls`` — the fresh URLs the round's
-    links discovered)."""
+    links discovered — and ``channel_new``, the per-channel breakdown).
+
+    ``channels`` ⊆ {"links", "feeds", "sitemaps"} selects the discovery
+    channels (reference: CDX is the only channel; round 4 added the two
+    standard publisher-inventory channels). "feeds" parses the RSS/Atom
+    feeds advertised by pages fetched this round; "sitemaps" parses the
+    sitemaps named in ``robots_bodies`` (required: (host, body) rows)
+    for hosts fetched this round. Feed/sitemap BODIES are replayed from
+    the archive as a sidecar — they model the reference's separate
+    poller, so they enter neither fetch_log nor url_seen; only the PAGE
+    urls they announce join the frontier. REP nofollow governs the links
+    channel only: feeds/sitemaps are publisher-declared inventory, where
+    nofollow has no protocol meaning."""
     spark = job.spark
+    bad = set(channels) - set(CHANNELS)
+    if bad:
+        raise ValueError(f"unknown discovery channels: {sorted(bad)}")
+    if "sitemaps" in channels and robots_bodies is None:
+        raise ValueError("channels=('sitemaps',...) requires "
+                         "robots_bodies=(host, body) rows")
     if not isinstance(seed_urls, DataFrame):
         seed_urls = spark.createDataFrame(
             [(u,) for u in seed_urls], "url string")
@@ -84,22 +151,46 @@ def run_spider(job, seed_urls, max_rounds: int = 10) -> list[dict]:
                    .select("url", "ts14"))
         payload = (pages.join(fetched, ["url", "ts14"], "left_semi")
                    .select("url", "host", "html"))
-        # honor the Robots Exclusion Protocol at page level: drop
-        # rel="nofollow" links, and drop ALL links from pages whose
-        # <meta name="robots"> says nofollow/none
-        nf_pages = (meta_robots(payload).filter("nofollow")
-                    .select(F.col("url").alias("src_url")))
-        targets = (extract_links(payload)
-                   .filter(~F.col("nofollow"))
-                   .join(nf_pages, "src_url", "left_anti")
-                   .select(F.col("dst_url").alias("url")).distinct())
+        parts = []
+        if "links" in channels:
+            # honor the Robots Exclusion Protocol at page level: drop
+            # rel="nofollow" links, and drop ALL links from pages whose
+            # <meta name="robots"> says nofollow/none
+            nf_pages = (meta_robots(payload).filter("nofollow")
+                        .select(F.col("url").alias("src_url")))
+            parts.append(extract_links(payload)
+                         .filter(~F.col("nofollow"))
+                         .join(nf_pages, "src_url", "left_anti")
+                         .select(F.col("dst_url").alias("url"))
+                         .withColumn("channel", F.lit("links")))
+        if "feeds" in channels:
+            parts.append(_feed_targets(pages, payload)
+                         .withColumn("channel", F.lit("feeds")))
+        if "sitemaps" in channels:
+            parts.append(_sitemap_targets(pages, payload, robots_bodies)
+                         .withColumn("channel", F.lit("sitemaps")))
+        targets = parts[0]
+        for p in parts[1:]:
+            targets = targets.unionByName(p)
+        targets = targets.distinct()
         seen = job.cat.read("url_seen").select("url").distinct()
         fresh = targets.join(seen, "url", "left_anti")
         # fresh IN-ARCHIVE urls only: off-archive links (dead ends the
-        # replay cannot fetch) neither count nor cost a round
-        cands = _caps(fresh)
+        # replay cannot fetch) neither count nor cost a round. The
+        # channel breakdown credits every channel that found a url (a
+        # url two channels announce counts once in the frontier but in
+        # both channels' tallies).
+        in_archive = fresh.join(raw.select("url").distinct(),
+                                "url", "left_semi")
+        channel_new = {c: 0 for c in channels}
+        channel_new.update(
+            {r["channel"]: r["n"] for r in
+             in_archive.groupBy("channel")
+             .agg(F.countDistinct("url").alias("n")).collect()})
+        cands = _caps(fresh.select("url").distinct())
         n_new = cands.select("url").distinct().count()
         res["spider_new_urls"] = n_new
+        res["channel_new"] = channel_new
         stats.append(res)
         # done only when links uncovered nothing AND no deferred rows
         # are owed a next round (budget-deferred work must drain)

@@ -134,3 +134,104 @@ def test_spider_honors_nofollow(spark, tmp_path):
     run_spider(job, [A], max_rounds=10)
     seen = {r["url"] for r in job.cat.read("url_seen").collect()}
     assert seen == {A, B}
+
+
+F1 = "https://s.example/f1"
+S1 = "https://s.example/s1"
+FEED = "https://s.example/feed.xml"
+SMAP = "https://s.example/sitemap.xml"
+CHILD = "https://s.example/child.xml"
+
+
+def _xml_row(url, body, seed):
+    return (url, "s.example", datetime(2020, 1, 1, seed), body.encode(),
+            "", "en", "application/xml", 200,
+            hashlib.md5(body.encode()).hexdigest(), 5000 + seed)
+
+
+def test_spider_feed_and_sitemap_channels(spark, tmp_path):
+    """Multi-channel discovery e2e: the seed page advertises an RSS feed
+    and its host's robots names a sitemapindex; the feed announces f1,
+    the (depth-1 nested) sitemap lists s1. Neither page is linked by
+    <a>, so the links channel alone cannot reach them — the channel
+    injection must. The feed/sitemap bodies themselves are a sidecar
+    (modeling the reference's separate poller): they never enter
+    url_seen or fetch_log."""
+    words = " ".join(f"w{i}" for i in range(60))
+    art = f"<article><p>{words}</p></article>"
+
+    def row(url, html, seed):
+        return (url, "s.example", datetime(2020, 1, 1, seed),
+                html.encode(), words, "en", "text/html", 200,
+                hashlib.md5(f"{url}{seed}".encode()).hexdigest(),
+                5000 + seed)
+
+    feed_body = (
+        "<?xml version='1.0'?><rss><channel>"
+        f"<item><title>one</title><link>{F1}</link>"
+        "<pubDate>Tue, 10 Jun 2003 04:00:00 GMT</pubDate></item>"
+        "<item><title>gone</title>"
+        "<link>https://offsite.example/x</link></item>"
+        "</channel></rss>")
+    index_body = ("<?xml version='1.0'?><sitemapindex>"
+                  f"<sitemap><loc>{CHILD}</loc></sitemap></sitemapindex>")
+    child_body = ("<?xml version='1.0'?><urlset>"
+                  f"<url><loc>{S1}</loc><changefreq>daily</changefreq>"
+                  "</url></urlset>")
+    rows = [
+        row(A, '<html><head><link rel="alternate" '
+               'type="application/rss+xml" href="/feed.xml"></head>'
+               f'<body><a href="/b">b</a>{art}</body></html>', 1),
+        row(B, f"<html><body>{art}</body></html>", 2),
+        row(F1, f"<html><body>{art} feedpage</body></html>", 3),
+        row(S1, f"<html><body>{art} sitemappage</body></html>", 4),
+        row(E, f"<html><body>{art} unlinked</body></html>", 5),
+        _xml_row(FEED, feed_body, 6),
+        _xml_row(SMAP, index_body, 7),
+        _xml_row(CHILD, child_body, 8),
+    ]
+    path = str(tmp_path / "chan_pages")
+    spark.createDataFrame(
+        rows,
+        "url string, host string, warc_ts timestamp, html binary, "
+        "text string, lang string, mime string, status int, "
+        "digest string, length long").write.parquet(path)
+    robots = spark.createDataFrame(
+        [("s.example", f"User-agent: *\nAllow: /\nSitemap: {SMAP}\n")],
+        "host string, body string")
+    job = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "wh4")),
+                   path, _seeds(spark), rps=10.0, burst=10,
+                   round_seconds=60.0)
+    stats = run_spider(job, [A], max_rounds=10,
+                       channels=("links", "feeds", "sitemaps"),
+                       robots_bodies=robots)
+
+    seen = {r["url"]: r["first_seen_round"]
+            for r in job.cat.read("url_seen").collect()}
+    # pages announced by all three channels crawled; xml sidecar bodies
+    # and the unlinked page never enter the crawl tables
+    assert set(seen) == {A, B, F1, S1}
+    assert seen[A] == 0
+    assert seen[B] == 1 and seen[F1] == 1 and seen[S1] == 1
+    assert stats[0]["channel_new"] == {"links": 1, "feeds": 1,
+                                       "sitemaps": 1}
+    assert stats[1]["spider_new_urls"] == 0
+    fetched = {r["url"] for r in job.cat.read("fetch_log").collect()}
+    assert fetched.isdisjoint({FEED, SMAP, CHILD, E})
+
+
+def test_spider_links_only_ignores_channels(spark, tmp_path):
+    """Default channels=("links",) must not consult feeds/sitemaps, and
+    unknown channel names / missing robots_bodies raise."""
+    import pytest
+
+    corpus = _corpus(spark, tmp_path)
+    job = CrawlJob(spark, SnapshotCatalog(spark, str(tmp_path / "wh5")),
+                   corpus, _seeds(spark), rps=10.0, burst=10,
+                   round_seconds=60.0)
+    with pytest.raises(ValueError, match="unknown discovery channels"):
+        run_spider(job, [A], channels=("links", "webrings"))
+    with pytest.raises(ValueError, match="robots_bodies"):
+        run_spider(job, [A], channels=("sitemaps",))
+    stats = run_spider(job, [A], max_rounds=10)
+    assert all(set(s["channel_new"]) == {"links"} for s in stats)
