@@ -5632,6 +5632,56 @@ def q_compression_ratio(spark, sf_dir):
     return with_compression_ratio(d).drop("text")
 
 
+def q_image_near_dups(spark, sf_dir):
+    """Image near-duplicate detection via 64-bit dHash over REAL BMP
+    payloads (multimodal.image_dhash + dhash_near_dups): 96 synthetic 9×8
+    grayscale BMPs in 8 clusters of 12 variants (each variant perturbs one
+    last-column pixel → ≤ 2 hash bits), banded Hamming-bucket candidate
+    join (pigeonhole-exact for hamming < 4 bands) + bit_count verify ≤ 3.
+    The DuckDB oracle recomputes the hash from the images' arithmetic pixel
+    definition, so the whole BMP encode→decode→luma→downsample→hash path
+    must be value-exact. Reference hook: media dedup for image-rich crawls
+    (the multimodal pipeline's dedup slot)."""
+    from chrono_scraper_spark.operators.multimodal import (
+        dhash_near_dups,
+        image_dhash,
+        synth_dhash_images,
+    )
+
+    media = synth_dhash_images(spark, 96)
+    return dhash_near_dups(image_dhash(media))
+
+
+SQL_IMAGE_NEAR_DUPS = """
+WITH ids AS (SELECT t.range AS media_id FROM range(0, 96) t),
+cells AS (
+  SELECT i.media_id, x.range AS x, y.range AS y,
+    (17 * (i.media_id % 8) * (x.range + 1) + 31 * x.range * x.range
+     + 57 * y.range + 13 * x.range * y.range
+     + 29 * (i.media_id % 8) * y.range
+     + CASE WHEN i.media_id // 8 >= 1 AND x.range = 8
+            AND y.range = (i.media_id // 8 - 1) % 8
+            THEN 128 ELSE 0 END) % 256 AS g
+  FROM ids i, range(0, 9) x, range(0, 8) y
+),
+bits AS (
+  SELECT a.media_id, a.y * 8 + a.x AS bit_pos
+  FROM cells a JOIN cells b
+    ON a.media_id = b.media_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 8 AND a.g > b.g
+),
+hashes AS (
+  SELECT i.media_id, CAST(coalesce(sum(
+    CASE WHEN b.bit_pos = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         ELSE CAST(1 AS BIGINT) << b.bit_pos END), 0) AS BIGINT) AS dhash
+  FROM ids i LEFT JOIN bits b USING (media_id) GROUP BY 1
+)
+SELECT h1.media_id AS media_id_a, h2.media_id AS media_id_b,
+       CAST(bit_count(xor(h1.dhash, h2.dhash)) AS INTEGER) AS hamming
+FROM hashes h1 JOIN hashes h2 ON h1.media_id < h2.media_id
+WHERE bit_count(xor(h1.dhash, h2.dhash)) <= 3"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5746,6 +5796,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pct_normalize": q_pct_normalize,  # RFC 3986 escape normalization
     "script_profile": q_script_profile,  # Unicode-script composition
     "compression_ratio": q_compression_ratio,  # zlib quality signal
+    "image_near_dups": q_image_near_dups,  # dHash image dedup (real BMP
+    # kernel; full arithmetic-recompute oracle)
     # (rows-only: zlib has no SQL twin — python-twin parity in tests)
     "filter_decisions": q_filter_decisions,
     "robots_rules": q_robots_rules,
@@ -5923,4 +5975,5 @@ ORACLES: dict[str, str] = {
     "wat_identity": SQL_WAT_IDENTITY,
     "pct_normalize": SQL_PCT_NORMALIZE,
     "script_profile": SQL_SCRIPT_PROFILE,
+    "image_near_dups": SQL_IMAGE_NEAR_DUPS,
 }

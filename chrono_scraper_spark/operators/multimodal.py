@@ -258,6 +258,166 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_decode, DECODE_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Image near-duplicate detection: 64-bit dHash (difference hash) over the
+# real BMP kernel, Hamming-bucketed candidate join (pigeonhole-complete).
+# --------------------------------------------------------------------------
+
+def bmp_gray_grid(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """24-bpp BMP → integer luma grid ((299r+587g+114b)//1000 — exact
+    identity on grayscale pixels since the weights sum to 1000), row-major
+    TOP-to-bottom (BMP positive height stores rows bottom-up; negative
+    height is already top-down)."""
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    (_hdr, width, height, _planes, bpp) = struct.unpack_from(
+        "<IiiHH", payload, 14)
+    if bpp != 24:
+        raise ValueError(f"unsupported bpp {bpp} (24-bpp kernel)")
+    h = abs(height)
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    grid = []
+    for y in range(h):
+        sy = (h - 1 - y) if height > 0 else y
+        base = pixel_off + sy * (row_bytes + pad)
+        row = []
+        for x in range(width):
+            b, g, r = payload[base + 3 * x: base + 3 * x + 3]
+            row.append((299 * r + 587 * g + 114 * b) // 1000)
+        grid.append(row)
+    return width, h, grid
+
+
+def dhash64(payload: bytes, grid_w: int = 9, grid_h: int = 8) -> int:
+    """64-bit difference hash of a BMP payload: block-mean downsample to a
+    ``grid_w × grid_h`` luma grid (integer floor means — identity when the
+    image is exactly grid-sized), then bit ``y*(grid_w-1)+x`` = 1 iff
+    ``cell[y][x] > cell[y][x+1]``. Returned as a two's-complement int64.
+    Perceptually-similar images (crops aside) differ in few bits — the
+    standard image-dedup signature for media-rich crawls."""
+    w, h, grid = bmp_gray_grid(payload)
+    if w < grid_w or h < grid_h:
+        raise ValueError(f"image {w}x{h} smaller than {grid_w}x{grid_h}")
+    cells = []
+    for cy in range(grid_h):
+        y0, y1 = cy * h // grid_h, (cy + 1) * h // grid_h
+        row = []
+        for cx in range(grid_w):
+            x0, x1 = cx * w // grid_w, (cx + 1) * w // grid_w
+            s = sum(grid[y][x] for y in range(y0, y1) for x in range(x0, x1))
+            row.append(s // ((y1 - y0) * (x1 - x0)))
+        cells.append(row)
+    hsh = 0
+    for cy in range(grid_h):
+        for cx in range(grid_w - 1):
+            if cells[cy][cx] > cells[cy][cx + 1]:
+                hsh |= 1 << (cy * (grid_w - 1) + cx)
+    return hsh - (1 << 64) if hsh >= (1 << 63) else hsh
+
+
+def synth_dhash_images(spark, n: int = 96, partitions: int = 4) -> DataFrame:
+    """Deterministic REAL-BMP image table for the dHash contract: ``n``
+    9×8 grayscale images in 8 clusters of ``n//8`` variants. Cluster =
+    ``media_id % 8`` (its own base pattern); variant ``v = media_id // 8``
+    ≥ 1 perturbs ONE last-column pixel (+128 mod 256), which feeds exactly
+    one dHash comparison — so same-cluster pairs sit ≤ 2 bits apart and
+    cross-cluster pairs ≥ 22 (measured). The arithmetic pixel definition is
+    re-computable in SQL, giving the encode→decode→hash path a full oracle."""
+    base = spark.range(0, n, 1, partitions)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                gid, v = i % 8, i // 8
+                px = []
+                for y in range(8):
+                    for x in range(9):
+                        g = (17 * gid * (x + 1) + 31 * x * x + 57 * y
+                             + 13 * x * y + 29 * gid * y) % 256
+                        if v >= 1 and x == 8 and y == (v - 1) % 8:
+                            g = (g + 128) % 256
+                        px.append((g, g, g))
+                rows.append((i, encode_bmp(9, 8, px)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return base.mapInPandas(_synth, "media_id long, payload binary")
+
+
+DHASH_SCHEMA = "media_id long, dhash long, decode_status string"
+
+
+def image_dhash(media: DataFrame, grid_w: int = 9, grid_h: int = 8
+                ) -> DataFrame:
+    """dHash stage over mapInPandas (one Arrow crossing; payloads never
+    shuffle — the hash is 8 bytes/row from here on). Malformed payloads
+    dead-letter with ``decode_status`` (E12 semantics), null hash."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rows.append((int(mid),
+                                 dhash64(bytes(payload or b""),
+                                         grid_w, grid_h), "ok"))
+                except ValueError as e:
+                    rows.append((int(mid), None,
+                                 f"error:{type(e).__name__}"))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "dhash", "decode_status"])
+
+    return media.mapInPandas(_hash, DHASH_SCHEMA)
+
+
+def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3,
+                    n_bands: int = 4, id_col: str = "media_id",
+                    hash_col: str = "dhash") -> DataFrame:
+    """Near-dup image pairs within ``max_hamming`` bits, found WITHOUT the
+    n² cross join: split each 64-bit hash into ``n_bands`` equal bands and
+    self-join on (band, value) buckets — the pigeonhole principle makes
+    this EXACT (not approximate) when ``max_hamming < n_bands``: a pair
+    differing in < n_bands bits must agree on ≥ 1 whole band. Candidates
+    then verify with one codegen ``bit_count(a ^ b)``. Shuffle cost ∝
+    bucket collisions, not n²; same shape as SimHash's pigeonhole join
+    (text_dedup.py). All JVM-side after the hash stage."""
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole completeness needs max_hamming < n_bands "
+            f"(got {max_hamming} >= {n_bands})")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    ok = hashes.filter(F.col(hash_col).isNotNull()).select(id_col, hash_col)
+    banded = ok.select(
+        F.col(id_col), F.col(hash_col),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftright(F.col(hash_col), k * width)
+                .bitwiseAND(F.lit(mask)).alias("val"))
+            for k in range(n_bands)])).alias("bv"),
+    ).select(id_col, hash_col, "bv.band", "bv.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.val") == F.col("b.val"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+                F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+                F.col(f"a.{hash_col}").alias("_ha"),
+                F.col(f"b.{hash_col}").alias("_hb"))
+        .distinct())
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (cands.select(f"{id_col}_a", f"{id_col}_b",
+                         ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
     """Frame-sampling plumbing: explode frame indices 0..n_frames-1 step
     ``every_n`` per video row (JVM-side); the per-frame decode slot is a

@@ -98,3 +98,74 @@ def test_decode_features_stage(spark):
     # video dead-letters instead of failing the stage
     assert all(r["decode_status"] == "unsupported" for r in by_kind["video"])
     assert len(out) == 24
+
+
+def test_dhash_identity_and_block_mean():
+    """dHash on a grid-sized image is the raw comparison hash; a 2×-upscaled
+    image (each cell → constant 2×2 block) hashes IDENTICALLY through the
+    block-mean downsample — the scale-invariance dHash exists to provide."""
+    import random
+
+    from chrono_scraper_spark.operators.multimodal import dhash64, encode_bmp
+
+    rng = random.Random(7)
+    cells = [[rng.randrange(256) for _ in range(9)] for _ in range(8)]
+    small = encode_bmp(9, 8, [(g, g, g) for row in cells for g in row])
+    big = encode_bmp(18, 16, [(cells[y // 2][x // 2],) * 3
+                              for y in range(16) for x in range(18)])
+    expect = 0
+    for y in range(8):
+        for x in range(8):
+            if cells[y][x] > cells[y][x + 1]:
+                expect |= 1 << (y * 8 + x)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert dhash64(small) == expect
+    assert dhash64(big) == expect
+
+
+def test_dhash_luma_matches_grayscale():
+    """Color pixels hash through the integer luma; a grayscale image built
+    from each color pixel's luma value hashes identically."""
+    import random
+
+    from chrono_scraper_spark.operators.multimodal import dhash64, encode_bmp
+
+    rng = random.Random(11)
+    color = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+             for _ in range(9 * 8)]
+    gray = [((299 * r + 587 * g + 114 * b) // 1000,) * 3
+            for (r, g, b) in color]
+    assert dhash64(encode_bmp(9, 8, color)) == dhash64(encode_bmp(9, 8, gray))
+
+
+def test_dhash_near_dups_planted_clusters(spark):
+    """End-to-end: the 8 planted clusters (12 variants each) produce exactly
+    the C(12,2)*8 = 528 same-cluster pairs, hamming ≤ 2, zero cross-cluster
+    pairs; a malformed payload dead-letters and never reaches the join."""
+    from pyspark.sql import functions as F
+
+    from chrono_scraper_spark.operators.multimodal import (
+        dhash_near_dups,
+        image_dhash,
+        synth_dhash_images,
+    )
+
+    media = synth_dhash_images(spark, 96)
+    broken = spark.createDataFrame([(999, b"not a bmp")],
+                                   "media_id long, payload binary")
+    hashes = image_dhash(media.unionByName(broken))
+    assert hashes.filter("media_id = 999").first()["decode_status"] \
+        == "error:ValueError"
+    pairs = dhash_near_dups(hashes).collect()
+    assert len(pairs) == 528
+    assert all(r["media_id_a"] % 8 == r["media_id_b"] % 8 for r in pairs)
+    assert all(r["hamming"] <= 2 for r in pairs)
+    assert not any(999 in (r["media_id_a"], r["media_id_b"]) for r in pairs)
+    # pigeonhole guard rails
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming < n_bands"):
+        dhash_near_dups(hashes, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="divide 64"):
+        dhash_near_dups(hashes, n_bands=5)
