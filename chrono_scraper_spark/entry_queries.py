@@ -3244,25 +3244,29 @@ _HITS_SCALE = 10**12
 
 def _hits_iter_cte(i: int) -> str:
     """One HITS iteration: auth from previous hubs, hub from NEW auths,
-    each shift-divide normalized. s{i} -> s{i+1}."""
+    each shift-divide normalized. s{i} -> s{i+1}. Every CTE is
+    MATERIALIZED: each is referenced 2-3× (the scalar normalization
+    subquery plus the next CTE), and without the hint DuckDB inlines the
+    whole chain per reference — exponential re-evaluation across the 3
+    iterations (>120 s at sf0.01; 0.06 s materialized)."""
     sc, c = _HITS_SCALE, _HITS_SCALE - 1
-    return f"""ar{i} AS (
+    return f"""ar{i} AS MATERIALIZED (
   SELECT e.dst AS host, CAST(sum(s.hub_nano) AS BIGINT) AS raw
   FROM edges e JOIN s{i} s ON e.src = s.host GROUP BY e.dst),
-an{i} AS (
+an{i} AS MATERIALIZED (
   SELECT host, raw // greatest(CAST(1 AS BIGINT),
     ((SELECT CAST(sum(raw) AS BIGINT) FROM ar{i}) + {c}) // {sc})
     AS auth_nano
   FROM ar{i}),
-hr{i} AS (
+hr{i} AS MATERIALIZED (
   SELECT e.src AS host, CAST(sum(a.auth_nano) AS BIGINT) AS raw
   FROM edges e JOIN an{i} a ON e.dst = a.host GROUP BY e.src),
-hn{i} AS (
+hn{i} AS MATERIALIZED (
   SELECT host, raw // greatest(CAST(1 AS BIGINT),
     ((SELECT CAST(sum(raw) AS BIGINT) FROM hr{i}) + {c}) // {sc})
     AS hub_nano
   FROM hr{i}),
-s{i + 1} AS (
+s{i + 1} AS MATERIALIZED (
   SELECT h.host,
     CAST(coalesce(hn.hub_nano, 0) AS BIGINT) AS hub_nano,
     CAST(coalesce(an.auth_nano, 0) AS BIGINT) AS auth_nano
@@ -3270,19 +3274,21 @@ s{i + 1} AS (
   LEFT JOIN an{i} an ON h.host = an.host)"""
 
 
-SQL_HITS = (f"WITH pages_cdx AS ({PAGES_CTE_DUCK}),\n"
+SQL_HITS = (f"WITH pages_cdx AS MATERIALIZED ({PAGES_CTE_DUCK}),\n"
             + """
-ek AS (SELECT host AS src, (doc_id * 7 + 3) % 500 AS k FROM pages_cdx),
-edges0 AS (
+ek AS MATERIALIZED (
+  SELECT host AS src, (doc_id * 7 + 3) % 500 AS k FROM pages_cdx),
+edges0 AS MATERIALIZED (
   SELECT DISTINCT src,
     CASE WHEN k % 3 = 0 THEN 'mega.example.com'
          WHEN k % 20 = 1 THEN 'univ' || CAST(k % 4 AS VARCHAR) || '.edu'
          WHEN k % 20 = 2 THEN 'agency' || CAST(k % 3 AS VARCHAR) || '.gov'
          ELSE 'site' || CAST(k % 40 AS VARCHAR) || '.com' END AS dst
   FROM ek),
-edges AS (SELECT src, dst FROM edges0 WHERE src <> dst),
-hosts AS (SELECT src AS host FROM edges0 UNION SELECT dst FROM edges0),
-s0 AS (SELECT host,
+edges AS MATERIALIZED (SELECT src, dst FROM edges0 WHERE src <> dst),
+hosts AS MATERIALIZED (
+  SELECT src AS host FROM edges0 UNION SELECT dst FROM edges0),
+s0 AS MATERIALIZED (SELECT host,
   CAST((SELECT 1000000000000 // count(*) FROM hosts) AS BIGINT) AS hub_nano,
   CAST((SELECT 1000000000000 // count(*) FROM hosts) AS BIGINT) AS auth_nano
   FROM hosts),
@@ -3291,7 +3297,7 @@ s0 AS (SELECT host,
 
 
 def _pagerank_iter_cte(i: int) -> str:
-    return f"""r{i + 1} AS (
+    return f"""r{i + 1} AS MATERIALIZED (
   SELECT h.host,
     CAST((SELECT (1000000000000 * 15) // (100 * count(*)) FROM hosts)
          + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS rank_nano
@@ -3302,20 +3308,24 @@ def _pagerank_iter_cte(i: int) -> str:
     GROUP BY e.dst) s ON h.host = s.host)"""
 
 
-SQL_HOST_AUTHORITY = (f"WITH pages_cdx AS ({PAGES_CTE_DUCK}),\n"
+SQL_HOST_AUTHORITY = (f"WITH pages_cdx AS MATERIALIZED "
+                      f"({PAGES_CTE_DUCK}),\n"
                       + """
-ek AS (SELECT host AS src, (doc_id * 7 + 3) % 500 AS k FROM pages_cdx),
-edges0 AS (
+ek AS MATERIALIZED (
+  SELECT host AS src, (doc_id * 7 + 3) % 500 AS k FROM pages_cdx),
+edges0 AS MATERIALIZED (
   SELECT DISTINCT src,
     CASE WHEN k % 3 = 0 THEN 'mega.example.com'
          WHEN k % 20 = 1 THEN 'univ' || CAST(k % 4 AS VARCHAR) || '.edu'
          WHEN k % 20 = 2 THEN 'agency' || CAST(k % 3 AS VARCHAR) || '.gov'
          ELSE 'site' || CAST(k % 40 AS VARCHAR) || '.com' END AS dst
   FROM ek),
-edges AS (SELECT src, dst FROM edges0 WHERE src <> dst),
-hosts AS (SELECT src AS host FROM edges0 UNION SELECT dst FROM edges0),
-outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-r0 AS (SELECT host,
+edges AS MATERIALIZED (SELECT src, dst FROM edges0 WHERE src <> dst),
+hosts AS MATERIALIZED (
+  SELECT src AS host FROM edges0 UNION SELECT dst FROM edges0),
+outdeg AS MATERIALIZED (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT host,
   CAST((SELECT 1000000000000 // count(*) FROM hosts) AS BIGINT) AS rank_nano
   FROM hosts),
 """ + ",\n".join(_pagerank_iter_cte(i) for i in range(5))

@@ -99,6 +99,9 @@ def _rss_iso(pub: Column) -> Column:
     stripped = F.regexp_replace(
         F.regexp_replace(pub, _RFC822_TZ_RE, ""),
         r"^\s*[A-Za-z]{3},\s*", "")
+    # RFC 822 allows 1- or 2-digit days ("5 Jun 2023"); left-pad to two
+    # so the strict dd pattern accepts both
+    stripped = F.regexp_replace(stripped, r"^\s*(\d)\s", r"0$1 ")
     ts = F.try_to_timestamp(stripped, F.lit("dd MMM yyyy HH:mm:ss"))
     return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
 

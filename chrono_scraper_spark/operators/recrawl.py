@@ -97,10 +97,16 @@ def merge_revalidated(fetched: DataFrame,
     * ``text`` / ``title`` / ``digest`` — the stored values on 304 rows,
       NULL on fresh rows (the caller extracts those from ``html``
       downstream — a 304 row must NOT re-enter the extractor);
-    * ``etag`` / ``last_modified`` — the validators to STORE: the
-      response's when sent, else the stored ones (RFC 9110 §15.4.5
-      allows a 304 to omit validators — keeping the old ones is the
-      correct cache behavior);
+    * ``etag`` / ``last_modified`` — the validators to STORE. On 304
+      rows: the response's when sent, else the stored ones carried
+      forward (RFC 9110 §15.4.5 allows a 304 to omit validators —
+      keeping the old ones is the correct cache behavior). The same
+      carry-forward applies to FAILED fetches (no valid response — the
+      stored validators must survive for the next conditional attempt).
+      On fresh 200 rows the response validators are stored AS-IS (NULL
+      when the server omits them): the old validators validate the OLD
+      body, and storing them against the new capture would make a later
+      revert-to-old-content 304 against the wrong stored text;
     * ``method`` — 'revalidated_304' on 304 rows, NULL otherwise (fresh
       rows get their method from the extraction cascade).
 
@@ -125,8 +131,24 @@ def merge_revalidated(fetched: DataFrame,
     resp_lm = (F.col("resp_last_modified")
                if "resp_last_modified" in fetched.columns
                else F.lit(None).cast("string"))
+    # validator routing: a 304 takes the response's validators with the
+    # stored ones as fallback; a fresh 200 stores the response's AS-IS
+    # (NULL when absent); a failed fetch keeps the STORED validators
+    # outright — an error page's ETag must not replace the validator of
+    # the capture the archive still serves.
+    fetch_err = (F.col("fetch_err") if "fetch_err" in fetched.columns
+                 else F.lit(None).cast("string"))
+    html = (F.col("html") if "html" in fetched.columns
+            else F.lit(None).cast("binary"))
+    fresh_ok = ~nm & fetch_err.isNull() & html.isNotNull()
     return (out
-            .withColumn("etag", F.coalesce(resp_etag, prior("etag")))
+            .withColumn("etag",
+                        F.when(nm, F.coalesce(resp_etag, prior("etag")))
+                        .when(fresh_ok, resp_etag)
+                        .otherwise(prior("etag")))
             .withColumn("last_modified",
-                        F.coalesce(resp_lm, prior("last_modified")))
+                        F.when(nm, F.coalesce(resp_lm,
+                                              prior("last_modified")))
+                        .when(fresh_ok, resp_lm)
+                        .otherwise(prior("last_modified")))
             .withColumn("method", F.when(nm, "revalidated_304")))

@@ -11,15 +11,25 @@ outcomes back into the catalog:
 * **304 Not Modified** (the common case at steady state): no body, no
   extraction — the validators table records the check, the stored
   capture stays current. Bandwidth cost: one header exchange.
-* **200 with a body**: the page changed — sniff the real content type
-  (``mime_sniff.with_sniffed_mime``: origin servers lie), run the
+* **200 with a changed body**: the page changed — sniff the real content
+  type (``mime_sniff.with_sniffed_mime``: origin servers lie), run the
   extraction cascade, append a NEW capture at ``now_ts14`` to
   ``pages_out`` and its postings to ``inverted_terms`` (the
   ``latest_captures`` current view flips to it automatically), store the
   fresh validators.
-* **Failures** terminalize into the ``revalidate_log`` (E12 convention);
-  stored validators are kept so the next attempt can still go
-  conditional.
+* **200 with an UNCHANGED body** (origin ignores conditionals, or has no
+  validators): extracted text hashes to the stored ``prior_digest`` —
+  treated as a pseudo-304 (outcome ``unchanged``): no new capture, no
+  postings, validators stored as response-else-prior. Without this gate
+  a validator-less origin would grow ``pages_out`` linearly per round
+  with byte-identical captures.
+* **Failures** — fetch errors AND 200s whose body fails the extraction
+  gate (a page that became a stub/soft-404) — terminalize into the
+  ``revalidate_log`` (E12 convention); stored validators are kept so the
+  next attempt can still go conditional and the archive keeps treating
+  the stored capture (the last GOOD content) as current. Validator
+  advancement is gated on the COMMIT: only rows that produce a new
+  capture (or validate the stored one) move the stored validators.
 
 Catalog tables (all O(delta) commits — no accumulated-table probe):
 
@@ -154,11 +164,20 @@ class RevalidateJob:
                                  & F.col("html").isNotNull())
         sniffed = with_sniffed_mime(fresh_in, payload_col="html",
                                     declared_col="content_type")
+        # cached: the extraction UDF output feeds three actions (commit
+        # gate, pages merge, postings merge) — run it once per row
         extracted = with_quality_score(
             with_extraction(sniffed, mime_col="effective_mime").drop("html"),
-            "extracted.text")
+            "extracted.text").cache()
+        # commit gate + unchanged-content gate: only a COMPLETED
+        # extraction whose text differs from the stored capture commits.
+        # A byte-identical body (origin ignored the conditional, or has
+        # no validators) is a pseudo-304 — appending it every round
+        # would grow pages_out linearly with no information.
         completed = (extracted
                      .filter(F.col("fetch_status") == C.STATUS_COMPLETED)
+                     .filter(~F.md5(F.col("extracted.text"))
+                             .eqNullSafe(F.col("prior_digest")))
                      .withColumn("ts14", F.lit(now_ts14))
                      .withColumn("warc_ts", F.to_timestamp(
                          F.lit(now_ts14), "yyyyMMddHHmmss")))
@@ -174,15 +193,40 @@ class RevalidateJob:
         )
         inv = build_inverted_terms(build_page_index(completed))
 
-        # validators to STORE: merged.etag/last_modified already hold the
-        # correct value per row (response validators on fresh rows, stored
-        # ones carried forward on 304s and failures)
+        # validators to STORE, gated on the commit: merged.etag holds the
+        # fetch-level routing (response validators on fresh 200s, stored
+        # ones on 304s/fetch failures — merge_revalidated), but a 200
+        # whose body FAILS the extraction gate commits nothing, so its
+        # validators must not advance either — otherwise every later
+        # round 304s against content the archive never stored.
+        ex_flags = extracted.select(
+            "url",
+            (F.col("fetch_status") == C.STATUS_COMPLETED)
+            .alias("_completed"),
+            F.md5(F.col("extracted.text"))
+            .eqNullSafe(F.col("prior_digest")).alias("_unchanged"))
+        vals_src = merged.join(ex_flags, "url", "left")
+        is_unchanged = F.coalesce(
+            F.col("_completed") & F.col("_unchanged"), F.lit(False))
+        is_fresh = F.coalesce(
+            F.col("_completed") & ~F.col("_unchanged"), F.lit(False))
         outcome = (F.when(F.col("not_modified"), "not_modified")
-                   .when(F.col("fetch_err").isNull()
-                         & F.col("html").isNotNull(), "fresh")
+                   .when(is_unchanged, "unchanged")
+                   .when(is_fresh, "fresh")
                    .otherwise("failed"))
-        val_rows = merged.select(
-            "url", "etag", "last_modified",
+        store_etag = (
+            F.when(F.col("not_modified") | is_fresh, F.col("etag"))
+            .when(is_unchanged, F.coalesce("etag", "prior_etag"))
+            .otherwise(F.col("prior_etag")))
+        store_lm = (
+            F.when(F.col("not_modified") | is_fresh,
+                   F.col("last_modified"))
+            .when(is_unchanged,
+                  F.coalesce("last_modified", "prior_last_modified"))
+            .otherwise(F.col("prior_last_modified")))
+        val_rows = vals_src.select(
+            "url", store_etag.alias("etag"),
+            store_lm.alias("last_modified"),
             F.lit(now_ts14).alias("checked_ts14"), outcome.alias("outcome"))
         log_rows = merged.select(
             F.lit(round_idx).alias("round_idx"), "url", "http_status",
@@ -204,8 +248,14 @@ class RevalidateJob:
                         operation="revalidate",
                         properties={"revalidate_round": round_idx})
 
+        counters["unchanged"] = extracted.filter(
+            (F.col("fetch_status") == C.STATUS_COMPLETED)
+            & F.md5(F.col("extracted.text"))
+            .eqNullSafe(F.col("prior_digest"))).count()
         counters["failed"] = (counters["checked"]
                               - counters["not_modified"]
-                              - counters["fresh"])
+                              - counters["fresh"]
+                              - counters["unchanged"])
+        extracted.unpersist()
         merged.unpersist()
         return counters

@@ -103,6 +103,9 @@ def run_spider(job, seed_urls, max_rounds: int = 10,
     channel only: feeds/sitemaps are publisher-declared inventory, where
     nofollow has no protocol meaning."""
     spark = job.spark
+    if not channels:
+        raise ValueError("channels must name at least one discovery "
+                         f"channel of {sorted(CHANNELS)}")
     bad = set(channels) - set(CHANNELS)
     if bad:
         raise ValueError(f"unknown discovery channels: {sorted(bad)}")

@@ -108,3 +108,19 @@ def test_feed_recrawl_status(spark):
     # captured after publication -> fresh
     assert got["https://b.example/e1"]["status"] == "fresh"
     assert got["https://b.example/e1"]["kind"] == "atom"
+
+
+def test_rss_iso_single_digit_day(spark):
+    """RFC 822 allows 1-digit days — 'Mon, 5 Jun 2023' must parse, not
+    silently NULL out the item's freshness claim."""
+    from pyspark.sql import functions as F
+
+    from chrono_scraper_spark.operators.feeds import _rss_iso
+
+    df = spark.createDataFrame(
+        [("Mon, 5 Jun 2023 04:00:00 GMT",),
+         ("5 Jun 2023 04:00:00 UT",),
+         ("Tue, 10 Jun 2003 04:00:00 GMT",)], "pub string")
+    got = [r[0] for r in df.select(_rss_iso(F.col("pub"))).collect()]
+    assert got == ["2023-06-05T04:00:00", "2023-06-05T04:00:00",
+                   "2003-06-10T04:00:00"]

@@ -180,3 +180,21 @@ def test_merge_revalidated_zero_shuffle(spark):
     plan = merge_revalidated(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_merge_revalidated_validator_routing(spark):
+    """Validator routing is per-outcome (RFC 9110 §15.4.5 scope): a
+    changed 200 with NO response validators stores NULL (the stored
+    ones validate the OLD body); a failed fetch keeps the STORED ones
+    even when the error page sends its own."""
+    df = spark.createDataFrame(
+        [("f", 200, None, "<html>new</html>", None, None, '"old"', _LM),
+         ("x", 503, "http 503", None, '"errpage"', None, '"old"', _LM)],
+        "url string, http_status int, fetch_err string, html string, "
+        "resp_etag string, resp_last_modified string, "
+        "prior_etag string, prior_last_modified string")
+    got = {r["url"]: r for r in merge_revalidated(df).collect()}
+    assert got["f"]["etag"] is None          # resp as-is, no coalesce
+    assert got["f"]["last_modified"] is None
+    assert got["x"]["etag"] == '"old"'       # prior wins outright
+    assert got["x"]["last_modified"] == _LM

@@ -289,3 +289,80 @@ def test_revalidate_stream_writer(spark, tmp_path, server):
     assert vals["changed"]["etag"] == '"c2"'
     assert vals["same"]["outcome"] == "not_modified"
     assert vals["gone"]["outcome"] == "failed"
+
+
+def test_validator_gates_extraction_failure_and_unchanged(
+        spark, tmp_path, server):
+    """The two commit gates: (a) a 200 whose body fails the extraction
+    gate must NOT advance the stored validators (else every later round
+    304s against content the archive never stored); (b) a byte-identical
+    200 body (origin ignores conditionals / has no validators) is a
+    pseudo-304 — no new capture, validators may adopt the response's."""
+    import hashlib
+
+    store, base = server
+    # page became a 10-word stub: 200, but fails the word-count gate
+    store.pages["/stub"] = (_html("Stub", 10), '"new-stub"')
+    # origin with no validators, same body every round
+    store.pages["/noetag"] = (_html("Same body", 60), None)
+    # origin that newly GREW an etag for the unchanged stored body
+    store.pages["/lateetag"] = (_html("Late", 60), '"l1"')
+    dg60 = hashlib.md5(_extracted_text(60).encode()).hexdigest()
+
+    root = str(tmp_path / "cat")
+    cat = SnapshotCatalog(spark, root)
+    rows = [
+        (f"{base}/stub", f"{base}/stub", "20210101000000", "h1",
+         "2021-01-01 00:00:00", "en", dg60, _extracted_text(60),
+         "Stub", 60, 500.0, 0, 1),
+        (f"{base}/noetag", f"{base}/noetag", "20210101000000", "h1",
+         "2021-01-01 00:00:00", "en", dg60, _extracted_text(60),
+         "Same body", 60, 500.0, 0, 2),
+        (f"{base}/lateetag", f"{base}/lateetag", "20210101000000", "h2",
+         "2021-01-01 00:00:00", "en", dg60, _extracted_text(60),
+         "Late", 60, 500.0, 0, 3),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, url_canon string, ts14 string, host string, "
+        "warc_ts string, lang string, digest string, "
+        "extracted_text string, title string, word_count int, "
+        "quality_score double, round_idx int, seq long") \
+        .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    cat.commit("pages_out", pages, operation="seed")
+    cat.append("validators", spark.createDataFrame(
+        [(f"{base}/stub", '"old-stub"', None, "20210101000000", "fresh")],
+        "url string, etag string, last_modified string, "
+        "checked_ts14 string, outcome string"))
+
+    job = RevalidateJob(spark, root, force_all=True)
+    c = job.run_round(1, "20230101000000")
+    assert (c["checked"], c["not_modified"], c["fresh"],
+            c["unchanged"], c["failed"]) == (3, 0, 0, 2, 1)
+    # neither gate appended a capture
+    assert cat.read("pages_out").count() == 3
+
+    vals = {r["url"].rsplit("/", 1)[1]: r for r in latest_captures(
+        cat.read("validators"), key_cols=("url",),
+        ts_col="checked_ts14").collect()}
+    # extraction failure: outcome failed, stored validators KEPT — the
+    # stub's '"new-stub"' etag must not be adopted
+    assert vals["stub"]["outcome"] == "failed"
+    assert vals["stub"]["etag"] == '"old-stub"'
+    # unchanged body, no response validators: nothing to adopt
+    assert vals["noetag"]["outcome"] == "unchanged"
+    assert vals["noetag"]["etag"] is None
+    # unchanged body WITH a new response etag: adopted (pseudo-304)
+    assert vals["lateetag"]["outcome"] == "unchanged"
+    assert vals["lateetag"]["etag"] == '"l1"'
+
+    # round 2: the adopted etag pays off as a real 304; the stub keeps
+    # retrying with the OLD validator of the last good content
+    store.hits.clear()
+    c2 = job.run_round(2, "20230202000000")
+    sent = dict(store.hits)
+    assert sent["/stub"] == '"old-stub"'
+    assert sent["/lateetag"] == '"l1"'
+    assert (c2["checked"], c2["not_modified"], c2["fresh"],
+            c2["unchanged"], c2["failed"]) == (3, 1, 0, 1, 1)
+    assert cat.read("pages_out").count() == 3

@@ -235,3 +235,15 @@ def test_spider_links_only_ignores_channels(spark, tmp_path):
         run_spider(job, [A], channels=("sitemaps",))
     stats = run_spider(job, [A], max_rounds=10)
     assert all(set(s["channel_new"]) == {"links"} for s in stats)
+
+
+def test_spider_rejects_empty_channels(spark):
+    import pytest
+
+    class _J:
+        pass
+
+    j = _J()
+    j.spark = spark
+    with pytest.raises(ValueError, match="at least one"):
+        run_spider(j, [A], channels=())
