@@ -5987,3 +5987,14 @@ ORACLES: dict[str, str] = {
     "script_profile": SQL_SCRIPT_PROFILE,
     "image_near_dups": SQL_IMAGE_NEAR_DUPS,
 }
+
+
+# --------------------------------------------------------------------------
+# per-family query modules (chrono_scraper_spark/queries/*) merge here;
+# window placement is decided by the reordering in __spark_entry__.py /
+# the registry order above.
+# --------------------------------------------------------------------------
+from chrono_scraper_spark.queries import recommend as _qrec  # noqa: E402
+
+QUERIES.update(_qrec.QUERIES)
+ORACLES.update(_qrec.ORACLES)

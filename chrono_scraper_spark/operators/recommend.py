@@ -1,0 +1,270 @@
+"""Content recommendations, trending, search suggestions, discovery.
+
+Relational analog of the reference's recommendation engine
+(``backend/app/services/recommendation_engine.py``) and the library
+service's search-suggestion store
+(``backend/app/services/library_service.py:435-504``). The reference is
+a per-request asyncio service holding per-user in-memory profiles; here
+every stage is a DataFrame pass so the same policies run for ALL users
+over the full corpus in one job:
+
+* ``doc_topics`` — the reference's keyword extractor
+  (``_extract_topics_from_text``, recommendation_engine.py:130-160):
+  per-document top-K words by frequency, length > 3, alphabetic, not in
+  its stop-word list, count > 1. The reference breaks count ties by
+  first-occurrence order (a ``Counter`` artifact); we use word ASC so
+  results are engine-independent and hash-stable.
+* ``user_profiles`` — the interaction-derived preference sets
+  (``_update_user_preferences_from_page``, :88-128): per user, the
+  domains / languages / topics of the pages they viewed.
+* ``recommend_content`` — content-based scoring
+  (``_calculate_content_similarity_score``, :316-355): domain +0.3,
+  language +0.2, topic overlap fraction ×0.4, title +0.1, long-content
+  +0.1, threshold 0.1, viewed pages excluded. Scores are integer MILLI
+  units (300/200/…) so both engines hash identically — the reference's
+  float weights ×1000.
+* ``trending_pages`` — the discovery half (``_get_trending_
+  recommendations``, :410-468) upgraded from "most recent N" to what a
+  multi-user system actually ranks by: interaction-weighted recency —
+  per page, Σ weight(interaction) × linear time-decay over a trailing
+  window, with the reference's content gates (text present, long
+  enough). "now" is the corpus max event time — deterministic.
+* ``search_suggest`` — SearchSuggestion semantics (library_service.py:
+  435-504): suggestions accumulate per (user, query) with
+  ``frequency += 1`` and ``score = min(1.0, frequency * 0.1)``; lookup
+  filters by substring, orders score DESC then frequency DESC. Score is
+  integer DECI units (``least(10, frequency)``).
+* ``discover_domains`` — ``get_content_discovery_suggestions``
+  (:468-527): per user, the most-paged domains they have NOT viewed.
+
+Scale shape: ``doc_topics`` is one (doc, word) shuffle + a per-doc
+window. ``recommend_content`` bounds the candidate side exactly like the
+reference (it scores only the ``limit*2`` most recent content-bearing
+pages): the pool and its topics broadcast, so the users × pool cross
+join is broadcast-local and the only real shuffle is the user-profile
+aggregation. ``trending_pages`` / ``search_suggest`` are single
+aggregations on (doc) / (user, query). Nothing is quadratic in corpus
+size; users only ever pair with the bounded pool.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# reference stop-word list, recommendation_engine.py:136-142
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "but", "in", "on", "at", "to", "for",
+    "of", "with", "by", "is", "are", "was", "were", "be", "been", "have",
+    "has", "had", "do", "does", "did", "will", "would", "could", "should",
+    "may", "might", "can", "this", "that", "these", "those", "i", "you",
+    "he", "she", "it", "we", "they", "me", "him", "her", "us", "them",
+]
+
+# reference interaction weights ×100, recommendation_engine.py:29-34
+INTERACTION_WEIGHTS_CENTI = {
+    "view": 100, "search": 200, "similar_content": 150, "export": 300,
+}
+
+
+def doc_topics(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", top_k: int = 10) -> DataFrame:
+    """Per-document topic keywords: (id_col, topic, n) — the top_k most
+    frequent words with length > 3, alphabetic, not a stop word, and
+    count > 1 (recommendation_engine.py:130-160). Ties: word ASC."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"))
+    counts = (words
+              .filter((F.length("w") > 3)
+                      & F.col("w").rlike("^[a-z]+$")
+                      & ~F.col("w").isin(STOPWORDS))
+              .groupBy(id_col, "w").count()
+              .filter(F.col("count") > 1))
+    r = F.row_number().over(
+        Window.partitionBy(id_col)
+        .orderBy(F.desc("count"), F.asc("w")))
+    return (counts.withColumn("_r", r).filter(F.col("_r") <= top_k)
+            .select(F.col(id_col), F.col("w").alias("topic"),
+                    F.col("count").alias("n")))
+
+
+def user_profiles(interactions: DataFrame, docs: DataFrame,
+                  topics: DataFrame | None = None) -> dict:
+    """Preference sets per user from their VIEW interactions
+    (recommendation_engine.py:88-128): returns {'sources', 'langs',
+    'topics', 'n_topics', 'viewed'} DataFrames. ``topics`` defaults to
+    ``doc_topics(docs)``."""
+    if topics is None:
+        topics = doc_topics(docs)
+    viewed = (interactions.filter(F.col("interaction_type") == "view")
+              .select("user_id", "doc_id").distinct())
+    attrs = viewed.join(docs.select("doc_id", "source", "lang"), "doc_id")
+    user_topics = (viewed.join(topics, "doc_id")
+                   .select("user_id", "topic").distinct())
+    return {
+        "viewed": viewed,
+        "sources": attrs.select("user_id", "source").distinct(),
+        "langs": attrs.select("user_id", "lang").distinct(),
+        "topics": user_topics,
+        "n_topics": user_topics.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_topics")),
+    }
+
+
+def recommend_content(docs: DataFrame, interactions: DataFrame,
+                      pool_size: int = 40, limit: int = 10,
+                      min_chars: int = 100, long_chars: int = 400,
+                      title_mod: int = 7,
+                      min_score_milli: int = 100) -> DataFrame:
+    """Content-based recommendations for every user at once.
+
+    Candidate pool = the ``pool_size`` most recent content-bearing
+    pages (doc_id DESC — the corpus has no scrape timestamp; the
+    reference orders by ``scraped_at DESC LIMIT limit*2``,
+    recommendation_engine.py:287-289). Score per (user, candidate), in
+    MILLI units (reference weights ×1000, :316-355):
+
+      300·[source viewed] + 200·[lang viewed]
+      + (400·|topics∩profile|) DIV |profile topics|
+      + 100·[has title] + 100·[n_chars > long_chars]
+
+    Viewed pages are excluded; rows with score ≤ min_score_milli drop
+    (the reference's 0.1 threshold); top ``limit`` per user by
+    (score DESC, doc_id ASC). ``has title`` stands in for the
+    reference's ``extracted_title`` presence via the deterministic
+    doc_id % title_mod != 0 flag (the synthetic corpus has no title
+    column). Output: (user_id, doc_id, source, score_milli, rec_rank).
+    """
+    pool = (docs.filter(F.col("n_chars") > min_chars)
+            .orderBy(F.desc("doc_id")).limit(pool_size)
+            .select("doc_id", "source", "lang", "n_chars"))
+    pool_topics = doc_topics(
+        docs.join(F.broadcast(pool.select("doc_id")), "doc_id"))
+    prof = user_profiles(interactions, docs)
+    overlap = (prof["topics"]
+               .join(F.broadcast(pool_topics), "topic")
+               .groupBy("user_id", "doc_id")
+               .agg(F.count(F.lit(1)).alias("overlap")))
+    users = interactions.select("user_id").distinct()
+    cand = (users.crossJoin(F.broadcast(pool))
+            .join(prof["viewed"], ["user_id", "doc_id"], "left_anti")
+            .join(prof["sources"].withColumn("_src", F.lit(1)),
+                  ["user_id", "source"], "left")
+            .join(prof["langs"].withColumn("_lng", F.lit(1)),
+                  ["user_id", "lang"], "left")
+            .join(overlap, ["user_id", "doc_id"], "left")
+            .join(prof["n_topics"], "user_id", "left"))
+    score = (
+        F.when(F.col("_src").isNotNull(), 300).otherwise(0)
+        + F.when(F.col("_lng").isNotNull(), 200).otherwise(0)
+        + F.expr(f"400 * coalesce(overlap, 0) DIV "
+                 f"greatest(1, coalesce(n_topics, 0))")
+        + F.when(F.col("doc_id") % title_mod != 0, 100).otherwise(0)
+        + F.when(F.col("n_chars") > long_chars, 100).otherwise(0))
+    ranked = (cand.withColumn("score_milli", score.cast("long"))
+              .filter(F.col("score_milli") > min_score_milli)
+              .withColumn("rec_rank", F.row_number().over(
+                  Window.partitionBy("user_id")
+                  .orderBy(F.desc("score_milli"), F.asc("doc_id"))))
+              .filter(F.col("rec_rank") <= limit))
+    return ranked.select("user_id", "doc_id", "source",
+                         "score_milli", F.col("rec_rank").cast("int")
+                         .alias("rec_rank"))
+
+
+def trending_pages(interactions: DataFrame, docs: DataFrame,
+                   window_s: int = 7 * 86400, limit: int = 20,
+                   min_chars: int = 300) -> DataFrame:
+    """Interaction-weighted trending with linear time decay.
+
+    Per doc over the trailing ``window_s`` (ending at the corpus max
+    event time — deterministic, no wall clock):
+
+      trend_score = Σ weight_centi(type) · (window_s - age_s)
+
+    then the reference's content gates (text long enough,
+    recommendation_engine.py:438-443) and top ``limit`` by
+    (trend_score DESC, doc_id ASC). Output: (doc_id, source, n_recent,
+    trend_score, trend_rank). One aggregation on doc_id; "now" is a
+    1-row broadcast.
+    """
+    weight = F.create_map(
+        *[F.lit(x) for kv in INTERACTION_WEIGHTS_CENTI.items()
+          for x in kv])
+    ev = interactions.select(
+        "doc_id", weight[F.col("interaction_type")].alias("w"),
+        F.unix_timestamp("ts").cast("long").alias("_ts")) \
+        .filter(F.col("w").isNotNull())
+    now = ev.agg(F.max("_ts").alias("_now"))
+    scored = (ev.join(F.broadcast(now))
+              .withColumn("age_s", F.col("_now") - F.col("_ts"))
+              .filter(F.col("age_s") < window_s)
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_recent"),
+                   F.sum(F.col("w") * (F.lit(window_s) - F.col("age_s")))
+                   .cast("long").alias("trend_score")))
+    gated = scored.join(
+        docs.filter(F.col("n_chars") > min_chars)
+        .select("doc_id", "source"), "doc_id")
+    # top-k FIRST via distributed TakeOrdered, then rank the k rows —
+    # a global row_number window over all gated docs would move the
+    # whole aggregate to one partition
+    top = gated.orderBy(F.desc("trend_score"), F.asc("doc_id")) \
+        .limit(limit)
+    return (top.withColumn("trend_rank", F.row_number().over(
+        Window.orderBy(F.desc("trend_score"), F.asc("doc_id"))))
+        .select("doc_id", "source", "n_recent", "trend_score",
+                F.col("trend_rank").cast("int").alias("trend_rank")))
+
+
+def search_suggest(interactions: DataFrame, prefix: str,
+                   limit: int = 10) -> DataFrame:
+    """Prefix → top completions from accumulated search history, the
+    SearchSuggestion read path (library_service.py:480-504). Frequency
+    = searches per (user, query); score = least(10, frequency) in DECI
+    units (the reference's ``min(1.0, frequency * 0.1)``,
+    library_service.py:461); filter = substring containment (the
+    reference uses ``.contains``); order score DESC, frequency DESC,
+    then query ASC for a stable total order. Output: (user_id,
+    suggestion, frequency, score_deci, sug_rank)."""
+    hist = (interactions
+            .filter((F.col("interaction_type") == "search")
+                    & F.col("query").isNotNull())
+            .select("user_id", F.lower(F.col("query")).alias("suggestion"),
+                    "ts"))
+    agg = hist.groupBy("user_id", "suggestion").agg(
+        F.count(F.lit(1)).cast("long").alias("frequency"))
+    matched = agg.filter(F.col("suggestion").contains(prefix.lower()))
+    ranked = (matched
+              .withColumn("score_deci",
+                          F.least(F.lit(10), F.col("frequency"))
+                          .cast("int"))
+              .withColumn("sug_rank", F.row_number().over(
+                  Window.partitionBy("user_id")
+                  .orderBy(F.desc("score_deci"), F.desc("frequency"),
+                           F.asc("suggestion"))))
+              .filter(F.col("sug_rank") <= limit))
+    return ranked.select("user_id", "suggestion", "frequency",
+                         "score_deci",
+                         F.col("sug_rank").cast("int").alias("sug_rank"))
+
+
+def discover_domains(docs: DataFrame, interactions: DataFrame,
+                     limit: int = 10) -> DataFrame:
+    """Per user: the most-paged domains they have NOT viewed
+    (get_content_discovery_suggestions, recommendation_engine.py:
+    487-503). Domain page counts broadcast (domains are few); output
+    (user_id, source, page_count, dom_rank)."""
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("page_count"))
+    prof = user_profiles(interactions, docs)
+    users = interactions.select("user_id").distinct()
+    cand = (users.crossJoin(F.broadcast(counts))
+            .join(prof["sources"], ["user_id", "source"], "left_anti"))
+    ranked = (cand.withColumn("dom_rank", F.row_number().over(
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("page_count"), F.asc("source"))))
+        .filter(F.col("dom_rank") <= limit))
+    return ranked.select("user_id", "source", "page_count",
+                         F.col("dom_rank").cast("int").alias("dom_rank"))
