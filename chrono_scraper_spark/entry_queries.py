@@ -3806,22 +3806,11 @@ SELECT host, n_urls, n_distinct_digests,
 FROM per"""
 
 
-def q_frontier_priority(spark, sf_dir):
-    """Capstone fusion: one crawl priority per URL from three engine
-    signals — host authority (integer PageRank over the link graph),
-    recrawl staleness (Poisson change-rate × age, perturbed digests as in
-    recrawl_schedule), and crawl-trap flags (halve the priority of
-    trap-shaped URLs). All-integer arithmetic end-to-end, so the fused
-    score is bit-identical to the oracle's CTE composition; the
-    authority table is a host-cardinality broadcast, staleness shares the
-    url-key shuffle, trap flags are a projection — nothing new shuffles
-    beyond the parts."""
-    from chrono_scraper_spark.operators import graph as G
-    from chrono_scraper_spark.operators.recrawl import recrawl_schedule
-    from chrono_scraper_spark.operators.traps import url_trap_flags
-
+def _frontier_inputs(spark, sf_dir):
+    """Shared planted inputs for the frontier_priority family: the
+    k-formula host link graph (as q_host_authority) and the capture log
+    with perturbed digests (as q_recrawl_schedule)."""
     pages = cdx_pages_view(spark, sf_dir)
-    # authority over the k-formula link graph (as q_host_authority)
     k = (F.col("doc_id") * 7 + 3) % 500
     dst = (F.when(k % 3 == 0, F.lit("mega.example.com"))
            .when(k % 20 == 1, F.concat(F.lit("univ"), (k % 4).cast("string"),
@@ -3833,12 +3822,6 @@ def q_frontier_priority(spark, sf_dir):
                                F.lit(".com"))))
     edges = pages.select(F.col("host").alias("src"), dst.alias("dst")) \
         .distinct()
-    # host-cardinality: truncate the 5-iteration pagerank lineage before
-    # fusing (the cached final ranks execute once either way, but the
-    # un-truncated plan re-displays the whole loop subtree and defeats
-    # plan auditing)
-    auth = G.host_authority(edges, iters=5).localCheckpoint(eager=True)
-    # staleness (as q_recrawl_schedule)
     perturbed = pages.withColumn(
         "digest",
         F.when(((F.col("doc_id") + F.col("n_cap")) % 3 == 0)
@@ -3846,45 +3829,38 @@ def q_frontier_priority(spark, sf_dir):
                F.md5(F.concat(F.col("digest"),
                               F.col("n_cap").cast("string"))))
         .otherwise(F.col("digest")))
-    stale = recrawl_schedule(perturbed).select("url", "score_e9")
-    # trap flags (projection)
-    flagged = url_trap_flags(pages.select("url", "host").distinct()) \
-        .select("url", "host", "is_trap_url")
-    fused = (flagged
-             .join(F.broadcast(auth), "host", "left")
-             .join(stale, "url", "left"))
-    base = F.expr("CAST(coalesce(score_e9, 0) DIV 1000 AS BIGINT)"
-                  " + CAST(coalesce(rank_nano, 0) DIV 10 AS BIGINT)")
-    return fused.select(
-        "url", "host",
-        F.coalesce(F.col("rank_nano"), F.lit(0)).cast("long")
-        .alias("auth_rank_nano"),
-        F.coalesce(F.col("score_e9"), F.lit(0)).cast("long")
-        .alias("staleness_e9"),
-        "is_trap_url",
-        F.when(F.col("is_trap_url"),
-               F.expr("CAST((coalesce(score_e9, 0) DIV 1000"
-                      " + coalesce(rank_nano, 0) DIV 10) DIV 2 AS BIGINT)"))
-        .otherwise(base).cast("long").alias("priority"))
+    return perturbed, edges
 
 
-SQL_FRONTIER_PRIORITY = (f"WITH pages_cdx AS ({PAGES_CTE_DUCK}),\n"
-                         + """
-ek AS (SELECT host AS src, (doc_id * 7 + 3) % 500 AS k FROM pages_cdx),
-edges0 AS (
-  SELECT DISTINCT src,
-    CASE WHEN k % 3 = 0 THEN 'mega.example.com'
-         WHEN k % 20 = 1 THEN 'univ' || CAST(k % 4 AS VARCHAR) || '.edu'
-         WHEN k % 20 = 2 THEN 'agency' || CAST(k % 3 AS VARCHAR) || '.gov'
-         ELSE 'site' || CAST(k % 40 AS VARCHAR) || '.com' END AS dst
-  FROM ek),
-edges AS (SELECT src, dst FROM edges0 WHERE src <> dst),
-hosts AS (SELECT src AS host FROM edges0 UNION SELECT dst FROM edges0),
-outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-r0 AS (SELECT host,
-  CAST((SELECT 1000000000000 // count(*) FROM hosts) AS BIGINT) AS rank_nano
-  FROM hosts),
-""" + ",\n".join(_pagerank_iter_cte(i) for i in range(5)) + """,
+def q_frontier_priority(spark, sf_dir):
+    """Capstone fusion (operators/frontier.py): one crawl priority per
+    URL from three engine signals — host authority (integer PageRank
+    over the link graph), recrawl staleness (Poisson change-rate × age,
+    perturbed digests as in recrawl_schedule), and crawl-trap flags
+    (halve the priority of trap-shaped URLs). All-integer arithmetic
+    end-to-end, so the fused score is bit-identical to the oracle's CTE
+    composition."""
+    from chrono_scraper_spark.operators.frontier import frontier_priority
+
+    perturbed, edges = _frontier_inputs(spark, sf_dir)
+    return frontier_priority(perturbed, edges, authority="pagerank")
+
+
+def q_frontier_priority_opic(spark, sf_dir):
+    """The same fusion with OPIC as the authority member
+    (frontier_priority(authority="opic")): OPIC importance is usable
+    the moment a node is first seen, so this is the cold-start spider
+    variant of the scheduler — importance accrues WHILE crawling
+    instead of needing a converged PageRank over a full snapshot."""
+    from chrono_scraper_spark.operators.frontier import frontier_priority
+
+    perturbed, edges = _frontier_inputs(spark, sf_dir)
+    return frontier_priority(perturbed, edges, authority="opic")
+
+
+# staleness + trap-flag + fuse tail shared by the frontier_priority
+# oracles; `auth` must be a preceding CTE with (host, auth_nano)
+_FRONTIER_FUSE_SQL = """,
 pp AS (
   SELECT url, CAST(epoch(warc_ts) AS BIGINT) AS ts_s,
     CASE WHEN (doc_id + n_cap) % 3 = 0 AND n_cap > 0
@@ -3896,7 +3872,7 @@ v AS (
     lag(dg) OVER (PARTITION BY url ORDER BY ts_s, dg) AS prev
   FROM pp
 ),
-pu AS (
+pu AS MATERIALIZED (
   SELECT url,
     CAST(sum(CASE WHEN prev IS NOT NULL AND dg <> prev
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
@@ -3939,20 +3915,44 @@ flags AS (
 ),
 fused AS (
   SELECT f.url, f.host,
-    coalesce(r5.rank_nano, 0) AS auth_rank_nano,
+    coalesce(a.auth_nano, 0) AS auth_rank_nano,
     coalesce(s.score_e9, 0) AS staleness_e9,
     f.is_trap_url,
-    coalesce(s.score_e9, 0) // 1000 + coalesce(r5.rank_nano, 0) // 10
+    coalesce(s.score_e9, 0) // 1000 + coalesce(a.auth_nano, 0) // 10
       AS base
   FROM flags f
-  LEFT JOIN r5 ON f.host = r5.host
+  LEFT JOIN auth a ON f.host = a.host
   LEFT JOIN stale s ON f.url = s.url
 )
 SELECT url, host, CAST(auth_rank_nano AS BIGINT) AS auth_rank_nano,
   CAST(staleness_e9 AS BIGINT) AS staleness_e9, is_trap_url,
   CAST(CASE WHEN is_trap_url THEN base // 2 ELSE base END AS BIGINT)
     AS priority
-FROM fused""")
+FROM fused"""
+
+SQL_FRONTIER_PRIORITY = (f"WITH pages_cdx AS MATERIALIZED "
+                         f"({PAGES_CTE_DUCK}),\n"
+                         + """
+ek AS (SELECT host AS src, (doc_id * 7 + 3) % 500 AS k FROM pages_cdx),
+edges0 AS MATERIALIZED (
+  SELECT DISTINCT src,
+    CASE WHEN k % 3 = 0 THEN 'mega.example.com'
+         WHEN k % 20 = 1 THEN 'univ' || CAST(k % 4 AS VARCHAR) || '.edu'
+         WHEN k % 20 = 2 THEN 'agency' || CAST(k % 3 AS VARCHAR) || '.gov'
+         ELSE 'site' || CAST(k % 40 AS VARCHAR) || '.com' END AS dst
+  FROM ek),
+edges AS MATERIALIZED (SELECT src, dst FROM edges0 WHERE src <> dst),
+hosts AS MATERIALIZED (
+  SELECT src AS host FROM edges0 UNION SELECT dst FROM edges0),
+outdeg AS MATERIALIZED (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (SELECT host,
+  CAST((SELECT 1000000000000 // count(*) FROM hosts) AS BIGINT) AS rank_nano
+  FROM hosts),
+""" + ",\n".join(_pagerank_iter_cte(i) for i in range(5))
+                         + ",\nauth AS (SELECT host, rank_nano AS "
+                           "auth_nano FROM r5)"
+                         + _FRONTIER_FUSE_SQL)
 
 
 def q_surt_cdxj(spark, sf_dir):
@@ -5366,16 +5366,16 @@ def q_opic(spark, sf_dir):
 
 
 def _opic_iter_cte(i: int) -> str:
-    return f"""s{i} AS (
+    return f"""s{i} AS MATERIALIZED (
   SELECT e.dst AS host, CAST(sum(c.cash // o.outdeg) AS BIGINT) AS s
   FROM edges e JOIN c{i} c ON e.src = c.host
   JOIN outdeg o ON e.src = o.src
   GROUP BY e.dst),
-v{i} AS (
+v{i} AS MATERIALIZED (
   SELECT CAST(sum(CASE WHEN o.outdeg IS NULL THEN c.cash
                        ELSE c.cash % o.outdeg END) AS BIGINT) AS v
   FROM c{i} c LEFT JOIN outdeg o ON c.host = o.src),
-c{i + 1} AS (
+c{i + 1} AS MATERIALIZED (
   SELECT h.host,
     CAST(coalesce(s.s, 0)
          + (SELECT v FROM v{i}) // (SELECT count(*) FROM hosts)
@@ -5385,26 +5385,36 @@ c{i + 1} AS (
   JOIN c{i} c ON h.host = c.host)"""
 
 
-SQL_OPIC = (f"WITH pages_cdx AS ({PAGES_CTE_DUCK}),\n"
-            + """
+_OPIC_CHAIN = (f"WITH pages_cdx AS MATERIALIZED ({PAGES_CTE_DUCK}),\n"
+               + """
 ek AS (SELECT host AS src, (doc_id * 7 + 3) % 500 AS k FROM pages_cdx),
-edges0 AS (
+edges0 AS MATERIALIZED (
   SELECT DISTINCT src,
     CASE WHEN k % 3 = 0 THEN 'mega.example.com'
          WHEN k % 20 = 1 THEN 'univ' || CAST(k % 4 AS VARCHAR) || '.edu'
          WHEN k % 20 = 2 THEN 'agency' || CAST(k % 3 AS VARCHAR) || '.gov'
          ELSE 'site' || CAST(k % 40 AS VARCHAR) || '.com' END AS dst
   FROM ek),
-edges AS (SELECT src, dst FROM edges0 WHERE src <> dst),
-hosts AS (SELECT src AS host FROM edges0 UNION SELECT dst FROM edges0),
-outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-c0 AS (SELECT host,
+edges AS MATERIALIZED (SELECT src, dst FROM edges0 WHERE src <> dst),
+hosts AS MATERIALIZED (
+  SELECT src AS host FROM edges0 UNION SELECT dst FROM edges0),
+outdeg AS MATERIALIZED (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+c0 AS MATERIALIZED (SELECT host,
   CAST((SELECT 1000000000000 // count(*) FROM hosts) AS BIGINT) AS cash,
   CAST(0 AS BIGINT) AS hist
   FROM hosts),
-""" + ",\n".join(_opic_iter_cte(i) for i in range(3))
+""" + ",\n".join(_opic_iter_cte(i) for i in range(3)))
+
+SQL_OPIC = (_OPIC_CHAIN
             + "\nSELECT host, CAST(hist + cash AS BIGINT) "
               "AS importance_nano FROM c3")
+
+SQL_FRONTIER_PRIORITY_OPIC = (
+    _OPIC_CHAIN
+    + ",\nauth AS (SELECT host, CAST(hist + cash AS BIGINT) "
+      "AS auth_nano FROM c3)"
+    + _FRONTIER_FUSE_SQL)
 
 
 def q_wat_identity(spark, sf_dir):
@@ -5785,6 +5795,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unicode_clean": q_unicode_clean,  # new: NFC + invisible-char pass
     "frontier_priority": q_frontier_priority,  # capstone fusion of the
     # authority + staleness + trap families (each covered above)
+    "frontier_priority_opic": q_frontier_priority_opic,  # the same
+    # fusion with OPIC authority (cold-start spider member)
     "hits": q_hits,  # Kleinberg hubs & authorities (graph family)
     "url_tree": q_url_tree,  # hierarchical path-prefix rollup
     "quantile_sketch": q_quantile_sketch,  # mergeable log2-bin quantiles
@@ -5961,6 +5973,7 @@ ORACLES: dict[str, str] = {
     "topic_assign": SQL_TOPIC_ASSIGN,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "frontier_priority": SQL_FRONTIER_PRIORITY,
+    "frontier_priority_opic": SQL_FRONTIER_PRIORITY_OPIC,
     "robots_wildcard": SQL_ROBOTS_WILDCARD,
     "surt_cdxj": SQL_SURT_CDXJ,
     "redirect_resolve": SQL_REDIRECT_RESOLVE,

@@ -58,3 +58,27 @@ def test_frontier_priority_plan_shape(spark):
     # scalar; both broadcast O(1) bytes.  The url-key join to staleness
     # is NOT asserted broadcast: at scale it is url-cardinality and a
     # shuffle join is the correct physical choice there.
+
+
+def test_frontier_priority_opic_member(spark):
+    """authority="opic" swaps the authority member: same fusion
+    identity, different (OPIC) scores — and the two members must
+    actually disagree on the synthetic graph, or the variant is not
+    exercising anything."""
+    import pytest
+
+    from chrono_scraper_spark.operators.frontier import frontier_priority
+
+    rows = EQ.q_frontier_priority_opic(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        base = r["staleness_e9"] // 1000 + r["auth_rank_nano"] // 10
+        want = base // 2 if r["is_trap_url"] else base
+        assert r["priority"] == want, r["url"]
+    pr = {r["url"]: r["auth_rank_nano"]
+          for r in EQ.q_frontier_priority(spark, SF_DIR).collect()}
+    op = {r["url"]: r["auth_rank_nano"] for r in rows}
+    assert set(pr) == set(op)
+    assert any(pr[u] != op[u] for u in pr)
+    with pytest.raises(ValueError, match="authority"):
+        frontier_priority(None, None, authority="hits")
