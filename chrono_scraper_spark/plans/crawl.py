@@ -438,14 +438,24 @@ class CrawlJob:
             # shared_pages_scraping.py retry policy)
             work = fetch_http(work, **self.http_fetch)
         else:
-            payload = read_pages(self.spark, self.pages_path).select(
-                "url",
-                F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
-                "html")
+            pages_raw = read_pages(self.spark, self.pages_path)
+            # bucketed-table corpora store ts14; selecting the STORED
+            # column (not a re-derived expression) keeps the join key equal
+            # to the bucket key, so the scan's HashPartitioning satisfies
+            # the join's required distribution — no payload-side Exchange
+            if "ts14" in pages_raw.columns:
+                payload = pages_raw.select("url", "ts14", "html")
+            else:
+                payload = pages_raw.select(
+                    "url",
+                    F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts14"),
+                    "html")
+            bucketed = self.pages_path.startswith("table:")
             # broadcast only while the scheduled set is genuinely small;
-            # above the cutoff fall back to a shuffle join (on a real
-            # deployment the pages table is bucketed by url, making this
-            # bucket-local)
+            # above the cutoff, a bucketed corpus table keeps the join
+            # bucket-local (only the metadata-sized scheduled set shuffles
+            # into the buckets), and a plain parquet corpus falls back to a
+            # full shuffle join
             broadcasting = self.broadcast_fetch_join and n_sched <= 500_000
             if broadcasting:
                 work = payload.join(F.broadcast(scheduled), ["url", "ts14"],
@@ -472,7 +482,12 @@ class CrawlJob:
             # tasks/core), not a fixed constant: a fixed 50k target gave one
             # 30k-row mega-host partition a 7-8 s straggler.
             scan_parts = payload.rdd.getNumPartitions()
-            if not broadcasting or scan_parts < max(2, parallelism * 3 // 4):
+            # bucketed corpora behave like the broadcast case: the join
+            # output inherits the bucket partitioning (url-hash — byte-
+            # balanced regardless of host skew), so no salting repartition
+            # unless the bucket count is too coarse to feed the cluster
+            if (not (broadcasting or bucketed)
+                    or scan_parts < max(2, parallelism * 3 // 4)):
                 work = with_salted_host_partition(
                     work, target_rows_per_partition=salt_target)
         # uniform fetch-provenance columns: replay mode has no HTTP layer,
