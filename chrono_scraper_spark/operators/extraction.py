@@ -136,16 +136,37 @@ def _find_between(doc: str, open_tag: str, close_tag: str,
 
 
 def _paras_between(body: str) -> list[str]:
-    """All ``<p>…</p>`` inner texts — the exact non-overlapping lazy
-    ``findall`` sequence (each match starts at the next ``<p>`` and ends
-    at the nearest ``</p>``), as a find loop."""
+    """All ``<p…>…</p>`` inner texts — the exact non-overlapping lazy
+    ``findall`` sequence (each match starts at the next ``<p>`` or
+    ``<p attr…>`` open tag and ends at the nearest ``</p>``), as a find
+    loop. Attributed paragraphs (``<p class="author">``) count: the
+    reference's clean-text walk keeps every paragraph inside the selected
+    container regardless of attributes
+    (intelligent_content_extractor.py:402-414). Contract corpora emit only
+    bare ``<p>``, so the pinned byte-identity is unchanged."""
     out = []
     pos = 0
+    n = len(body)
     while True:
-        inner, pos = _find_between(body, "<p>", "</p>", pos)
-        if inner is None:
+        i = body.find("<p", pos)
+        if i < 0:
             return out
-        out.append(inner)
+        k = i + 2
+        if k < n and body[k] == ">":          # bare <p>
+            k += 1
+        elif k < n and body[k] in " \t\r\n":  # <p attr…>
+            k = body.find(">", k)
+            if k < 0:
+                return out
+            k += 1
+        else:                                  # <pre>, <param>, …
+            pos = i + 2
+            continue
+        j = body.find("</p>", k)
+        if j < 0:
+            return out
+        out.append(body[k:j])
+        pos = j + 4
 
 
 def _decode_html(b: bytes) -> str:
