@@ -21,6 +21,7 @@ count from the actual byte volume instead of guessing.
 
 from __future__ import annotations
 
+import re
 import struct
 from typing import Iterator
 
@@ -143,11 +144,57 @@ def decode_audio(payload: bytes) -> dict:
             "n_samples": len(samples), "rms": round(rms, 4)}
 
 
-def decode_video(payload: bytes) -> dict:  # pragma: no cover - stub
-    """DECLARED STUB: no dependency-free video container is worth
-    hand-rolling; an ffmpeg-backed kernel drops in here.
-    ``decode_features`` dead-letters video rows instead of calling this."""
-    raise NotImplementedError("video decode requires ffmpeg — stubbed")
+def ffmpeg_available() -> bool:
+    """Binary-gated (mirrors real_extractors' import gating): the real
+    video kernel activates only when an ``ffmpeg`` binary is on PATH."""
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+_FFMPEG_DIMS = re.compile(r", (\d{1,5})x(\d{1,5})[ ,\[]")
+
+
+def _run_ffmpeg(payload: bytes) -> tuple[bytes, bytes]:  # pragma: no cover
+    """One first-frame grayscale decode through a piped ffmpeg process.
+    Isolated so tests can substitute a deterministic fake kernel — the
+    container ships no ffmpeg (TESTDATA.md environment contract)."""
+    import subprocess
+
+    proc = subprocess.run(
+        ["ffmpeg", "-v", "info", "-i", "pipe:0", "-f", "rawvideo",
+         "-pix_fmt", "gray", "-frames:v", "1", "pipe:1"],
+        input=payload, capture_output=True, timeout=30)
+    return proc.stdout, proc.stderr
+
+
+def decode_video(payload: bytes, *, runner=None) -> dict:
+    """ffmpeg-backed video kernel (VERDICT r4 stretch #9): decode the first
+    frame to 8-bit grayscale via a piped ffmpeg run, parse the stream
+    dimensions from the demuxer banner, and reduce the frame to a mean-luma
+    scalar — the video analog of ``decode_image``'s ``mean_r``.
+
+    Gated on ``ffmpeg_available()`` by ``decode_features``; calling it with
+    no ffmpeg on PATH (and no injected ``runner``) raises the declared
+    ``NotImplementedError`` so dead-letter semantics are unchanged.
+    ``runner`` injects the process boundary for deterministic unit tests.
+    """
+    if runner is None:
+        if not ffmpeg_available():
+            raise NotImplementedError("video decode requires ffmpeg — gated")
+        runner = _run_ffmpeg
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty video payload")
+    frame, banner = runner(bytes(payload))
+    m = _FFMPEG_DIMS.search(banner.decode("utf-8", "replace"))
+    if m is None or not frame:
+        raise ValueError("ffmpeg produced no decodable stream")
+    width, height = int(m.group(1)), int(m.group(2))
+    if len(frame) < width * height:
+        raise ValueError("short frame read")
+    px = frame[: width * height]
+    return {"width": width, "height": height,
+            "mean_luma": round(sum(px) / len(px), 4)}
 
 
 def extract_features(media: DataFrame, *, fake: bool = True) -> DataFrame:
@@ -220,11 +267,15 @@ DECODE_SCHEMA = ("media_id long, kind string, decode_status string, "
                  "n_samples int, rms double")
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def decode_features(media: DataFrame, *, video_runner=None) -> DataFrame:
     """REAL decode stage over mapInPandas: BMP images → dimensions + channel
-    means; WAV audio → rate/length/RMS; video (and malformed payloads) →
-    dead-letter rows with ``decode_status`` instead of a failed stage (E12
-    semantics applied to media)."""
+    means; WAV audio → rate/length/RMS; video → the ffmpeg-gated kernel when
+    an ffmpeg binary is on PATH (first-frame mean luma lands in ``mean_r``),
+    else a dead-letter row with ``decode_status='unsupported'`` — malformed
+    payloads dead-letter with the error class instead of failing the stage
+    (E12 semantics applied to media). ``video_runner`` injects a fake
+    process boundary for unit tests (container ships no ffmpeg)."""
+    use_video = video_runner is not None or ffmpeg_available()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -244,6 +295,11 @@ def decode_features(media: DataFrame) -> DataFrame:
                         rows.append((mid, kind, "ok", None, None, None,
                                      d["sample_rate"], d["n_samples"],
                                      d["rms"]))
+                    elif use_video:
+                        d = decode_video(b, runner=video_runner)
+                        rows.append((mid, kind, "ok", d["width"],
+                                     d["height"], d["mean_luma"], None,
+                                     None, None))
                     else:
                         rows.append((mid, kind, "unsupported", None, None,
                                      None, None, None, None))

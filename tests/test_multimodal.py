@@ -169,3 +169,90 @@ def test_dhash_near_dups_planted_clusters(spark):
         dhash_near_dups(hashes, max_hamming=4, n_bands=4)
     with pytest.raises(ValueError, match="divide 64"):
         dhash_near_dups(hashes, n_bands=5)
+
+
+# ---------------------------------------------------------------------------
+# ffmpeg-gated video decode (VERDICT r4 stretch #9)
+# ---------------------------------------------------------------------------
+
+def _fake_ffmpeg_runner(payload: bytes):
+    """Deterministic stand-in for the piped ffmpeg process: a 4x2 gray
+    frame whose luma ramps with the payload length, plus a banner line in
+    ffmpeg's demuxer format. Module-level so the mapInPandas closure
+    pickles."""
+    frame = bytes((len(payload) + i) % 256 for i in range(8))
+    banner = b"Stream #0:0: Video: h264 (High), yuv420p, 4x2 [SAR 1:1], 30 fps"
+    return frame, banner
+
+
+def test_decode_video_gated_without_ffmpeg():
+    """No ffmpeg on PATH and no injected runner: the declared stub raises
+    (dead-letter parity preserved)."""
+    import pytest as _pytest
+
+    from chrono_scraper_spark.operators.multimodal import (
+        decode_video,
+        ffmpeg_available,
+    )
+
+    if ffmpeg_available():  # pragma: no cover - container has no ffmpeg
+        _pytest.skip("ffmpeg present: gate open")
+    with _pytest.raises(NotImplementedError):
+        decode_video(b"OPAQUE_VIDEO:123")
+
+
+def test_decode_video_fake_kernel_parses_banner_and_frame():
+    from chrono_scraper_spark.operators.multimodal import decode_video
+
+    d = decode_video(b"OPAQUE_VIDEO:7", runner=_fake_ffmpeg_runner)
+    assert (d["width"], d["height"]) == (4, 2)
+    # frame bytes are (14+i) % 256 for i in 0..7 → mean = 14 + 3.5
+    assert d["mean_luma"] == 17.5
+
+
+def test_decode_video_rejects_bannerless_stream():
+    import pytest as _pytest
+
+    from chrono_scraper_spark.operators.multimodal import decode_video
+
+    with _pytest.raises(ValueError):
+        decode_video(b"x", runner=lambda p: (b"", b"no stream here"))
+    with _pytest.raises(ValueError):
+        decode_video(b"", runner=_fake_ffmpeg_runner)  # empty payload
+
+
+def test_decode_features_video_rows_with_injected_kernel(spark):
+    """With the process boundary injected, video rows decode to 'ok' with
+    width/height/mean_r populated; image/audio paths are untouched."""
+    from chrono_scraper_spark.operators.multimodal import (
+        decode_features,
+        synth_media_decodable,
+    )
+
+    media = synth_media_decodable(spark, n=12, partitions=2)
+    out = decode_features(media, video_runner=_fake_ffmpeg_runner).collect()
+    vids = [r for r in out if r["kind"] == "video"]
+    assert vids and all(r["decode_status"] == "ok" for r in vids)
+    assert all((r["width"], r["height"]) == (4, 2) for r in vids)
+    assert all(r["mean_r"] is not None for r in vids)
+    imgs = [r for r in out if r["kind"] == "image"]
+    assert imgs and all(r["decode_status"] == "ok" for r in imgs)
+
+
+def test_decode_features_video_deadletters_when_gated(spark):
+    """Gate closed (no ffmpeg, no runner): byte-identical to the declared
+    stub behavior — video rows dead-letter as 'unsupported'."""
+    from chrono_scraper_spark.operators.multimodal import (
+        decode_features,
+        ffmpeg_available,
+        synth_media_decodable,
+    )
+
+    if ffmpeg_available():  # pragma: no cover
+        import pytest as _pytest
+
+        _pytest.skip("ffmpeg present: gate open")
+    media = synth_media_decodable(spark, n=9, partitions=2)
+    out = decode_features(media).collect()
+    vids = [r for r in out if r["kind"] == "video"]
+    assert vids and all(r["decode_status"] == "unsupported" for r in vids)
