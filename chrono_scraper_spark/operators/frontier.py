@@ -65,8 +65,12 @@ def frontier_priority(pages: DataFrame, edges: DataFrame,
     fused = (flagged
              .join(F.broadcast(auth), "host", "left")
              .join(stale, "url", "left"))
-    base = F.expr("CAST(coalesce(score_e9, 0) DIV 1000 AS BIGINT)"
-                  " + CAST(coalesce(auth_nano, 0) DIV 10 AS BIGINT)")
+    # the fused base formula exists ONCE; the trap branch halves it
+    # (integer DIV, same as the oracle's shared fuse tail)
+    fused = fused.withColumn(
+        "__base",
+        F.expr("CAST(coalesce(score_e9, 0) DIV 1000"
+               " + coalesce(auth_nano, 0) DIV 10 AS BIGINT)"))
     return fused.select(
         "url", "host",
         F.coalesce(F.col("auth_nano"), F.lit(0)).cast("long")
@@ -75,7 +79,5 @@ def frontier_priority(pages: DataFrame, edges: DataFrame,
         .alias("staleness_e9"),
         "is_trap_url",
         F.when(F.col("is_trap_url"),
-               F.expr("CAST((coalesce(score_e9, 0) DIV 1000"
-                      " + coalesce(auth_nano, 0) DIV 10) DIV 2"
-                      " AS BIGINT)"))
-        .otherwise(base).cast("long").alias("priority"))
+               F.expr("__base DIV 2"))
+        .otherwise(F.col("__base")).cast("long").alias("priority"))

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import re
 import struct
+import subprocess as _subprocess
 from typing import Iterator
 
 import pandas as pd
@@ -295,7 +296,7 @@ def decode_features(media: DataFrame, *, video_runner=None) -> DataFrame:
                         rows.append((mid, kind, "ok", None, None, None,
                                      d["sample_rate"], d["n_samples"],
                                      d["rms"]))
-                    elif use_video:
+                    elif kind == "video" and use_video:
                         d = decode_video(b, runner=video_runner)
                         rows.append((mid, kind, "ok", d["width"],
                                      d["height"], d["mean_luma"], None,
@@ -303,7 +304,11 @@ def decode_features(media: DataFrame, *, video_runner=None) -> DataFrame:
                     else:
                         rows.append((mid, kind, "unsupported", None, None,
                                      None, None, None, None))
-                except (ValueError, NotImplementedError) as e:
+                except (ValueError, NotImplementedError, OSError,
+                        _subprocess.SubprocessError) as e:
+                    # OSError/SubprocessError: ffmpeg missing on THIS
+                    # executor or a hostile payload hitting the pipe
+                    # timeout — one bad row must not fail the stage
                     rows.append((mid, kind, f"error:{type(e).__name__}",
                                  None, None, None, None, None, None))
             yield pd.DataFrame(

@@ -231,8 +231,7 @@ def search_suggest(interactions: DataFrame, prefix: str,
     hist = (interactions
             .filter((F.col("interaction_type") == "search")
                     & F.col("query").isNotNull())
-            .select("user_id", F.lower(F.col("query")).alias("suggestion"),
-                    "ts"))
+            .select("user_id", F.lower(F.col("query")).alias("suggestion")))
     agg = hist.groupBy("user_id", "suggestion").agg(
         F.count(F.lit(1)).cast("long").alias("frequency"))
     matched = agg.filter(F.col("suggestion").contains(prefix.lower()))

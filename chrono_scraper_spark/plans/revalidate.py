@@ -169,15 +169,21 @@ class RevalidateJob:
         extracted = with_quality_score(
             with_extraction(sniffed, mime_col="effective_mime").drop("html"),
             "extracted.text").cache()
-        # commit gate + unchanged-content gate: only a COMPLETED
-        # extraction whose text differs from the stored capture commits.
-        # A byte-identical body (origin ignored the conditional, or has
-        # no validators) is a pseudo-304 — appending it every round
-        # would grow pages_out linearly with no information.
-        completed = (extracted
-                     .filter(F.col("fetch_status") == C.STATUS_COMPLETED)
-                     .filter(~F.md5(F.col("extracted.text"))
-                             .eqNullSafe(F.col("prior_digest")))
+        # commit gate + unchanged-content gate, DEFINED ONCE: only a
+        # COMPLETED extraction whose text differs from the stored capture
+        # commits. A byte-identical body (origin ignored the conditional,
+        # or has no validators) is a pseudo-304 — appending it every round
+        # would grow pages_out linearly with no information. The same two
+        # flags drive the commit filter, the validator routing, and the
+        # outcome counters below.
+        flagged = (extracted
+                   .withColumn("_completed",
+                               F.col("fetch_status") == C.STATUS_COMPLETED)
+                   .withColumn("_unchanged",
+                               F.md5(F.col("extracted.text"))
+                               .eqNullSafe(F.col("prior_digest"))))
+        completed = (flagged
+                     .filter(F.col("_completed") & ~F.col("_unchanged"))
                      .withColumn("ts14", F.lit(now_ts14))
                      .withColumn("warc_ts", F.to_timestamp(
                          F.lit(now_ts14), "yyyyMMddHHmmss")))
@@ -199,12 +205,7 @@ class RevalidateJob:
         # whose body FAILS the extraction gate commits nothing, so its
         # validators must not advance either — otherwise every later
         # round 304s against content the archive never stored.
-        ex_flags = extracted.select(
-            "url",
-            (F.col("fetch_status") == C.STATUS_COMPLETED)
-            .alias("_completed"),
-            F.md5(F.col("extracted.text"))
-            .eqNullSafe(F.col("prior_digest")).alias("_unchanged"))
+        ex_flags = flagged.select("url", "_completed", "_unchanged")
         vals_src = merged.join(ex_flags, "url", "left")
         is_unchanged = F.coalesce(
             F.col("_completed") & F.col("_unchanged"), F.lit(False))
@@ -233,7 +234,15 @@ class RevalidateJob:
             "fetch_err", "not_modified",
             F.lit(now_ts14).alias("checked_ts14"))
 
-        counters["fresh"] = new_pages.count()
+        # one aggregation job yields both outcome counters (and forces the
+        # extraction cache before the merges, like the r4 phase-tick fix)
+        oc = flagged.agg(
+            F.sum((F.col("_completed") & ~F.col("_unchanged"))
+                  .cast("long")).alias("fresh"),
+            F.sum((F.col("_completed") & F.col("_unchanged"))
+                  .cast("long")).alias("unchanged")).first()
+        counters["fresh"] = int(oc["fresh"] or 0)
+        counters["unchanged"] = int(oc["unchanged"] or 0)
         self.cat.merge_not_matched("pages_out", new_pages, FRONTIER_KEY,
                                    properties={"revalidate_round": round_idx},
                                    assume_unique=True)
@@ -248,10 +257,6 @@ class RevalidateJob:
                         operation="revalidate",
                         properties={"revalidate_round": round_idx})
 
-        counters["unchanged"] = extracted.filter(
-            (F.col("fetch_status") == C.STATUS_COMPLETED)
-            & F.md5(F.col("extracted.text"))
-            .eqNullSafe(F.col("prior_digest"))).count()
         counters["failed"] = (counters["checked"]
                               - counters["not_modified"]
                               - counters["fresh"]

@@ -38,7 +38,8 @@ _INTER_CTES = f"""inter AS MATERIALIZED (
          THEN 'term' || CAST((event_id * 11) % 30 AS VARCHAR) END
       AS query,
     ts
-  FROM events WHERE event_type <> 'error'),
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase', 'signup')),
 tok AS MATERIALIZED (
   SELECT doc_id, w
   FROM documents,
@@ -71,7 +72,10 @@ def interactions_view(spark, sf_dir):
     """The planted interaction log: (user_id, doc_id, interaction_type,
     query, ts) — same formulas as the ``inter`` oracle CTE."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_docs = docs.count()  # bounded scalar: table row count
+    # |documents| enters the plan as a broadcast 1-row aggregate instead of
+    # an eager .count() job — each recommend query used to pay a separate
+    # full-scan count before its own plan even ran (4× per driver pass).
+    n_docs = F.broadcast(docs.agg(F.count("*").alias("__n_docs")))
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     itype = (F.when(F.col("event_type") == "view", "view")
              .when(F.col("event_type") == "click", "similar_content")
@@ -79,8 +83,10 @@ def interactions_view(spark, sf_dir):
              .when(F.col("event_type") == "signup", "search"))
     return (ev.withColumn("interaction_type", itype)
             .filter(F.col("interaction_type").isNotNull())
+            .crossJoin(n_docs)
             .withColumn("doc_id",
-                        (F.col("event_id") * 13 + 7) % F.lit(n_docs))
+                        (F.col("event_id") * 13 + 7) % F.col("__n_docs"))
+            .drop("__n_docs")
             .withColumn("query", F.when(
                 F.col("interaction_type") == "search",
                 F.concat(F.lit("term"),
