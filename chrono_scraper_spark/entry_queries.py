@@ -335,10 +335,13 @@ ORACLES: dict[str, str] = {
 }
 
 from chrono_scraper_spark.queries import recommend as _qrec  # noqa: E402
+from chrono_scraper_spark.queries import q_service as _qsvc  # noqa: E402
 
 QUERIES.update(_qrec.QUERIES)
+QUERIES.update(_qsvc.QUERIES)
 
 ORACLES.update(_qrec.ORACLES)
+ORACLES.update(_qsvc.ORACLES)
 
 _R5_WINDOW = [
     # never driver-checked, oracle-backed (33)
@@ -352,12 +355,17 @@ _R5_WINDOW = [
     "wat_identity", "pct_normalize", "script_profile", "image_near_dups",
     "recommend_content", "trending_pages", "search_suggest",
     "discover_domains",
-    # green staples, one per family (17)
+    # round-5 service families: cost model, investigation compare,
+    # engagement (never driver-checked — new this round) (5)
+    "cost_estimate", "project_cost", "page_compare",
+    "page_compare_fields", "user_engagement",
+    # green staples, one per family (12 — url_parts/langid/interval_merge/
+    # doc_stats/lineitem_rollup rotate out to make room above; all were
+    # driver-green in r1-r2 and stay in the local check_oracles sweep)
     "filter_decisions", "filter_stats", "collapse_digest",
     "seen_antijoin", "politeness_schedule", "crawl_order", "daily_stats",
     "exact_dups", "fulltext_match", "ann_topk", "events_tumbling",
-    "lineitem_rollup", "doc_stats", "langid", "interval_merge",
-    "minhash_pairs", "url_parts",
+    "minhash_pairs",
 ]
 
 def _window_order(d: dict) -> dict:
