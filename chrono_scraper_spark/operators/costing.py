@@ -135,10 +135,10 @@ def user_engagement(events: DataFrame) -> DataFrame:
         .alias("projects_created"),
         F.max("ts").alias("_last_seen")))
     # "now" enters as a broadcast 1-row aggregate (no global window, no
-    # eager collect): the per-user frame stays exchange-free above its
-    # own hash aggregation.
+    # eager collect), computed straight off events — max(ts) over events
+    # equals max per-user last_seen, without recomputing the user agg.
     per_user = per_user.crossJoin(
-        F.broadcast(per_user.agg(F.max("_last_seen").alias("_now"))))
+        F.broadcast(events.agg(F.max("ts").alias("_now"))))
     days_since = F.floor(
         (F.unix_timestamp("_now") - F.unix_timestamp("_last_seen"))
         / F.lit(86400))
