@@ -337,14 +337,17 @@ ORACLES: dict[str, str] = {
 from chrono_scraper_spark.queries import recommend as _qrec  # noqa: E402
 from chrono_scraper_spark.queries import q_service as _qsvc  # noqa: E402
 from chrono_scraper_spark.queries import q_validate as _qval  # noqa: E402
+from chrono_scraper_spark.queries import q_access as _qacc  # noqa: E402
 
 QUERIES.update(_qrec.QUERIES)
 QUERIES.update(_qsvc.QUERIES)
 QUERIES.update(_qval.QUERIES)
+QUERIES.update(_qacc.QUERIES)
 
 ORACLES.update(_qrec.ORACLES)
 ORACLES.update(_qsvc.ORACLES)
 ORACLES.update(_qval.ORACLES)
+ORACLES.update(_qacc.ORACLES)
 
 _R5_WINDOW = [
     # never driver-checked, oracle-backed (33)
