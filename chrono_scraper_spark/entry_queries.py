@@ -362,16 +362,18 @@ _R5_WINDOW = [
     "recommend_content", "trending_pages", "search_suggest",
     "discover_domains",
     # round-5 service families: cost model, investigation compare,
-    # engagement (never driver-checked — new this round) (5)
+    # engagement, data validation, access control, audit retention
+    # (never driver-checked — new this round) (14)
     "cost_estimate", "project_cost", "page_compare",
     "page_compare_fields", "user_engagement",
-    # green staples, one per family (12 — url_parts/langid/interval_merge/
-    # doc_stats/lineitem_rollup rotate out to make room above; all were
-    # driver-green in r1-r2 and stay in the local check_oracles sweep)
-    "filter_decisions", "filter_stats", "collapse_digest",
-    "seen_antijoin", "politeness_schedule", "crawl_order", "daily_stats",
-    "exact_dups", "fulltext_match", "ann_topk", "events_tumbling",
-    "minhash_pairs",
+    "consistency_rowcount", "consistency_hash", "consistency_rules",
+    "entity_link", "audit_security",
+    "accessible_pages", "shared_pages_stats", "retention_assign",
+    "retention_summary",
+    # green staples as regression sentinels (3 — the other nine r1-r2
+    # staples rotate out to make room for the new families above; all
+    # stay in the local check_oracles sweep)
+    "filter_decisions", "crawl_order", "fulltext_match",
 ]
 
 def _window_order(d: dict) -> dict:
