@@ -338,16 +338,19 @@ from chrono_scraper_spark.queries import recommend as _qrec  # noqa: E402
 from chrono_scraper_spark.queries import q_service as _qsvc  # noqa: E402
 from chrono_scraper_spark.queries import q_validate as _qval  # noqa: E402
 from chrono_scraper_spark.queries import q_access as _qacc  # noqa: E402
+from chrono_scraper_spark.queries import q_compliance as _qcmp  # noqa: E402
 
 QUERIES.update(_qrec.QUERIES)
 QUERIES.update(_qsvc.QUERIES)
 QUERIES.update(_qval.QUERIES)
 QUERIES.update(_qacc.QUERIES)
+QUERIES.update(_qcmp.QUERIES)
 
 ORACLES.update(_qrec.ORACLES)
 ORACLES.update(_qsvc.ORACLES)
 ORACLES.update(_qval.ORACLES)
 ORACLES.update(_qacc.ORACLES)
+ORACLES.update(_qcmp.ORACLES)
 
 _R5_WINDOW = [
     # never driver-checked, oracle-backed (33)
@@ -370,10 +373,10 @@ _R5_WINDOW = [
     "entity_link", "audit_security",
     "accessible_pages", "shared_pages_stats", "retention_assign",
     "retention_summary",
-    # green staples as regression sentinels (3 — the other nine r1-r2
-    # staples rotate out to make room for the new families above; all
-    # stay in the local check_oracles sweep)
-    "filter_decisions", "crawl_order", "fulltext_match",
+    # compliance reporting (never driver-checked — new this round) (3):
+    # the last three staple slots go to coverage; every staple was
+    # driver-green in r1-r2 and stays in the local check_oracles sweep
+    "compliance_violations", "compliance_status", "compliance_score",
 ]
 
 def _window_order(d: dict) -> dict:
