@@ -339,18 +339,21 @@ from chrono_scraper_spark.queries import q_service as _qsvc  # noqa: E402
 from chrono_scraper_spark.queries import q_validate as _qval  # noqa: E402
 from chrono_scraper_spark.queries import q_access as _qacc  # noqa: E402
 from chrono_scraper_spark.queries import q_compliance as _qcmp  # noqa: E402
+from chrono_scraper_spark.queries import q_dashboard as _qdash  # noqa: E402
 
 QUERIES.update(_qrec.QUERIES)
 QUERIES.update(_qsvc.QUERIES)
 QUERIES.update(_qval.QUERIES)
 QUERIES.update(_qacc.QUERIES)
 QUERIES.update(_qcmp.QUERIES)
+QUERIES.update(_qdash.QUERIES)
 
 ORACLES.update(_qrec.ORACLES)
 ORACLES.update(_qsvc.ORACLES)
 ORACLES.update(_qval.ORACLES)
 ORACLES.update(_qacc.ORACLES)
 ORACLES.update(_qcmp.ORACLES)
+ORACLES.update(_qdash.ORACLES)
 
 _R5_WINDOW = [
     # never driver-checked, oracle-backed (33)
