@@ -340,6 +340,7 @@ from chrono_scraper_spark.queries import q_validate as _qval  # noqa: E402
 from chrono_scraper_spark.queries import q_access as _qacc  # noqa: E402
 from chrono_scraper_spark.queries import q_compliance as _qcmp  # noqa: E402
 from chrono_scraper_spark.queries import q_dashboard as _qdash  # noqa: E402
+from chrono_scraper_spark.queries import q_keys as _qkeys  # noqa: E402
 
 QUERIES.update(_qrec.QUERIES)
 QUERIES.update(_qsvc.QUERIES)
@@ -347,6 +348,7 @@ QUERIES.update(_qval.QUERIES)
 QUERIES.update(_qacc.QUERIES)
 QUERIES.update(_qcmp.QUERIES)
 QUERIES.update(_qdash.QUERIES)
+QUERIES.update(_qkeys.QUERIES)
 
 ORACLES.update(_qrec.ORACLES)
 ORACLES.update(_qsvc.ORACLES)
@@ -354,6 +356,7 @@ ORACLES.update(_qval.ORACLES)
 ORACLES.update(_qacc.ORACLES)
 ORACLES.update(_qcmp.ORACLES)
 ORACLES.update(_qdash.ORACLES)
+ORACLES.update(_qkeys.ORACLES)
 
 _R5_WINDOW = [
     # never driver-checked, oracle-backed (33)
