@@ -341,6 +341,7 @@ from chrono_scraper_spark.queries import q_access as _qacc  # noqa: E402
 from chrono_scraper_spark.queries import q_compliance as _qcmp  # noqa: E402
 from chrono_scraper_spark.queries import q_dashboard as _qdash  # noqa: E402
 from chrono_scraper_spark.queries import q_keys as _qkeys  # noqa: E402
+from chrono_scraper_spark.queries import q_plans as _qpl  # noqa: E402
 
 QUERIES.update(_qrec.QUERIES)
 QUERIES.update(_qsvc.QUERIES)
@@ -349,6 +350,7 @@ QUERIES.update(_qacc.QUERIES)
 QUERIES.update(_qcmp.QUERIES)
 QUERIES.update(_qdash.QUERIES)
 QUERIES.update(_qkeys.QUERIES)
+QUERIES.update(_qpl.QUERIES)
 
 ORACLES.update(_qrec.ORACLES)
 ORACLES.update(_qsvc.ORACLES)
@@ -357,6 +359,7 @@ ORACLES.update(_qacc.ORACLES)
 ORACLES.update(_qcmp.ORACLES)
 ORACLES.update(_qdash.ORACLES)
 ORACLES.update(_qkeys.ORACLES)
+ORACLES.update(_qpl.ORACLES)
 
 _R5_WINDOW = [
     # never driver-checked, oracle-backed (33)
