@@ -343,6 +343,7 @@ from chrono_scraper_spark.queries import q_dashboard as _qdash  # noqa: E402
 from chrono_scraper_spark.queries import q_keys as _qkeys  # noqa: E402
 from chrono_scraper_spark.queries import q_plans as _qpl  # noqa: E402
 from chrono_scraper_spark.queries import q_queryplan as _qqp  # noqa: E402
+from chrono_scraper_spark.queries import q_user_admin as _qua  # noqa: E402
 
 QUERIES.update(_qrec.QUERIES)
 QUERIES.update(_qsvc.QUERIES)
@@ -353,6 +354,7 @@ QUERIES.update(_qdash.QUERIES)
 QUERIES.update(_qkeys.QUERIES)
 QUERIES.update(_qpl.QUERIES)
 QUERIES.update(_qqp.QUERIES)
+QUERIES.update(_qua.QUERIES)
 
 ORACLES.update(_qrec.ORACLES)
 ORACLES.update(_qsvc.ORACLES)
@@ -363,6 +365,7 @@ ORACLES.update(_qdash.ORACLES)
 ORACLES.update(_qkeys.ORACLES)
 ORACLES.update(_qpl.ORACLES)
 ORACLES.update(_qqp.ORACLES)
+ORACLES.update(_qua.ORACLES)
 
 _R5_WINDOW = [
     # never driver-checked, oracle-backed (33)
