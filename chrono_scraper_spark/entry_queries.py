@@ -344,6 +344,7 @@ from chrono_scraper_spark.queries import q_keys as _qkeys  # noqa: E402
 from chrono_scraper_spark.queries import q_plans as _qpl  # noqa: E402
 from chrono_scraper_spark.queries import q_queryplan as _qqp  # noqa: E402
 from chrono_scraper_spark.queries import q_user_admin as _qua  # noqa: E402
+from chrono_scraper_spark.queries import q_rbac as _qrb  # noqa: E402
 
 QUERIES.update(_qrec.QUERIES)
 QUERIES.update(_qsvc.QUERIES)
@@ -355,6 +356,7 @@ QUERIES.update(_qkeys.QUERIES)
 QUERIES.update(_qpl.QUERIES)
 QUERIES.update(_qqp.QUERIES)
 QUERIES.update(_qua.QUERIES)
+QUERIES.update(_qrb.QUERIES)
 
 ORACLES.update(_qrec.ORACLES)
 ORACLES.update(_qsvc.ORACLES)
@@ -366,6 +368,7 @@ ORACLES.update(_qkeys.ORACLES)
 ORACLES.update(_qpl.ORACLES)
 ORACLES.update(_qqp.ORACLES)
 ORACLES.update(_qua.ORACLES)
+ORACLES.update(_qrb.ORACLES)
 
 _R5_WINDOW = [
     # never driver-checked, oracle-backed (33)
