@@ -345,6 +345,7 @@ from chrono_scraper_spark.queries import q_plans as _qpl  # noqa: E402
 from chrono_scraper_spark.queries import q_queryplan as _qqp  # noqa: E402
 from chrono_scraper_spark.queries import q_user_admin as _qua  # noqa: E402
 from chrono_scraper_spark.queries import q_rbac as _qrb  # noqa: E402
+from chrono_scraper_spark.queries import q_batchsched as _qbs  # noqa: E402
 
 QUERIES.update(_qrec.QUERIES)
 QUERIES.update(_qsvc.QUERIES)
@@ -357,6 +358,7 @@ QUERIES.update(_qpl.QUERIES)
 QUERIES.update(_qqp.QUERIES)
 QUERIES.update(_qua.QUERIES)
 QUERIES.update(_qrb.QUERIES)
+QUERIES.update(_qbs.QUERIES)
 
 ORACLES.update(_qrec.ORACLES)
 ORACLES.update(_qsvc.ORACLES)
@@ -369,6 +371,7 @@ ORACLES.update(_qpl.ORACLES)
 ORACLES.update(_qqp.ORACLES)
 ORACLES.update(_qua.ORACLES)
 ORACLES.update(_qrb.ORACLES)
+ORACLES.update(_qbs.ORACLES)
 
 _R5_WINDOW = [
     # never driver-checked, oracle-backed (33)
