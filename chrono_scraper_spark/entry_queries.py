@@ -346,6 +346,7 @@ from chrono_scraper_spark.queries import q_queryplan as _qqp  # noqa: E402
 from chrono_scraper_spark.queries import q_user_admin as _qua  # noqa: E402
 from chrono_scraper_spark.queries import q_rbac as _qrb  # noqa: E402
 from chrono_scraper_spark.queries import q_batchsched as _qbs  # noqa: E402
+from chrono_scraper_spark.queries import q_optimizer as _qoz  # noqa: E402
 
 QUERIES.update(_qrec.QUERIES)
 QUERIES.update(_qsvc.QUERIES)
@@ -359,6 +360,7 @@ QUERIES.update(_qqp.QUERIES)
 QUERIES.update(_qua.QUERIES)
 QUERIES.update(_qrb.QUERIES)
 QUERIES.update(_qbs.QUERIES)
+QUERIES.update(_qoz.QUERIES)
 
 ORACLES.update(_qrec.ORACLES)
 ORACLES.update(_qsvc.ORACLES)
@@ -372,6 +374,7 @@ ORACLES.update(_qqp.ORACLES)
 ORACLES.update(_qua.ORACLES)
 ORACLES.update(_qrb.ORACLES)
 ORACLES.update(_qbs.ORACLES)
+ORACLES.update(_qoz.ORACLES)
 
 _R5_WINDOW = [
     # never driver-checked, oracle-backed (33)
