@@ -347,6 +347,7 @@ from chrono_scraper_spark.queries import q_user_admin as _qua  # noqa: E402
 from chrono_scraper_spark.queries import q_rbac as _qrb  # noqa: E402
 from chrono_scraper_spark.queries import q_batchsched as _qbs  # noqa: E402
 from chrono_scraper_spark.queries import q_optimizer as _qoz  # noqa: E402
+from chrono_scraper_spark.queries import q_cachemgr as _qcm  # noqa: E402
 
 QUERIES.update(_qrec.QUERIES)
 QUERIES.update(_qsvc.QUERIES)
@@ -361,6 +362,7 @@ QUERIES.update(_qua.QUERIES)
 QUERIES.update(_qrb.QUERIES)
 QUERIES.update(_qbs.QUERIES)
 QUERIES.update(_qoz.QUERIES)
+QUERIES.update(_qcm.QUERIES)
 
 ORACLES.update(_qrec.ORACLES)
 ORACLES.update(_qsvc.ORACLES)
@@ -375,6 +377,7 @@ ORACLES.update(_qua.ORACLES)
 ORACLES.update(_qrb.ORACLES)
 ORACLES.update(_qbs.ORACLES)
 ORACLES.update(_qoz.ORACLES)
+ORACLES.update(_qcm.ORACLES)
 
 _R5_WINDOW = [
     # never driver-checked, oracle-backed (33)
