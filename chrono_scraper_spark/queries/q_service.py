@@ -228,3 +228,58 @@ ORACLES = {
     "page_compare_fields": SQL_PAGE_COMPARE_FIELDS,
     "user_engagement": SQL_USER_ENGAGEMENT,
 }
+
+
+def q_project_efficiency(spark, sf_dir):
+    """Per-project dedup-efficiency rollup
+    (enhanced_project_creation.py:382-427)."""
+    from chrono_scraper_spark.operators.projects import project_efficiency
+    return project_efficiency(cdx_pages_view(spark, sf_dir))
+
+
+SQL_PROJECT_EFFICIENCY = f"""WITH pages_cdx AS ({PAGES_CTE_DUCK}),
+tagged AS (
+  SELECT *, CASE WHEN host LIKE '%.edu' THEN 'academic'
+                 WHEN host LIKE '%.gov' THEN 'government'
+                 ELSE 'web' END AS project
+  FROM pages_cdx),
+share AS (
+  SELECT digest, count(DISTINCT project) AS nproj
+  FROM tagged GROUP BY 1),
+d AS (SELECT t.*, s.nproj FROM tagged t JOIN share s USING (digest)),
+per AS (
+  SELECT project,
+    CAST(count(*) AS BIGINT) AS total_pages_discovered,
+    CAST(sum(CASE WHEN nproj >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      AS pages_linked,
+    CAST(sum(CASE WHEN nproj < 2 AND status <> 200 THEN 1 ELSE 0 END)
+         AS BIGINT) AS pages_already_processing
+  FROM d GROUP BY 1),
+m AS (
+  SELECT *,
+    total_pages_discovered - pages_linked - pages_already_processing
+      AS pages_to_scrape
+  FROM per)
+SELECT project, total_pages_discovered, pages_linked,
+  pages_already_processing, pages_to_scrape,
+  CASE WHEN pages_linked + pages_to_scrape > 0
+       THEN pages_linked * 100000 // (pages_linked + pages_to_scrape)
+       ELSE CAST(0 AS BIGINT) END AS scraping_reduction_milli,
+  pages_linked * 10000 // 3600 AS time_saved_milli_hours,
+  pages_linked * 100000 // greatest(total_pages_discovered, 1)
+    AS overall_efficiency_milli,
+  CASE WHEN pages_linked * 100000 // greatest(total_pages_discovered, 1)
+            > 50000 THEN 'High'
+       WHEN pages_linked * 100000 // greatest(total_pages_discovered, 1)
+            > 20000 THEN 'Medium'
+       ELSE 'Low' END AS sharing_potential,
+  CASE WHEN pages_linked * 100000 // greatest(total_pages_discovered, 1)
+            > 60000 THEN 'Excellent'
+       WHEN pages_linked * 100000 // greatest(total_pages_discovered, 1)
+            > 30000 THEN 'Good'
+       ELSE 'Standard' END AS resource_optimization_level
+FROM m"""
+
+
+QUERIES["project_efficiency"] = q_project_efficiency
+ORACLES["project_efficiency"] = SQL_PROJECT_EFFICIENCY
