@@ -44,8 +44,9 @@ def _epoch(col: F.Column) -> F.Column:
 def _floor_div(a: F.Column, b: F.Column) -> F.Column:
     """Exact long floor division (no double round-trip): Spark's ``div``
     truncates toward zero, so subtract the positive pmod first —
-    ``(a - pmod(a, b)) div b`` == floor(a / b) for b > 0. Matches
-    DuckDB's ``//`` (floor division) on negatives too."""
+    ``(a - pmod(a, b)) div b`` == floor(a / b) for b > 0. NOTE:
+    DuckDB's ``//`` truncates toward zero on negatives, so oracles for
+    possibly-negative quotients must use ``floor(a * 1.0 / b)``."""
     a = a.cast("long")
     b = b.cast("long")
     return ((a - F.pmod(a, b)) / b).cast("long")
