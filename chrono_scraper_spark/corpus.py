@@ -108,8 +108,17 @@ def duck_pages_cte(table: str = "pages_cdx") -> str:
 
 
 def cdx_pages_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The oracle-parity CDX frontier as a Spark DataFrame."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """The oracle-parity CDX frontier as a Spark DataFrame.
+
+    The scan-parallelism floor (functions/planutil.py) matters here: the
+    driver testdata writes ``documents.parquet`` as one row group, which one
+    task must read — without the floor every expression pipelined onto this
+    scan (the regex decision chain, md5 digests, tokenization) runs on 1-2
+    cores of 32 (measured round 6)."""
+    from chrono_scraper_spark.functions.planutil import scan_parallelism_floor
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = scan_parallelism_floor(spark, spark.read.parquet(path), path)
     docs.createOrReplaceTempView("documents")
     return spark.sql(PAGES_CTE_SPARK)
 

@@ -122,13 +122,24 @@ def plan_jobs(events: DataFrame, pages: DataFrame) -> DataFrame:
 
 def queue_order(events: DataFrame, pages: DataFrame) -> DataFrame:
     """Queue positions (:736-738): priority desc, scheduled_at asc,
-    job_id as the stable-sort tie-break."""
-    jobs = plan_jobs(events, pages)
-    w = Window.orderBy(F.desc("priority"), F.asc("scheduled_at"),
-                       F.asc("job_id"))
-    return jobs.select(
-        "job_id", "batch_type", "priority", "scheduled_at",
-        F.row_number().over(w).cast("int").alias("position"))
+    job_id as the stable-sort tie-break.
+
+    Round 6: the unpartitioned ``row_number()`` window (every job sorted in
+    ONE task; the queue is corpus-derived so it scales with input) is
+    replaced by the repo's two-phase prefix-sum shape
+    (``politeness.with_global_seq``): range exchange + per-partition offsets
+    — same positions, no single-task sort."""
+    from .politeness import with_global_seq
+
+    jobs = plan_jobs(events, pages).select(
+        "job_id", "batch_type", "priority", "scheduled_at")
+    keyed = jobs.withColumn(
+        "__ok", F.struct((-F.col("priority")).alias("a"),
+                         F.col("scheduled_at").alias("b"),
+                         F.col("job_id").alias("c")))
+    return (with_global_seq(keyed, "__ok", "position")
+            .select("job_id", "batch_type", "priority", "scheduled_at",
+                    F.col("position").cast("int").alias("position")))
 
 
 def capacity_check(events: DataFrame, pages: DataFrame) -> DataFrame:

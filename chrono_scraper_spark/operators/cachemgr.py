@@ -87,11 +87,15 @@ def cache_stats(events: DataFrame) -> DataFrame:
 
 def top_keys(events: DataFrame, k: int = 10) -> DataFrame:
     """Top-k keys by access count (:86), ties on key ascending."""
+    # Round 6: TakeOrderedAndProject (orderBy().limit) replaces the
+    # unpartitioned window that sorted every distinct key in one task;
+    # ranks derive from the k survivors. Identical output.
     per_key = events.groupBy(F.col("user_id").alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("access_count"))
-    w = Window.orderBy(F.desc("access_count"), F.asc("key"))
+    order = [F.desc("access_count"), F.asc("key")]
+    top = per_key.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
     return (
-        per_key.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "key", "access_count")
     )

@@ -256,10 +256,21 @@ def top_domains_projects(pages: DataFrame) -> DataFrame:
                                F.col("project").alias("name"),
                                "page_count"))
     )
-    w = Window.partitionBy("kind").orderBy(
-        F.desc("page_count"), F.asc("name"))
+    # Round 6: two-phase top-N (the politeness.schedule_round prune shape).
+    # partitionBy("kind") is 2 partitions, so the plain window sorted every
+    # host in one task; instead rows first rank within (kind, salt) and only
+    # per-salt rank <= TOP_N survives to the exact per-kind window — any row
+    # in the true top-N has per-salt rank <= its per-kind rank <= TOP_N, so
+    # the survivor set provably contains the answer and the final ranks are
+    # identical. The exact window sorts <= 32*TOP_N rows per kind.
+    order = [F.desc("page_count"), F.asc("name")]
+    salt = F.pmod(F.xxhash64("name"), F.lit(32)).cast("int")
+    w_salt = Window.partitionBy("kind", salt).orderBy(*order)
+    pruned = (both.withColumn("__pr", F.row_number().over(w_salt))
+              .filter(F.col("__pr") <= TOP_N).drop("__pr"))
+    w = Window.partitionBy("kind").orderBy(*order)
     return (
-        both.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_N)
         .select("kind", "name",
                 F.col("page_count").cast("long").alias("page_count"),

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import config as C
+from ..functions.planutil import plan_fence
 from ..functions.urls import url_path_noquery
 
 
@@ -266,7 +267,14 @@ def with_filter_decision(
     out = frontier.withColumn("decision", decision)
     if seen_digests is not None:
         out = out.drop("__digest_seen")
-    return out
+    # Materialization fence (functions/planutil.py): without it, Catalyst's
+    # predicate pushdown substitutes the whole ~120-regex chain into every
+    # downstream consumer (a status filter, a priority sort key) and sinks
+    # the copies below every exchange into the scan stage — measured 2-4
+    # chain copies per plan in the round-6 bench, each a ~MB expression tree
+    # re-planned and re-shipped per run. The fence pins the chain to exactly
+    # one evaluation at exactly this point; output rows are unchanged.
+    return plan_fence(out)
 
 
 def filter_stats(decided: DataFrame) -> DataFrame:

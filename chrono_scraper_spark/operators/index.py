@@ -155,6 +155,61 @@ def search(page_index: DataFrame, inverted_terms: DataFrame, query: str,
     return ranked.limit(limit)
 
 
+def match_terms_scan(docs: DataFrame, terms: list[str],
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document match stats for a FIXED small term list as one
+    zero-shuffle scan: ``(id_col, matched_terms, tf_sum)`` for every doc
+    containing at least one query term.
+
+    Provably equivalent to building the inverted index and joining the
+    term list (``build_inverted_terms`` + broadcast join + per-doc agg):
+    for literal terms, ``tf(term) = size(filter(tokens, t == term))`` is
+    the same count the (term, doc) aggregation would produce, and the
+    ``matched > 0`` filter reproduces the inner join's row set — verified
+    by the equivalence test in tests/test_index.py and the unchanged
+    ``fulltext_match`` DuckDB oracle. The win is plan shape: the index
+    build explodes EVERY token of EVERY doc through two exchanges
+    (~10^3 tokens/doc) to answer a 3-term query; this is one codegen pass
+    over the corpus with zero exchanges, the right query-side shape at any
+    scale when the term list is small and no reusable index table exists
+    (the committed-index path in ``search`` stays the served-query shape).
+
+    Tokenization inside matches ``build_inverted_terms``'s content side
+    (``tokenize``); the token array materializes once behind a
+    ``plan_fence`` so the per-term ``filter`` lambdas share it instead of
+    re-tokenizing per term.
+    """
+    from ..functions.planutil import plan_fence
+
+    toks = plan_fence(docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")))
+    def _eq(term: str):
+        # closure factory: a default-arg lambda would add a second
+        # parameter, which F.filter interprets as the (element, index)
+        # binary form and binds the array INDEX to it
+        return lambda t: t == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("__toks"), _eq(q))).cast("long")
+        .alias(f"__tf{i}")
+        for i, q in enumerate(dict.fromkeys(terms))
+    ]
+    scored = toks.select(F.col(id_col), *tf_cols)
+    tfs = [F.col(f"__tf{i}") for i in range(len(tf_cols))]
+    matched = None
+    total = None
+    for c in tfs:
+        hit = F.when(c > 0, F.lit(1)).otherwise(F.lit(0))
+        matched = hit if matched is None else matched + hit
+        total = c if total is None else total + c
+    return (scored
+            .withColumn("matched_terms", matched.cast("long"))
+            .withColumn("tf_sum", total.cast("long"))
+            .filter(F.col("matched_terms") > 0)
+            .select(id_col, "matched_terms", "tf_sum"))
+
+
 def search_positional(page_index: DataFrame, inverted_terms: DataFrame,
                       query: str, limit: int = 20) -> DataFrame:
     """Ranked search with the position/attribute rule: after matched-terms

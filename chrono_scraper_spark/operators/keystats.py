@@ -120,13 +120,18 @@ def usage_by_type(events: DataFrame) -> DataFrame:
 def top_keys(events: DataFrame) -> DataFrame:
     """Top-10 keys by usage (key_analytics_service.py:76-85), rank ties
     broken on key_id ascending so the cut is deterministic."""
-    w = Window.orderBy(F.desc("usage_count"), F.asc("key_id"))
+    # Round 6: orderBy().limit(k) plans as TakeOrderedAndProject (per-
+    # partition top-k merged on the driver) instead of an unpartitioned
+    # window sorting every key in one task; the k survivors then rank in a
+    # trivial k-row window. Same rows, same ranks (same total order).
+    order = [F.desc("usage_count"), F.asc("key_id")]
+    top = (plant_keys(events)
+           .select("key_id", "key_type",
+                   "usage_count", "last_used_s", "created_s")
+           .orderBy(*order).limit(TOP_N))
+    w = Window.orderBy(*order)
     return (
-        plant_keys(events)
-        .select("key_id", "key_type",
-                "usage_count", "last_used_s", "created_s")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_N)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "key_id", "key_type", "usage_count",
                 "last_used_s", "created_s")
     )

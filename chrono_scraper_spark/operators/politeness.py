@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .. import config as C
 
@@ -42,24 +41,27 @@ def with_priority_order_key(frontier: DataFrame) -> DataFrame:
     )
 
 
-def with_global_order(frontier: DataFrame) -> DataFrame:
-    """Deterministic global crawl sequence ``seq`` without a one-partition
-    window: range-partition on the order key, sort within partitions, then
-    assign ``seq = partition_offset + local_index`` in ONE shuffle-free
-    mapInPandas pass. Partition offsets come from an exclusive prefix-sum of
-    per-partition counts (one long per partition collected — never rows).
-    A pid-partitioned window here would re-shuffle the whole frontier on the
-    pid hash; this keeps the range exchange as the only shuffle.
+def with_global_seq(keyed: DataFrame, order_key_col: str = "order_key",
+                    out_col: str = "seq") -> DataFrame:
+    """Generic deterministic global row number without a one-partition
+    window: range-partition on ``order_key_col`` (a single struct column
+    whose ascending order IS the wanted total order), sort within
+    partitions, then assign ``out_col = partition_offset + local_index`` in
+    ONE shuffle-free mapInPandas pass. Partition offsets come from an
+    exclusive prefix-sum of per-partition counts (one long per partition
+    collected — never rows). A pid-partitioned window here would re-shuffle
+    everything on the pid hash; this keeps the range exchange as the only
+    shuffle.
 
-    The range-partitioned frame is cached (the count pass and the assign pass
-    must see identical partitioning); the cache handle rides on the returned
-    DataFrame as ``_global_order_cache`` so callers can unpersist once the
-    output is materialized (CrawlJob.run_round does)."""
+    The range-partitioned frame is cached (the count pass and the assign
+    pass must see identical partitioning); the cache handle rides on the
+    returned DataFrame as ``_global_order_cache`` so callers can unpersist
+    once the output is materialized (CrawlJob.run_round does)."""
     ordered = (
-        with_priority_order_key(frontier)
-        .repartitionByRange("order_key")
-        .sortWithinPartitions("order_key")
-        .drop("order_key")
+        keyed
+        .repartitionByRange(order_key_col)
+        .sortWithinPartitions(order_key_col)
+        .drop(order_key_col)
         .cache()
     )
     counts = (
@@ -72,23 +74,38 @@ def with_global_order(frontier: DataFrame) -> DataFrame:
         offsets[row["__pid"]] = acc
         acc += row["count"]
 
-    out_schema = T.StructType(
-        list(ordered.schema.fields) + [T.StructField("seq", T.LongType())])
-
-    def _assign(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        nxt = offsets.get(pid, 0) + 1
-        for pdf in batches:
-            pdf = pdf.copy()
-            pdf["seq"] = range(nxt, nxt + len(pdf))
-            nxt += len(pdf)
-            yield pdf
-
-    out = ordered.mapInPandas(_assign, out_schema)
+    # Assign pass, zero Python (round 6 — this was a mapInPandas, i.e. a
+    # full Arrow round-trip of every frontier column, every round):
+    # ``monotonically_increasing_id()`` packs (partitionId << 33) +
+    # 0-based row index in the order rows stream through the projection;
+    # subtracting the partition base leaves the sorted local index, and
+    # adding the collected partition offset gives the exact global seq.
+    # Rows stream in sorted order because the projection sits directly on
+    # the cached sorted partitions, and the expression's non-determinism
+    # keeps Catalyst from moving it. Values are identical to the former
+    # per-batch range assignment (tests/test_politeness.py::
+    # test_global_order_deterministic_and_dense asserts density,
+    # partition-invariance and the order law; the crawl_order oracle
+    # hash-checks the values end to end).
+    if offsets:
+        off_map = F.create_map(*[x for p, o in offsets.items()
+                                 for x in (F.lit(p), F.lit(o))])
+        base = F.coalesce(
+            F.element_at(off_map, F.spark_partition_id()), F.lit(0))
+    else:
+        base = F.lit(0)
+    local = (F.monotonically_increasing_id()
+             - (F.spark_partition_id().cast("long") * F.lit(1 << 33)))
+    out = ordered.withColumn(out_col, (base + local + 1).cast("long"))
     out._global_order_cache = ordered  # type: ignore[attr-defined]
     return out
+
+
+def with_global_order(frontier: DataFrame) -> DataFrame:
+    """Deterministic global crawl sequence ``seq`` (P1) via
+    ``with_global_seq`` over the crawl's stable order key — see that
+    helper for the two-phase prefix-sum shape and the cache contract."""
+    return with_global_seq(with_priority_order_key(frontier))
 
 
 def host_budgets(round_idx: int, rps: float = C.DEFAULT_HOST_RPS,

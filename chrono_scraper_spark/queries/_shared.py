@@ -91,4 +91,7 @@ def _scheduled(spark: SparkSession, sf_dir: str) -> DataFrame:
                           burst=_BUDGET_BURST, round_seconds=_BUDGET_SECONDS)
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from chrono_scraper_spark.functions.planutil import scan_parallelism_floor
+
+    path = f"{sf_dir}/{name}.parquet"
+    return scan_parallelism_floor(spark, spark.read.parquet(path), path)

@@ -47,18 +47,16 @@ from ._shared import _PRELUDE, _t
 _FTS_QUERY = ["data", "query", "window"]
 
 def q_fulltext_match(spark, sf_dir):
+    """Round-6 shape change (output identical, oracle unchanged): the
+    3-term ad-hoc match is now ``index.match_terms_scan`` — one
+    zero-exchange codegen pass — instead of building the full inverted
+    index (explode every token, two exchanges) to answer a 3-term query.
+    Equivalence: tests/test_index.py::test_match_terms_scan_equivalence +
+    the unchanged DuckDB oracle hash."""
+    from chrono_scraper_spark.operators.index import match_terms_scan
+
     d = _t(spark, sf_dir, "documents")
-    pi = d.select(F.col("doc_id").cast("string").alias("url_canon"),
-                  F.lit("0").alias("ts14"), F.lit("").alias("title"),
-                  F.col("text").alias("content"))
-    inv = build_inverted_terms(pi)
-    qdf = spark.createDataFrame([(t,) for t in _FTS_QUERY], "term string")
-    hits = inv.join(F.broadcast(qdf), "term")
-    return (hits.groupBy("url_canon")
-            .agg(F.countDistinct("term").alias("matched_terms"),
-                 F.sum("tf").alias("tf_sum"))
-            .select(F.col("url_canon").cast("long").alias("doc_id"),
-                    "matched_terms", "tf_sum"))
+    return match_terms_scan(d, _FTS_QUERY)
 
 SQL_FULLTEXT_MATCH = f"""
 WITH toks AS (

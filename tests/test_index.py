@@ -376,3 +376,45 @@ def test_current_view_postings(spark):
     # ...but remain in the unrestricted (time-travel) table
     assert inv.filter("url_canon = 'u1' AND ts14 = '20210101000000'") \
         .count() > 0
+
+
+def test_match_terms_scan_equivalence(spark):
+    """Round-6 optimization: the zero-shuffle ad-hoc term scan must agree
+    row-for-row with the inverted-index + broadcast-join shape it
+    replaced in q_fulltext_match (duplicate query terms collapse, docs
+    with zero matches drop, tf over repeated tokens counts every
+    occurrence, null text tokenizes empty)."""
+    from chrono_scraper_spark.operators.index import match_terms_scan
+
+    rows = [
+        (1, "data query window data data"),
+        (2, "nothing relevant here"),
+        (3, "window window"),
+        (4, None),
+        (5, "Data, QUERY!  window_data"),  # case-fold + punct + '_' split
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["data", "query", "window", "data"]  # duplicate on purpose
+
+    # the pre-round-6 shape, inline
+    pi = docs.select(F.col("doc_id").cast("string").alias("url_canon"),
+                     F.lit("0").alias("ts14"), F.lit("").alias("title"),
+                     F.col("text").alias("content"))
+    inv = build_inverted_terms(pi)
+    qdf = spark.createDataFrame([(t,) for t in set(terms)], "term string")
+    old = (inv.join(F.broadcast(qdf), "term")
+           .groupBy("url_canon")
+           .agg(F.countDistinct("term").alias("matched_terms"),
+                F.sum("tf").alias("tf_sum"))
+           .select(F.col("url_canon").cast("long").alias("doc_id"),
+                   "matched_terms", "tf_sum"))
+
+    new = match_terms_scan(docs, terms)
+    assert new.columns == old.columns
+    assert dict(zip(new.columns, [f.dataType.simpleString()
+                                  for f in new.schema.fields])) == \
+        dict(zip(old.columns, [f.dataType.simpleString()
+                               for f in old.schema.fields]))
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(map(tuple, new.collect()), key=lambda t: t[0]) == \
+        sorted(map(tuple, old.collect()), key=lambda t: t[0])
