@@ -1,4 +1,4 @@
-"""Plan-shape utilities (round 6): optimizer fence + scan-parallelism floor.
+"""Plan-shape utilities (round 6): materialization anchor + scan-parallelism floor.
 
 Two measured pathologies on the contract-query paths, both invisible at the
 logical level and both fixed here without changing any query's output:
@@ -11,10 +11,9 @@ logical level and both fixed here without changing any query's output:
    pushes it below every exchange into the file-scan stage. Measured in the
    round-6 before-plans: 2 chain copies in ``politeness_schedule``, 4 in
    ``crawl_order``, all evaluated in the scan stage, which for a
-   single-row-group parquet file is ONE task (see below). ``plan_fence``
-   stops both: predicates cannot be pushed through a non-deterministic
-   filter, and aliases defined below one cannot be substituted into
-   expressions above it.
+   single-row-group parquet file is ONE task (see below).
+   ``materialize_once`` stops both: a non-deterministic projection blocks
+   predicate pushdown through it and alias substitution out of it.
 
 2. **Single-row-group inputs serialize the whole query.** A parquet file
    with one row group is readable by exactly one task no matter what
@@ -37,19 +36,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def plan_fence(df: DataFrame) -> DataFrame:
-    """Materialization fence — the DataFrame analog of DuckDB/PostgreSQL
-    ``WITH x AS MATERIALIZED``: an always-true predicate Catalyst must treat
-    as non-deterministic, so (a) no predicate is pushed below this point and
-    (b) no alias defined below is inlined into expressions above. Everything
-    below the fence is computed exactly once, where it stands.
+def materialize_once(col: "F.Column") -> "F.Column":
+    """Materialization anchor — the column-level analog of DuckDB/
+    PostgreSQL ``WITH x AS MATERIALIZED``: wraps an expensive expression in
+    ``CASE WHEN monotonically_increasing_id() >= 0 THEN expr END``. The
+    predicate is always true (mid is non-negative by construction), so the
+    VALUE is identical for every row — but the wrapper is non-deterministic
+    to Catalyst, which therefore (a) refuses to push any predicate below
+    the Project that defines the alias, (b) refuses to substitute the alias
+    into consuming expressions, and (c) cannot constant-fold the wrapper
+    away (the condition is non-foldable). The expression is planned,
+    code-generated, shipped and evaluated exactly ONCE, where it stands.
 
-    Row-identical by construction: ``monotonically_increasing_id()`` is
-    non-negative, so the predicate keeps every row. Batch-only (Structured
-    Streaming rejects the expression); the engine's streaming surface runs
-    its filter chain inside ``foreachBatch``, which is batch semantics.
+    Why it exists (measured, round 6): the ~120-regex filter-decision
+    struct is a pure function of its inputs, so predicate pushdown
+    substituted the WHOLE chain into every consumer — 2 copies in
+    ``politeness_schedule``'s plan, 4 in ``crawl_order``'s, a ~300 KB
+    formatted plan and a 2.3 MB task binary whose per-run planning/codegen/
+    serialization overhead dominated the queries (~1.2 s per execution,
+    data-independent). With the anchor: 1 copy, a 20 KB plan, and
+    politeness_schedule dropped 3.26 s -> 0.40 s at sf1.0 on the same data.
+
+    Two fences tried first and rejected: a reference-free non-deterministic
+    FILTER is itself pushed below deterministic projections (observed), and
+    anchoring that filter with ``alias IS NULL`` gets constant-folded away
+    because struct-typed aliases are provably non-null.
+
+    Nullability: CaseWhen without ELSE marks the column nullable; no null
+    is ever produced (the branch always fires). Batch-only (Structured
+    Streaming rejects non-deterministic expressions); the engine's
+    streaming surface runs its filter chain inside ``foreachBatch``, which
+    is batch semantics.
     """
-    return df.filter(F.monotonically_increasing_id() >= 0)
+    return F.when(F.monotonically_increasing_id() >= 0, col)
 
 
 def _path_bytes(path: str) -> int:

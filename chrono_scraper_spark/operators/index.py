@@ -177,13 +177,14 @@ def match_terms_scan(docs: DataFrame, terms: list[str],
 
     Tokenization inside matches ``build_inverted_terms``'s content side
     (``tokenize``); the token array materializes once behind a
-    ``plan_fence`` so the per-term ``filter`` lambdas share it instead of
-    re-tokenizing per term.
+    ``materialize_once`` anchor so the per-term ``filter`` lambdas share
+    it instead of re-tokenizing per term.
     """
-    from ..functions.planutil import plan_fence
+    from ..functions.planutil import materialize_once
 
-    toks = plan_fence(docs.select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")))
+    toks = docs.select(
+        F.col(id_col),
+        materialize_once(tokenize(F.col(text_col))).alias("__toks"))
     def _eq(term: str):
         # closure factory: a default-arg lambda would add a second
         # parameter, which F.filter interprets as the (element, index)
