@@ -617,6 +617,15 @@ def _with_stream_offsets(sized: DataFrame, id_col: str) -> DataFrame:
     range partitioning — repartitionByRange samples boundaries, so a
     recompute could repartition differently; callers unpersist the handle
     once output is materialized, same convention as with_global_order).
+
+    The per-row assignment is ``mapInArrow``, not ``mapInPandas``: the
+    cumsum itself touches only the ``n_tokens`` int64 column, while the
+    other columns (for pack_emit, the full token-id list array — the bulk
+    of the bytes) pass through as Arrow buffers untouched. The pandas path
+    objectified every list cell into a Python object on the way in and
+    back out; Arrow appends one int64 column to the batch and never
+    materializes the lists (guide §4.2: re-slice/extend Arrow buffers,
+    don't convert them).
     """
     from pyspark.sql import types as ST
 
@@ -637,17 +646,20 @@ def _with_stream_offsets(sized: DataFrame, id_col: str) -> DataFrame:
                                                     ST.LongType())])
 
     def _assign(batches):
+        import numpy as np
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pos = offsets.get(TaskContext.get().partitionId(), 0)
-        for pdf in batches:
-            pdf = pdf.copy()
-            ends = pdf["n_tokens"].cumsum() + pos
-            pdf["start_tok"] = ends - pdf["n_tokens"]
-            pos = int(ends.iloc[-1]) if len(pdf) else pos
-            yield pdf
+        for batch in batches:
+            n = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+            ends = np.cumsum(n, dtype=np.int64) + np.int64(pos)
+            start = pa.array(ends - n, type=pa.int64())
+            if len(n):
+                pos = int(ends[-1])
+            yield batch.append_column("start_tok", start)
 
-    out = sized.mapInPandas(_assign, out_schema)
+    out = sized.mapInArrow(_assign, out_schema)
     out._pack_cache = sized
     return out
 
@@ -701,12 +713,25 @@ def pack_emit(docs: DataFrame, seq_len: int, vocab: int = 32768,
     ids = F.transform(
         T.tokens(F.col(text_col)),
         lambda t: (_hex_int(F.md5(t), 1, 8) % vocab).cast("long"))
-    packed = _with_stream_offsets(
-        docs.select(F.col(id_col), ids.alias("ids"))
-        .withColumn("n_tokens", F.size("ids").cast("long")), id_col)
+    # Decide on small rows, move big rows once (guide §8): the prefix sum
+    # runs over a NARROW (id, n_tokens) proxy — token COUNTS need no
+    # md5-hashed ids, so the counting pass tokenizes without hashing —
+    # and the offsets attach back to the id arrays with one equi-join.
+    # The former shape ranged-exchanged, cached and round-tripped the full
+    # token-id arrays through the Python worker just to add a cumsum
+    # column. At local scale AQE broadcasts the metadata-sized offset
+    # table; at cluster scale the join degrades to one SMJ that moves the
+    # ids exactly once — the same bytes the old range exchange moved, with
+    # no Arrow payload round-trip and no payload-sized cache.
+    narrow = docs.select(
+        F.col(id_col),
+        F.size(T.tokens(F.col(text_col))).cast("long").alias("n_tokens"))
+    packed = _with_stream_offsets(narrow, id_col)
+    joined = (docs.select(F.col(id_col), ids.alias("ids"))
+              .join(packed, id_col))
     first = F.expr(f"start_tok DIV {seq_len}")
     last = F.expr(f"(start_tok + n_tokens - 1) DIV {seq_len}")
-    spans = (packed.filter(F.col("n_tokens") > 0)
+    spans = (joined.filter(F.col("n_tokens") > 0)
              .select("ids", "start_tok", "n_tokens",
                      F.explode(F.sequence(first, last)).alias("seq_id"))
              .select(

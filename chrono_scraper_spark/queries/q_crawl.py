@@ -87,6 +87,19 @@ def _seen(spark, sf_dir):
     return _cand(spark, sf_dir).filter(F.col("doc_id") % 7 == 0) \
         .select("url", "ts14")
 
+
+def _seen_upper_bound(sf_dir) -> int:
+    """Upper bound on the seen-set size from parquet FOOTER metadata — no
+    count job (the crawl path sizes its filter the same way, from the
+    catalog manifest's row_count: plans/crawl.py:279). Every doc fans out
+    to at most 3 captures and the seen set keeps doc_id % 7 == 0, so
+    3 * n_docs / 7 bounds it; overestimating only lowers the filter's
+    false-positive rate (more bits), never changes the output."""
+    from chrono_scraper_spark.functions.planutil import _parquet_rows
+
+    n_docs = _parquet_rows(f"{sf_dir}/documents.parquet") or 0
+    return max(64, (3 * n_docs) // 7)
+
 SQL_SEEN_ANTI_JOIN = _PRELUDE + """
 SELECT c.url, c.ts14 FROM cand c
 ANTI JOIN (SELECT url, ts14 FROM cand WHERE doc_id % 7 = 0) s
@@ -99,6 +112,7 @@ def q_seen_antijoin(spark, sf_dir):
 def q_seen_antijoin_bloom(spark, sf_dir):
     return bloom_prefilter_anti_join(
         _cand(spark, sf_dir), _seen(spark, sf_dir), keys=["url", "ts14"],
+        expected_items=_seen_upper_bound(sf_dir),
     ).select("url", "ts14")
 
 def q_seen_antijoin_bloom_bucketed(spark, sf_dir):
@@ -107,7 +121,7 @@ def q_seen_antijoin_bloom_bucketed(spark, sf_dir):
     provably identical to the plain anti-join oracle."""
     return bloom_prefilter_anti_join(
         _cand(spark, sf_dir), _seen(spark, sf_dir), keys=["url", "ts14"],
-        n_buckets=8,
+        expected_items=_seen_upper_bound(sf_dir), n_buckets=8,
     ).select("url", "ts14")
 
 def q_seen_antijoin_cuckoo(spark, sf_dir):
@@ -117,7 +131,7 @@ def q_seen_antijoin_cuckoo(spark, sf_dir):
     to the plain anti-join oracle."""
     return cuckoo_prefilter_anti_join(
         _cand(spark, sf_dir), _seen(spark, sf_dir), keys=["url", "ts14"],
-        n_shards=4,
+        expected_items=_seen_upper_bound(sf_dir), n_shards=4,
     ).select("url", "ts14")
 
 def q_url_blocklist(spark, sf_dir):

@@ -148,14 +148,30 @@ SELECT doc_id,
 FROM s"""
 
 def _docs_with_clones(spark, sf_dir):
+    """Base docs ∪ tail-mutated clones (%25, +1M) ∪ exact copies (%40, +2M).
+
+    One scan, not three (round 6): the former three-branch union scanned
+    ``documents`` once per branch — each with its own scan-parallelism-floor
+    exchange of the full text payload — to emit rows that are all derivable
+    from a single read. An explode over a per-row condition-filtered fan
+    array produces the identical row set (value-checked: exceptAll both
+    ways = 0; the consuming oracles hash-match) from one scan and one
+    floor exchange. exact_dups measured 2.50 → 1.63 s at sf1.0."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    clones = d.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" extra tail tokens appended"))
-        .alias("text"))
-    exact = d.filter(F.col("doc_id") % 40 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"), "text")
-    return d.unionByName(clones).unionByName(exact)
+    fan = F.filter(
+        F.array(
+            F.struct(F.lit(0).cast("long").alias("off"),
+                     F.lit(True).alias("keep"), F.lit("").alias("sfx")),
+            F.struct(F.lit(1000000).cast("long").alias("off"),
+                     (F.col("doc_id") % 25 == 0).alias("keep"),
+                     F.lit(" extra tail tokens appended").alias("sfx")),
+            F.struct(F.lit(2000000).cast("long").alias("off"),
+                     (F.col("doc_id") % 40 == 0).alias("keep"),
+                     F.lit("").alias("sfx")),
+        ), lambda s: s["keep"])
+    e = d.select("doc_id", "text", F.explode(fan).alias("c"))
+    return e.select((F.col("doc_id") + F.col("c.off")).alias("doc_id"),
+                    F.concat(F.col("text"), F.col("c.sfx")).alias("text"))
 
 _SQL_DOCS_CLONES = """
 docs2 AS (
