@@ -417,7 +417,16 @@ class CrawlJob:
         if "retry_count" not in scheduled.columns:
             scheduled = scheduled.withColumn("retry_count",
                                              F.lit(0).cast("int"))
-        n_sched = sched.filter(F.col("sched_status") == "scheduled").count()
+        # ONE aggregation over the sched cache serves three counters:
+        # n_sched (salt sizing below), counters["deferred"], and — by
+        # arithmetic, since pending = scheduled + deferred —
+        # counters["filtered"] = decided - pending. The former shape ran
+        # three separate count jobs over the same cached frame (guide §1:
+        # don't re-scan for numbers one pass already knows).
+        sched_counts = {r["sched_status"]: r["count"] for r in
+                        sched.groupBy("sched_status").count().collect()}
+        n_sched = int(sched_counts.get("scheduled", 0))
+        n_deferred = int(sched_counts.get("deferred", 0))
         parallelism = self.spark.sparkContext.defaultParallelism
         salt_target = self.salt_target_rows or max(
             200, n_sched // max(1, parallelism * 4))
@@ -531,11 +540,22 @@ class CrawlJob:
             terminal = extracted
 
         # per-partition lineage: rows extracted per (host-salted) partition —
-        # this action also materializes the extraction cache
-        part_counts = (
-            extracted.groupBy(F.spark_partition_id().alias("pid"))
-            .count().orderBy("pid").collect()
+        # this action also materializes the extraction cache. fetch_status
+        # rides in the same aggregation so the later status counters need no
+        # second scan of the cache (one job instead of two).
+        part_status = (
+            extracted.groupBy(F.spark_partition_id().alias("pid"),
+                              "fetch_status")
+            .count().collect()
         )
+        pid_totals: dict[int, int] = {}
+        status_totals: dict[str, int] = {}
+        for r in part_status:
+            pid_totals[r["pid"]] = pid_totals.get(r["pid"], 0) + r["count"]
+            status_totals[r["fetch_status"]] = (
+                status_totals.get(r["fetch_status"], 0) + r["count"])
+        part_counts = [{"pid": pid, "count": pid_totals[pid]}
+                       for pid in sorted(pid_totals)]
         # the extraction cache is materialized now — the range-partitioned
         # global-order cache behind it is no longer needed
         if go_cache is not None:
@@ -543,12 +563,12 @@ class CrawlJob:
         _tick("fetch_extract")
 
         counters["scheduled"] = sum(r["count"] for r in part_counts)
-        counters["deferred"] = deferred.count()
-        counters["filtered"] = filtered.count()
-        by_status = dict(
-            extracted.groupBy("fetch_status").count().collect())
-        counters["completed"] = int(by_status.get(C.STATUS_COMPLETED, 0))
-        counters["failed"] = int(by_status.get(C.STATUS_FAILED, 0))
+        counters["deferred"] = n_deferred
+        # pending = scheduled + deferred, so the filtered count is pure
+        # arithmetic over numbers already collected — no job
+        counters["filtered"] = counters["decided"] - n_sched - n_deferred
+        counters["completed"] = int(status_totals.get(C.STATUS_COMPLETED, 0))
+        counters["failed"] = int(status_totals.get(C.STATUS_FAILED, 0))
         _tick("counters")
 
         # ---- commits (all idempotent MERGEs; lineage row last) ----
