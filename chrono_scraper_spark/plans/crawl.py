@@ -369,9 +369,22 @@ class CrawlJob:
         # while the table sits at its pinned version. Streaming rounds
         # (injected ``discovered``) can re-present an already-filtered
         # capture, so they keep the unconditional probe.
+        from concurrent.futures import ThreadPoolExecutor
+
         from .catalog import _UNSET as _CAT_UNSET
 
-        self.cat.merge_not_matched(
+        # The filtered_log commit depends only on the (already
+        # materialized) decision cache — nothing downstream reads it this
+        # round — so it runs as a CONCURRENT Spark job overlapping the
+        # politeness windows and the fetch/extract stage (guide §2.6:
+        # submit independent jobs from a driver thread so their tasks
+        # back-fill executors freed by the foreground job's tail). The
+        # future is awaited with the other table commits, strictly before
+        # the lineage row; crash-safety is unchanged (idempotent MERGE,
+        # lineage commits last).
+        _filtered_pool = ThreadPoolExecutor(max_workers=1)
+        filtered_log_fut = _filtered_pool.submit(
+            self.cat.merge_not_matched,
             "filtered_log",
             filtered.select(
                 "url", "url_canon", "ts14", "host", "digest", "length",
@@ -386,6 +399,7 @@ class CrawlJob:
             expect_version=(prev.get("filtered_log") if discovered is None
                             else _CAT_UNSET),
         )
+        _filtered_pool.shutdown(wait=False)
         _tick("commit_filtered_log")
 
         # politeness budget split (P4/W5)
@@ -647,6 +661,9 @@ class CrawlJob:
             ]
             for f in futs:
                 f.result()
+        # the background filtered_log commit (submitted before the
+        # schedule phase) must land before the lineage row pins versions
+        filtered_log_fut.result()
         _tick("commit_tables")
 
         # the open frontier = deferred rows ∪ retryable failures (with
